@@ -1,0 +1,130 @@
+"""Per-key ordering, last-writer-wins folding, and late-data accounting.
+
+Re-expresses the reference's ordering/dedup semantics Spark-first:
+
+- NiFi **EnforceOrder** (reference .../standard/EnforceOrder.java:73-86)
+  holds FlowFiles until their per-group order attribute is next, and routes
+  events that arrive after the wait-timeout to ``skipped`` (:205). In a
+  shuffle-based engine we never *hold* rows — we fold the whole batch with a
+  last-writer-wins aggregate and account late rows separately
+  (:func:`split_late`).
+- NiFi **DeduplicateRecord** (.../standard/DeduplicateRecord.java) /
+  **DetectDuplicate**: subsumed by the same fold — max-seq per key IS the
+  dedup.
+
+Physical strategy: ``groupBy(key).agg(max_by(struct(...), seq))`` compiles
+to a hash aggregate with map-side partial aggregation (ObjectHashAggregate),
+which at 10^10 events beats a window sort (`row_number over (partition by
+key order by seq desc)`) because each mapper pre-folds its partition before
+the shuffle: shuffle volume becomes O(distinct keys per mapper), not
+O(events). For Zipf-hot keys :func:`lww_fold_salted` folds in two phases —
+(key, salt) then key — so no single reducer owns a hot conversation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..schema import KEY_COLS
+
+
+def lww_fold(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    seq_col: str = "seq",
+    keep_deletes: bool = False,
+) -> DataFrame:
+    """Fold a change-event set to its final state: max-seq event per key.
+
+    Returns one row per key carrying the winning event's full payload
+    (all non-key columns preserved, plus the winning ``seq``). If
+    ``keep_deletes`` is false, keys whose winning op is ``D`` are dropped
+    (the batch-local final state); if true, delete winners survive with
+    ``op='D'`` so a downstream cross-batch MERGE can tombstone.
+    """
+    key_cols = key_cols or KEY_COLS
+    payload = [c for c in df.columns if c not in key_cols]
+    folded = (
+        df.groupBy(*key_cols)
+        .agg(F.max_by(F.struct(*payload), F.col(seq_col)).alias("_w"))
+        .select(*key_cols, "_w.*")
+    )
+    if not keep_deletes:
+        folded = folded.filter(F.col("op") != "D")
+    return folded
+
+
+def lww_fold_salted(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    seq_col: str = "seq",
+    salt_buckets: int = 16,
+    keep_deletes: bool = False,
+) -> DataFrame:
+    """Two-phase LWW fold for skewed keys.
+
+    Phase 1 folds per ``(key, salt)`` where ``salt = pmod(hash(seq), B)``
+    distributes a hot key's events over B reducers; phase 2 folds the ≤B
+    survivors per key. Equivalent to :func:`lww_fold` (max_by is
+    associative) but no task ever aggregates more than ~1/B of a hot key.
+
+    NiFi's CorrelationAttributePartitioner (reference
+    .../queue/clustered/partition/CorrelationAttributePartitioner.java:56-74)
+    hashes the correlation attribute with no skew handling — hot keys pile
+    onto one node; this operator is the fix the north star requires.
+    """
+    key_cols = key_cols or KEY_COLS
+    payload = [c for c in df.columns if c not in key_cols]
+    salt = F.pmod(F.xxhash64(F.col(seq_col)), F.lit(salt_buckets)).alias("_salt")
+    phase1 = (
+        df.withColumn("_salt", salt)
+        .groupBy(*key_cols, "_salt")
+        .agg(F.max_by(F.struct(*payload), F.col(seq_col)).alias("_w"))
+    )
+    folded = (
+        phase1.groupBy(*key_cols)
+        .agg(F.max_by(F.col("_w"), F.col(f"_w.{seq_col}")).alias("_w"))
+        .select(*key_cols, "_w.*")
+    )
+    if not keep_deletes:
+        folded = folded.filter(F.col("op") != "D")
+    return folded
+
+
+def split_late(
+    df: DataFrame, ts_col: str = "ts", watermark: Column | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Split a batch into (on_time, late) relative to a watermark timestamp.
+
+    Batch-mode analog of EnforceOrder's wait-timeout -> ``skipped`` routing
+    (reference EnforceOrder.java:205): rows older than the watermark are
+    returned separately so the caller can count them into lineage metrics
+    instead of silently dropping.
+    """
+    if watermark is None:
+        return df, df.limit(0)
+    on_time = df.filter(F.col(ts_col) >= watermark)
+    late = df.filter(F.col(ts_col) < watermark)
+    return on_time, late
+
+
+def enforce_order(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+) -> DataFrame:
+    """Stable per-group ordering index (EnforceOrder's happy path).
+
+    Adds ``_order_rank`` (1-based position within group by ``order_col``)
+    and ``_overtaken`` (true when a row's order value is less than the max
+    seen before it in arrival order — NiFi's ``overtaking`` relationship,
+    EnforceOrder.java:79). Window-based; use only on bounded groups.
+    """
+    w = W.partitionBy(*group_cols).orderBy(F.col(order_col))
+    return df.withColumn("_order_rank", F.row_number().over(w)).withColumn(
+        "_overtaken", F.col(order_col) < F.max(order_col).over(
+            w.rowsBetween(W.unboundedPreceding, -1)
+        ),
+    )

@@ -1,0 +1,55 @@
+"""SparkSession construction with scale-aware defaults.
+
+Local tests run on ``local[N]`` but every config choice is made for a
+multi-executor cluster: AQE on (runtime re-plan, skew-join splitting,
+partition coalescing), shuffle partitions sized to parallelism, Arrow
+enabled for the pandas-UDF slow path, UTC session timezone so results
+compare bit-for-bit against the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "nifi_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``cores`` controls local parallelism (``local[cores]``); on a real
+    cluster the caller submits via spark-submit and ``master`` is simply
+    not overridden (``spark.master`` already set -> respected).
+    """
+    cores = cores or DEFAULT_CPUS
+    shuffle_partitions = shuffle_partitions or max(cores, 8)
+    b = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    # Only force a local master when none is configured (i.e. not under
+    # spark-submit on a cluster).
+    if "SPARK_GRAFT_MASTER" in os.environ:
+        b = b.master(os.environ["SPARK_GRAFT_MASTER"])
+    elif not os.environ.get("SPARK_MASTER") and not os.environ.get("MASTER"):
+        b = b.master(f"local[{cores}]")
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
