@@ -1,0 +1,70 @@
+"""Per-partition lineage records — the queryable subset of NiFi provenance.
+
+The reference journals a provenance event per FlowFile hop (RECEIVE, SEND,
+DROP, … — nifi-api .../provenance/ProvenanceEventRecord.java:41-161,
+ProvenanceEventType.java:22-132) into a Lucene-indexed store. At 10^10
+events per-row provenance is the wrong shape; the north star reduces it to
+**per-(batch, source_file) offset-range records** persisted next to the
+table: enough to audit "which binlog byte ranges landed in which snapshot,
+how many rows, how many late" and to prove no-gap/no-dup on resume.
+
+Records append to ``{table}/_lineage/`` as parquet; each batch's write is
+one small file (a handful of rows — one per source file seen in the batch).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def lineage_records(
+    events: DataFrame,
+    batch_id: int,
+    snapshot_id: int,
+    n_late: int = 0,
+) -> DataFrame:
+    """Aggregate a batch's events into per-source_file range records."""
+    src = events if "source_file" in events.columns else events.withColumn(
+        "source_file", F.lit(None).cast("string")
+    ).withColumn("source_pos", F.lit(None).cast("long"))
+    return (
+        src.groupBy("source_file")
+        .agg(
+            F.min("source_pos").alias("min_pos"),
+            F.max("source_pos").alias("max_pos"),
+            F.min("seq").alias("min_seq"),
+            F.max("seq").alias("max_seq"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            F.lit(batch_id).cast("long").alias("batch_id"),
+            F.lit(snapshot_id).cast("long").alias("snapshot_id"),
+            "source_file",
+            "min_pos",
+            "max_pos",
+            "min_seq",
+            "max_seq",
+            "n_events",
+            F.lit(n_late).cast("long").alias("n_late"),
+            F.lit(time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())).alias("committed_at"),
+        )
+    )
+
+
+def write_lineage(records: DataFrame, table_path: str) -> None:
+    records.coalesce(1).write.mode("append").parquet(
+        os.path.join(table_path, "_lineage")
+    )
+
+
+def read_lineage(spark: SparkSession, table_path: str) -> DataFrame:
+    p = os.path.join(table_path, "_lineage")
+    if not os.path.isdir(p):
+        return spark.createDataFrame([], "batch_id long, snapshot_id long, source_file string, "
+                                         "min_pos long, max_pos long, min_seq long, max_seq long, "
+                                         "n_events long, n_late long, committed_at string")
+    return spark.read.parquet(p)

@@ -1,0 +1,96 @@
+"""Payload normalization: raw JSON change events → typed columns.
+
+The reference parses binlog events into JSON FlowFiles row-at-a-time
+(CaptureChangeMySQL writers, reference nifi-cdc .../io/InsertRowsWriter.java:76-98)
+and NiFi's Python extension point marshals single records over Py4J
+(nifi-py4j-bundle .../nifiapi/recordtransform.py:21-96). Both are per-row;
+here normalization is columnar:
+
+- :func:`normalize_json` — the default hot path. ``from_json`` with an
+  explicit schema: JVM-side, whole-stage-codegen'd, zero Python.
+- :func:`normalize_json_arrow` — the escape hatch for payloads built-ins
+  can't express (ragged unions, NiFi CHOICE types): an Arrow-vectorized
+  pandas UDF (batch-at-a-time, never per-row Python), as the north star
+  mandates. Semantics identical to :func:`normalize_json` for well-formed
+  input; tests assert equality of both paths (FIXTURES.md §5.10).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_EVENT_JSON_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("seq", T.LongType()),
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("tool_meta", T.StringType()),
+    ]
+)
+
+
+def normalize_json(
+    df: DataFrame, json_col: str = "payload_json", keep_cols: list[str] | None = None
+) -> DataFrame:
+    """JVM path: parse the raw event JSON into the typed change-event shape.
+
+    ``keep_cols`` (e.g. lineage coords source_file/source_pos) pass through
+    untouched alongside the parsed payload.
+    """
+    keep = [c for c in (keep_cols or []) if c in df.columns]
+    parsed = df.select(F.from_json(F.col(json_col), _EVENT_JSON_SCHEMA).alias("e"), *keep)
+    return parsed.select(
+        F.col("e.seq").alias("seq"),
+        F.col("e.type").alias("op"),
+        F.col("e.timestamp").alias("ts"),
+        F.col("e.conv_id").alias("conv_id"),
+        F.col("e.turn_idx").alias("turn_idx"),
+        F.col("e.role").alias("role"),
+        F.col("e.text").alias("text"),
+        F.col("e.tool").alias("tool"),
+        F.col("e.tool_meta").alias("tool_meta"),
+        *keep,
+    )
+
+
+def normalize_json_arrow(df: DataFrame, json_col: str = "payload_json") -> DataFrame:
+    """Arrow path: same parse via a vectorized pandas UDF (batch-at-a-time).
+
+    Uses ``pandas.json_normalize`` over whole Arrow batches inside
+    ``mapInPandas`` — the Spark-idiomatic replacement for NiFi's per-record
+    Py4J RecordTransform round-trip.
+    """
+    import json as _json
+
+    out_schema = (
+        "seq long, op string, ts timestamp, conv_id string, turn_idx int, "
+        "role string, text string, tool string, tool_meta string"
+    )
+
+    def parse(batches):
+        for pdf in batches:
+            recs = pd.json_normalize(pdf[json_col].map(_json.loads))
+            out = pd.DataFrame(
+                {
+                    "seq": recs.get("seq"),
+                    "op": recs.get("type"),
+                    "ts": pd.to_datetime(recs.get("timestamp"), utc=True).dt.tz_localize(None),
+                    "conv_id": recs.get("conv_id"),
+                    "turn_idx": recs.get("turn_idx"),
+                    "role": recs.get("role"),
+                    "text": recs.get("text"),
+                    "tool": recs.get("tool"),
+                    "tool_meta": recs.get("tool_meta", pd.Series([None] * len(recs))),
+                }
+            )
+            yield out
+
+    return df.select(json_col).mapInPandas(parse, schema=out_schema)

@@ -1,0 +1,170 @@
+"""The CDC north-star pipeline: change feed → LWW fold → lake MERGE.
+
+Spark restatement of the reference flow
+``CaptureChangeMySQL → EnforceOrder → PutDatabaseRecord/PutIceberg``
+(SURVEY.md §3.2):
+
+- **source** — ``readStream`` over the feed directory (parquet/json files ≙
+  binlog segments). Spark's file source checkpoints which files were seen
+  (≙ CaptureChangeMySQL's binlog file/pos cluster state,
+  reference CaptureChangeMySQL.java:1189-1213 updateState); restart resumes
+  with no re-read.
+- **watermark** — the engine tracks ``max(ts) - delay`` across batches in a
+  small state file next to the checkpoint; events older than the watermark
+  route to the late count (≙ EnforceOrder wait-timeout → ``skipped``,
+  reference EnforceOrder.java:205) and are excluded from the merge.
+- **fold** — salted two-phase last-writer-wins per ``(conv_id, turn_idx)``
+  (operators.ordering), keeping delete-winners as tombstone candidates.
+- **apply** — ``foreachBatch``: LakeTable.merge with the streaming
+  ``batch_id`` as the idempotent commit id. Spark may re-run a batch after
+  a sink success but before the checkpoint commit; the merge skips
+  already-applied ids, which upgrades at-least-once replay to exactly-once
+  table state (≙ PutIceberg snapshot-summary uuid check,
+  reference PutIceberg.java:89-93,392-399).
+- **lineage** — per-(batch, source_file) offset-range records appended
+  under the table (lineage.py).
+
+Every stage is DataFrame-native; the only Python in the data path is the
+optional Arrow normalization for raw-JSON feeds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..normalize import normalize_json
+from ..operators.ordering import lww_fold_salted
+from ..schema import CHANGE_EVENTS, KEY_COLS
+from ..sinks.laketable import LakeTable
+from ..lineage import lineage_records, write_lineage
+
+
+class CdcPipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        checkpoint_dir: str,
+        n_buckets: int = 16,
+        salt_buckets: int = 16,
+        watermark_delay_s: int | None = None,
+        from_json_payload: bool = False,
+    ):
+        self.spark = spark
+        self.table = LakeTable(spark, table_path, n_buckets=n_buckets)
+        self.checkpoint_dir = checkpoint_dir
+        self.salt_buckets = salt_buckets
+        self.watermark_delay_s = watermark_delay_s
+        self.from_json_payload = from_json_payload
+        self.table_path = table_path
+        self._wm_path = os.path.join(checkpoint_dir, "engine_watermark.json")
+
+    # ---------- engine watermark state (auditable, checkpoint-adjacent) ----------
+
+    def _load_watermark(self) -> int | None:
+        if os.path.exists(self._wm_path):
+            with open(self._wm_path) as f:
+                return json.load(f).get("max_ts_epoch")
+        return None
+
+    def _store_watermark(self, max_ts_epoch: int) -> None:
+        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        prev = self._load_watermark() or 0
+        with open(self._wm_path, "w") as f:
+            json.dump({"max_ts_epoch": max(prev, max_ts_epoch)}, f)
+
+    # ---------- batch apply (the foreachBatch body) ----------
+
+    def apply_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
+        """Normalize → late-split → fold → merge → lineage. Returns metrics."""
+        if self.from_json_payload:
+            events = normalize_json(batch_df, keep_cols=["source_file", "source_pos"])
+        else:
+            events = batch_df
+
+        metrics = {"batch_id": batch_id, "n_events": 0, "n_late": 0, "version": None}
+
+        # late-data accounting against the engine watermark
+        n_late = 0
+        if self.watermark_delay_s is not None:
+            prev_max = self._load_watermark()
+            if prev_max is not None:
+                cutoff = F.timestamp_seconds(F.lit(prev_max - self.watermark_delay_s))
+                late = events.filter(F.col("ts") < cutoff)
+                n_late = late.count()
+                events = events.filter(F.col("ts") >= cutoff)
+
+        events = events.cache()
+        try:
+            agg = events.agg(
+                F.count("*").alias("n"), F.max(F.unix_timestamp("ts")).alias("mx")
+            ).collect()[0]
+            n_events = agg["n"]
+            metrics.update(n_events=n_events, n_late=n_late)
+            if n_events == 0 and n_late == 0:
+                return metrics
+
+            if n_events > 0:
+                folded = lww_fold_salted(
+                    events.select(
+                        "seq", "op", "ts", *KEY_COLS,
+                        *[c for c in events.columns if c not in ("seq", "op", "ts", *KEY_COLS, "source_file", "source_pos", "payload_json")],
+                    ),
+                    key_cols=KEY_COLS,
+                    salt_buckets=self.salt_buckets,
+                    keep_deletes=True,
+                )
+                version = self.table.merge(
+                    folded,
+                    KEY_COLS,
+                    seq_col="seq",
+                    op_col="op",
+                    batch_id=batch_id,
+                    extra_summary={"n_events": n_events, "n_late": n_late},
+                )
+                metrics["version"] = version
+                if version is not None:
+                    write_lineage(
+                        lineage_records(events, batch_id, version, n_late=n_late),
+                        self.table_path,
+                    )
+                    if agg["mx"] is not None:
+                        self._store_watermark(int(agg["mx"]))
+        finally:
+            events.unpersist()
+        return metrics
+
+    # ---------- streaming wiring ----------
+
+    def start(
+        self,
+        feed_dir: str,
+        max_files_per_trigger: int | None = None,
+        available_now: bool = True,
+    ):
+        """readStream over the feed dir; availableNow drains and stops (tests/bench)."""
+        reader = (
+            self.spark.readStream.schema(CHANGE_EVENTS)
+            .format("parquet")
+        )
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        stream = reader.load(feed_dir)
+
+        writer = (
+            stream.writeStream.foreachBatch(
+                lambda df, bid: self.apply_batch(df, bid)
+            )
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def run_to_completion(self, feed_dir: str, **kw) -> None:
+        q = self.start(feed_dir, **kw)
+        q.awaitTermination()
