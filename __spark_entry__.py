@@ -1,10 +1,13 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract: entry / queries / oracle_sql for the nifi_spark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises one operator family from SURVEY.md §2
+(reference processor cited in the implementing module) over the driver's
+parquet tables; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
+Column names/order are aliased identically on both sides; double-valued
+aggregates are computed via DECIMAL addends (order-independent exact sums)
+and cast back to double, and all hashing uses md5 (bit-identical in both
+engines), so the driver's value-hash gate applies even to the approximate
+dedup/similarity operators.
 """
 
 from __future__ import annotations
@@ -12,27 +15,865 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from nifi_spark.operators import ordering
+from nifi_spark.operators.aggregate import (
+    count_text,
+    dedup_exact,
+    record_stats,
+    rolling_window,
+    sample_interval,
+    tumbling_window,
+)
+from nifi_spark.operators.dedup_fuzzy import (
+    jaccard_pairs,
+    minhash_dedup_pairs,
+    simhash,
+)
+from nifi_spark.operators.enrich import (
+    defragment,
+    detect_duplicate,
+    join_enrichment_sql,
+    lookup,
+    lookup_routed,
+)
+from nifi_spark.operators.routing import route_column, route_text_lines
+from nifi_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from nifi_spark.operators.sql import query_record
+from nifi_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from nifi_spark.operators.transform import (
+    extract_json_paths,
+    remove_fields,
+    rename_fields,
+    update_fields,
+)
+from nifi_spark.operators.multimodal import decode_features, synthesize_media
+from nifi_spark.normalize import normalize_json_arrow
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# CDC / LWW fold family (the north-star kernel over the events table:
+# event_id ≙ cdc.sequence.id, event_type='error' ≙ delete op)
+# --------------------------------------------------------------------------
+
+def _events_as_feed(spark, sf_dir):
+    return _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("value"),
+    )
+
+
+def q_cdc_lww_fold(spark, sf_dir):
+    folded = ordering.lww_fold(_events_as_feed(spark, sf_dir), key_cols=["user_id"], seq_col="seq")
+    return folded.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("seq").alias("last_seq"),
+    )
+
+
+_CDC_LWW_SQL = """
+SELECT user_id,
+       arg_max(event_type, event_id) AS last_type,
+       arg_max(value, event_id)      AS last_value,
+       max(event_id)                 AS last_seq
+FROM events
+GROUP BY user_id
+HAVING arg_max(event_type, event_id) <> 'error'
+"""
+
+
+def q_cdc_lww_fold_salted(spark, sf_dir):
+    folded = ordering.lww_fold_salted(
+        _events_as_feed(spark, sf_dir), key_cols=["user_id"], seq_col="seq", salt_buckets=8
+    )
+    return folded.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("seq").alias("last_seq"),
+    )
+
+
+def q_cdc_replay_transcripts(spark, sf_dir):
+    """Full north-star replay (feedgen → salted LWW fold → lake MERGE) at a
+    fixed small scale; returns the final transcripts table. Non-SQL (table
+    state machine) → rows-only check; pytest asserts equality vs an
+    independent pandas fold."""
+    import tempfile
+
+    from nifi_spark.feedgen import generate_change_feed
+    from nifi_spark.sinks.laketable import LakeTable
+    from nifi_spark.schema import KEY_COLS
+
+    feed = generate_change_feed(spark, n_conversations=100, max_turns=6, max_edits=3, seed=7)
+    folded = ordering.lww_fold_salted(
+        feed.select("seq", "op", "ts", "conv_id", "turn_idx", "role", "text", "tool"),
+        key_cols=KEY_COLS,
+        salt_buckets=8,
+        keep_deletes=True,
+    )
+    with tempfile.TemporaryDirectory() as d:
+        table = LakeTable(spark, d, n_buckets=4)
+        table.merge(folded, KEY_COLS, batch_id=0)
+        out = table.read().orderBy("conv_id", "turn_idx")
+        out = spark.createDataFrame(out.toPandas(), out.schema)  # detach from temp dir
+    return out
+
+
+# --------------------------------------------------------------------------
+# Routing family (RouteOnAttribute / RouteText — SURVEY.md §2.4)
+# --------------------------------------------------------------------------
+
+def q_route_on_attribute(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    routed = route_column(
+        ev,
+        {"alert": F.col("event_type") == "error", "big": F.col("value") >= 15.0},
+    )
+    return routed.select("event_id", "route")
+
+
+def q_route_text(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    routed = route_text_lines(
+        docs, "text", {"has_spark": "spark", "has_query": "query"}, strategy="contains"
+    )
+    return routed.select("doc_id", "route")
+
+
+# --------------------------------------------------------------------------
+# Projection / transform family (UpdateRecord etc. — SURVEY.md §2.3)
+# --------------------------------------------------------------------------
+
+def q_update_record(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    out = update_fields(
+        li,
+        disc_price=F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")),
+        charge=(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+        * (F.lit(1.0) + F.col("l_tax")),
+    )
+    return out.select("l_orderkey", "l_linenumber", "disc_price", "charge")
+
+
+def q_rename_remove_fields(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    out = remove_fields(
+        rename_fields(p, {"p_name": "part_name"}), "p_retailprice", "p_size"
+    )
+    return out.select("p_partkey", "part_name", "p_brand", "p_type")
+
+
+def q_extract_json_path(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = extract_json_paths(ev, "props", {"k": "$.k"})
+    return out.select("event_id", F.col("k").cast("int").alias("k"))
+
+
+def q_replace_extract_text(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract(F.col("text"), "^[a-z]+", 0).alias("first_tok"),
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit("spark"), F.lit(""))))
+            / F.lit(5)
+        ).cast("int").alias("n_spark"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Enrichment / join family (LookupRecord, JoinEnrichment — SURVEY.md §2.5)
+# --------------------------------------------------------------------------
+
+def q_lookup_record(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    enriched = lookup(
+        lookup(cust, nation, on=[cust.c_nationkey == nation.n_nationkey]),
+        region,
+        on=[F.col("n_regionkey") == region.r_regionkey],
+    )
+    return enriched.select("c_custkey", "c_name", "n_name", "r_name")
+
+
+def q_lookup_unmatched(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    _, unmatched = lookup_routed(cust, orders, on=["c_custkey"])
+    return unmatched.select("c_custkey", "c_name")
+
+
+def q_join_enrichment_sql(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return join_enrichment_sql(
+        orders,
+        cust,
+        """
+        SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment,
+               count(*) AS n_orders,
+               CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        FROM original o JOIN enrichment c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey, c.c_mktsegment
+        """,
+    )
+
+
+def q_defragment(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return defragment(li, "l_orderkey", "l_linenumber", "l_linenumber", sep=",").select(
+        "l_orderkey", "n_fragments", "merged"
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation / stats / sampling family (SURVEY.md §2.6)
+# --------------------------------------------------------------------------
+
+def q_record_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return record_stats(ev, ["event_type"], top_n=3)
+
+
+def q_tumbling_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    w = tumbling_window(ev, "ts", "value", "1 hour")
+    return w.select(
+        "window_start",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "n",
+    )
+
+
+def q_rolling_window(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("decimal(18,2)")
+    )
+    w = rolling_window(ev, "ts", "value", "2 hours", "1 hour")
+    return w.select(
+        "window_start",
+        F.col("sum_value").cast("double").alias("sum_value"),
+        "n",
+    )
+
+
+def q_count_text(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").drop("n_chars")
+    return count_text(docs, "text").select("doc_id", "n_lines", "n_words", "n_chars")
+
+
+def q_sample_interval(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return sample_interval(ev, 20, "event_id").select("event_id", "user_id", "event_type")
+
+
+def q_sample_hash_rank(spark, sf_dir):
+    """Deterministic reservoir-equivalent: k smallest md5 ranks (SampleRecord
+    reservoir mode made replay-stable — SURVEY.md §2.6)."""
+    ev = _t(spark, sf_dir, "events")
+    rank = F.md5(F.concat(F.lit("s42|"), F.col("event_id").cast("string")))
+    return (
+        ev.withColumn("_rk", rank)
+        .orderBy("_rk")
+        .limit(100)
+        .select("event_id", "event_type")
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "event_id", "value")
+    out = dedup_exact(ev, ["user_id", "event_type"], order_col="event_id")
+    return out.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("first_seq"),
+        F.col("value").alias("first_value"),
+    )
+
+
+def q_detect_duplicate(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return detect_duplicate(docs, F.md5(F.col("text")), order_col="doc_id").select(
+        "doc_id", "is_duplicate"
+    )
+
+
+def q_top_k_per_group(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_set_ops(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchasers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    errorers = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    signups = ev.filter(F.col("event_type") == "signup").select("user_id").distinct()
+    return purchasers.intersect(errorers).subtract(signups)
+
+
+def q_enforce_order(spark, sf_dir):
+    from pyspark.sql import Window as W
+
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.asc("event_id"))
+    return (
+        ev.withColumn("order_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("order_rank") <= 3)
+        .select("user_id", "event_id", "order_rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# QueryRecord / SQL family (SURVEY.md §2.8) — TPC-H-style analytics
+# --------------------------------------------------------------------------
+
+_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+       COUNT(*) AS count_order
+FROM {table}
+WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_query_record_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    rels = query_record(li, {"q1": _Q1_SQL.format(table="flowfile")})
+    return rels["q1"]
+
+
+def q_tpch_q3(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cutoff = "1995-03-15 00:00:00"
+    rev = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(18,4)")
+    ).cast("double")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+def q_tpch_q5(spark, sf_dir):
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.sum(
+        (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(18,4)")
+    ).cast("double")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supplier, (F.col("l_suppkey") == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(rev.alias("revenue"))
+        .select("n_name", "revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text-analysis family (training-data ops)
+# --------------------------------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return token_count(docs).select("doc_id", "n_tokens")
+
+
+def q_language_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return language_id(docs).select("doc_id", "lang_pred")
+
+
+def q_quality_score(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return quality_score(docs).select(
+        "doc_id", "n_tokens_q", "mean_token_len", "stopword_ratio", "alpha_ratio", "q_score"
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return fingerprint(docs).select("doc_id", "fp")
+
+
+# --------------------------------------------------------------------------
+# Fuzzy dedup family (training-data ops)
+# --------------------------------------------------------------------------
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, "doc_id", "text", n_hashes=16, shingle_n=3, n_bands=4, threshold=0.5)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "text", n_bits=32).select("doc_id", "simhash")
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", block_cols=["lang"], shingle_n=3, threshold=0.5)
+
+
+# --------------------------------------------------------------------------
+# Similarity search family
+# --------------------------------------------------------------------------
+
+def q_embedding_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk(queries, emb, k=10)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim"
+    )
+
+
+def q_embedding_ann_lsh(spark, sf_dir):
+    """Approximate NN via sign-LSH buckets (the scale path). Bucketing is
+    hyperplane-dependent → rows-only check; pytest asserts recall vs the
+    exact top-k on a fixed slice."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk_lsh(queries, emb, k=10, n_planes=4, dim=64)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim"
+    )
+
+
+# --------------------------------------------------------------------------
+# Multimodal plumbing + Arrow normalization
+# --------------------------------------------------------------------------
+
+def q_multimodal_decode(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    media = synthesize_media(docs, "doc_id", "text")
+    return decode_features(media)
+
+
+def q_normalize_arrow(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select(
+        F.to_json(
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.col("event_id").alias("seq"),
+                F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("conv_id"),
+            )
+        ).alias("payload_json")
+    )
+    return normalize_json_arrow(ev).select("seq", "op", "conv_id")
+
+
+# --------------------------------------------------------------------------
+# Registry
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the CDC last-writer-wins fold (north-star kernel)."""
+    return q_cdc_lww_fold(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_lww_fold": q_cdc_lww_fold,
+        "cdc_lww_fold_salted": q_cdc_lww_fold_salted,
+        "cdc_replay_transcripts": q_cdc_replay_transcripts,
+        "route_on_attribute": q_route_on_attribute,
+        "route_text": q_route_text,
+        "update_record": q_update_record,
+        "rename_remove_fields": q_rename_remove_fields,
+        "extract_json_path": q_extract_json_path,
+        "replace_extract_text": q_replace_extract_text,
+        "lookup_record": q_lookup_record,
+        "lookup_unmatched": q_lookup_unmatched,
+        "join_enrichment_sql": q_join_enrichment_sql,
+        "defragment": q_defragment,
+        "record_stats": q_record_stats,
+        "tumbling_window": q_tumbling_window,
+        "rolling_window": q_rolling_window,
+        "count_text": q_count_text,
+        "sample_interval": q_sample_interval,
+        "sample_hash_rank": q_sample_hash_rank,
+        "dedup_exact": q_dedup_exact,
+        "detect_duplicate": q_detect_duplicate,
+        "top_k_per_group": q_top_k_per_group,
+        "set_ops": q_set_ops,
+        "enforce_order": q_enforce_order,
+        "query_record_q1": q_query_record_q1,
+        "tpch_q3": q_tpch_q3,
+        "tpch_q5": q_tpch_q5,
+        "token_count": q_token_count,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "doc_fingerprint": q_doc_fingerprint,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "embedding_cosine_topk": q_embedding_cosine_topk,
+        "embedding_ann_lsh": q_embedding_ann_lsh,
+        "multimodal_decode": q_multimodal_decode,
+        "normalize_arrow": q_normalize_arrow,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# DuckDB shingle/token building blocks shared by the fuzzy-dedup oracles —
+# mirror nifi_spark.operators.dedup_fuzzy term for term.
+_DD_TOKS = r"regexp_split_to_array(trim(text), '\s+')"
+_DD_SH = (
+    "list_distinct(list_transform("
+    "generate_series(1, greatest(len({tk}) - 2, 1)), "
+    "i -> array_to_string({tk}[i:i+2], ' ')))"
+).format(tk=_DD_TOKS)
+_DD_H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    lang_hits = {
+        lang: (
+            "len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+            f"t -> list_contains({markers!r}, lower(t))))"
+        )
+        for lang, markers in {
+            "en": ["the", "and", "of", "to", "a"],
+            "de": ["der", "die", "und", "das", "ist"],
+            "fr": ["le", "la", "et", "les", "des"],
+            "es": ["el", "la", "de", "que", "los"],
+        }.items()
+    }
+    stop_list = ["the", "a", "of", "to", "and", "in", "is", "it"]
+    return {
+        "cdc_lww_fold": _CDC_LWW_SQL,
+        "cdc_lww_fold_salted": _CDC_LWW_SQL,
+        # cdc_replay_transcripts: rows-only (stateful table replay, not SQL)
+        "route_on_attribute": """
+            SELECT event_id,
+                   CASE WHEN event_type = 'error' THEN 'alert'
+                        WHEN value >= 15.0 THEN 'big'
+                        ELSE 'unmatched' END AS route
+            FROM events
+        """,
+        "route_text": """
+            SELECT doc_id,
+                   CASE WHEN contains(text, 'spark') THEN 'has_spark'
+                        WHEN contains(text, 'query') THEN 'has_query'
+                        ELSE 'unmatched' END AS route
+            FROM documents
+        """,
+        "update_record": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * (1.0 - l_discount) AS disc_price,
+                   (l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax) AS charge
+            FROM lineitem
+        """,
+        "rename_remove_fields": """
+            SELECT p_partkey, p_name AS part_name, p_brand, p_type FROM part
+        """,
+        "extract_json_path": """
+            SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+            FROM events
+        """,
+        "replace_extract_text": """
+            SELECT doc_id,
+                   regexp_extract(text, '^[a-z]+') AS first_tok,
+                   CAST((len(text) - len(replace(text, 'spark', ''))) / 5 AS INTEGER) AS n_spark
+            FROM documents
+        """,
+        "lookup_record": """
+            SELECT c_custkey, c_name, n_name, r_name
+            FROM customer
+            LEFT JOIN nation ON c_nationkey = n_nationkey
+            LEFT JOIN region ON n_regionkey = r_regionkey
+        """,
+        "lookup_unmatched": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "join_enrichment_sql": """
+            SELECT c.c_custkey AS c_custkey, c.c_mktsegment AS c_mktsegment,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_mktsegment
+        """,
+        "defragment": """
+            SELECT l_orderkey, count(*) AS n_fragments,
+                   string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS merged
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "record_stats": """
+            SELECT stat_col, value, cnt FROM (
+                SELECT 'event_type' AS stat_col, event_type::VARCHAR AS value,
+                       count(*) AS cnt,
+                       row_number() OVER (ORDER BY count(*) DESC, event_type::VARCHAR ASC) AS r
+                FROM events GROUP BY event_type
+            ) WHERE r <= 3
+        """,
+        "tumbling_window": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "rolling_window": """
+            SELECT ws AS window_start,
+                   CAST(sum(v) AS DOUBLE) AS sum_value, count(*) AS n
+            FROM (
+                SELECT unnest([date_trunc('hour', ts),
+                               date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+                       CAST(value AS DECIMAL(18,2)) AS v
+                FROM events
+            ) GROUP BY ws
+        """,
+        "count_text": """
+            SELECT doc_id,
+                   len(string_split(text, chr(10))) AS n_lines,
+                   len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+                   len(text) AS n_chars
+            FROM documents
+        """,
+        "sample_interval": """
+            SELECT event_id, user_id, event_type FROM events WHERE event_id % 20 = 0
+        """,
+        "sample_hash_rank": """
+            SELECT event_id, event_type FROM events
+            ORDER BY md5('s42|' || event_id::VARCHAR) LIMIT 100
+        """,
+        "dedup_exact": """
+            SELECT user_id, event_type,
+                   min(event_id) AS first_seq,
+                   arg_min(value, event_id) AS first_value
+            FROM events GROUP BY user_id, event_type
+        """,
+        "detect_duplicate": """
+            SELECT doc_id,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_duplicate
+            FROM documents
+        """,
+        "top_k_per_group": """
+            SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+                SELECT o_orderpriority,
+                       CAST(row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS rnk,
+                       o_orderkey, o_totalprice
+                FROM orders
+            ) WHERE rnk <= 5
+        """,
+        "set_ops": """
+            (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+             INTERSECT
+             SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'signup'
+        """,
+        "enforce_order": """
+            SELECT user_id, event_id, order_rank FROM (
+                SELECT user_id, event_id,
+                       CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS INTEGER) AS order_rank
+                FROM events
+            ) WHERE order_rank <= 3
+        """,
+        "query_record_q1": _Q1_SQL.format(table="lineitem"),
+        "tpch_q3": """
+            SELECT o_orderkey,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+                   o_orderdate, o_orderpriority
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+              AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+              AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+            GROUP BY o_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+        """,
+        "tpch_q5": """
+            SELECT n_name,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+            GROUP BY n_name
+        """,
+        "token_count": """
+            SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        """,
+        "language_id": f"""
+            SELECT doc_id,
+                   CASE WHEN greatest({lang_hits['en']}, {lang_hits['de']},
+                                      {lang_hits['fr']}, {lang_hits['es']}) = 0 THEN 'und'
+                        WHEN {lang_hits['fr']} >= {lang_hits['es']}
+                         AND {lang_hits['fr']} >= {lang_hits['en']}
+                         AND {lang_hits['fr']} >= {lang_hits['de']} THEN 'fr'
+                        WHEN {lang_hits['es']} >= {lang_hits['en']}
+                         AND {lang_hits['es']} >= {lang_hits['de']} THEN 'es'
+                        WHEN {lang_hits['en']} >= {lang_hits['de']} THEN 'en'
+                        ELSE 'de' END AS lang_pred
+            FROM documents
+        """,
+        "quality_score": f"""
+            WITH q AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS tk,
+                       len(text) AS nc,
+                       len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(tk) AS n_tokens_q,
+                   round((nc - (len(tk) - 1)) / len(tk), 4) AS mean_token_len,
+                   round(len(list_filter(tk, t -> list_contains({stop_list!r}, lower(t)))) / len(tk), 4) AS stopword_ratio,
+                   round(na / nc, 4) AS alpha_ratio,
+                   round(CASE WHEN len(tk) < 5 THEN 0.0 ELSE
+                       least(1.0, len(tk) / 64.0) * 0.4
+                       + least(1.0, (len(list_filter(tk, t -> list_contains({stop_list!r}, lower(t)))) / len(tk)) * 4) * 0.3
+                       + (na / nc) * 0.3 END, 4) AS q_score
+            FROM q
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   list_reduce(
+                       list_prepend(7::BIGINT,
+                           list_transform(regexp_split_to_array(trim(text), '\\s+'),
+                                          t -> (len(t) * 131 + ascii(t))::BIGINT)),
+                       (a, b) -> (a * 31 + b) % 1000000007) AS fp
+            FROM documents
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH sh AS (
+                SELECT doc_id, {_DD_SH} AS sh FROM documents
+            ),
+            sig AS (
+                SELECT doc_id, sh,
+                       list_transform(generate_series(0, 15),
+                           h -> list_min(list_transform(sh,
+                                s -> {_DD_H.format(x="h::VARCHAR || '|' || s")}))) AS sig
+                FROM sh
+            ),
+            bands AS (
+                SELECT doc_id, b,
+                       md5(array_to_string(list_transform(sig[b*4+1 : b*4+4],
+                           x -> x::VARCHAR), ',')) AS bhash
+                FROM sig, unnest([0, 1, 2, 3]) AS t(b)
+            ),
+            buckets AS (
+                SELECT b, bhash, list_sort(list(doc_id)) AS ids
+                FROM bands GROUP BY b, bhash
+                HAVING count(*) > 1 AND count(*) <= 64
+            ),
+            pairs AS (
+                SELECT DISTINCT x.ia AS id_a, y.ib AS id_b
+                FROM buckets, unnest(ids) AS x(ia), unnest(ids) AS y(ib)
+                WHERE x.ia < y.ib
+            )
+            SELECT p.id_a, p.id_b,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM pairs p
+            JOIN sh a ON a.doc_id = p.id_a
+            JOIN sh b ON b.doc_id = p.id_b
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(a.sh || b.sh)) >= 0.5
+        """,
+        "dedup_simhash": f"""
+            SELECT doc_id,
+                   CAST(list_sum(list_transform(generate_series(0, 31), j ->
+                       CASE WHEN list_sum(list_transform(
+                                regexp_split_to_array(trim(text), '\\s+'),
+                                t -> CASE WHEN ({_DD_H.format(x='t')} >> j) & 1 = 1
+                                          THEN 1 ELSE -1 END)) > 0
+                            THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
+            FROM documents
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS (
+                SELECT doc_id, lang, {_DD_SH} AS sh FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM sh a JOIN sh b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(a.sh || b.sh)) >= 0.5
+        """,
+        "embedding_cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            scored AS (
+                SELECT query_id, neighbor_id,
+                       round(
+                           list_reduce(list_prepend(0.0::DOUBLE,
+                               list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * cv[i]::DOUBLE)),
+                               (a, b) -> a + b)
+                           / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                                  list_transform(generate_series(1, 64), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)),
+                                  (a, b) -> a + b))
+                              * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                                  list_transform(generate_series(1, 64), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)),
+                                  (a, b) -> a + b))), 6) AS cos_sim
+                FROM q, c WHERE query_id <> neighbor_id
+            )
+            SELECT query_id, neighbor_id, rank, cos_sim FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        """,
+        # embedding_ann_lsh: rows-only (bucketing is approximate by design)
+        "multimodal_decode": """
+            SELECT doc_id AS media_id,
+                   16 AS n_bytes,
+                   CAST(list_sum(list_transform(generate_series(1, 16),
+                        i -> ('0x' || substr(md5(text), 2*i-1, 2))::BIGINT)) AS BIGINT) AS byte_sum,
+                   ('0x' || substr(md5(text), 1, 2))::INTEGER AS first_byte
+            FROM documents
+        """,
+        "normalize_arrow": """
+            SELECT event_id AS seq, event_type AS op,
+                   'u-' || user_id::VARCHAR AS conv_id
+            FROM events
+        """,
+    }

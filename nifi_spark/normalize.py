@@ -78,17 +78,24 @@ def normalize_json_arrow(df: DataFrame, json_col: str = "payload_json") -> DataF
     def parse(batches):
         for pdf in batches:
             recs = pd.json_normalize(pdf[json_col].map(_json.loads))
+
+            def col(name):
+                if name in recs.columns:
+                    return recs[name]
+                return pd.Series([None] * len(recs), index=recs.index)
+
+            ts = pd.to_datetime(col("timestamp"), utc=True, errors="coerce")
             out = pd.DataFrame(
                 {
-                    "seq": recs.get("seq"),
-                    "op": recs.get("type"),
-                    "ts": pd.to_datetime(recs.get("timestamp"), utc=True).dt.tz_localize(None),
-                    "conv_id": recs.get("conv_id"),
-                    "turn_idx": recs.get("turn_idx"),
-                    "role": recs.get("role"),
-                    "text": recs.get("text"),
-                    "tool": recs.get("tool"),
-                    "tool_meta": recs.get("tool_meta", pd.Series([None] * len(recs))),
+                    "seq": col("seq"),
+                    "op": col("type"),
+                    "ts": ts.dt.tz_localize(None),
+                    "conv_id": col("conv_id"),
+                    "turn_idx": col("turn_idx"),
+                    "role": col("role"),
+                    "text": col("text"),
+                    "tool": col("tool"),
+                    "tool_meta": col("tool_meta"),
                 }
             )
             yield out

@@ -1,0 +1,287 @@
+"""Fuzzy / near-duplicate detection for training-data pipelines.
+
+Four families, each a first-class operator over the `documents` table:
+
+- exact dedup — see aggregate.dedup_exact (hash groupBy)
+- MinHash + LSH (:func:`minhash_signature`, :func:`lsh_pairs`) —
+  shingle → minhash → band → bucket-join
+- SimHash (:func:`simhash`) — bit-vote fingerprint; equal fingerprints ≙
+  near-dup cluster, hamming ≤ t via :func:`simhash_pairs`
+- n-gram Jaccard (:func:`jaccard_pairs`) — blocked exact Jaccard
+
+Design for determinism + oracle parity: every hash is derived from
+``md5`` hex (first 15 hex chars → 60-bit int), NOT from Spark's
+``xxhash64``, because md5 exists bit-identically in DuckDB/ANSI SQL —
+the driver's value-hash correctness gate then applies to these
+approximate operators too, not just a rows-only check.
+
+Scale notes (the whole point of LSH): candidate generation is
+``explode(bands) → groupBy(band bucket)`` — shuffle volume O(docs × n_bands),
+never the O(docs²) cross join. Hot buckets (boilerplate-heavy corpora)
+are bounded by ``max_bucket`` (drop degenerate buckets, standard practice)
+so no reducer sees a quadratic blowup. The final verify step joins only
+candidate pairs. The reference has nothing comparable — NiFi's
+DeduplicateRecord (reference .../standard/DeduplicateRecord.java:87-132)
+is exact-key only (HashSet or BloomFilter on one node).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def md5_long(col: Column) -> Column:
+    """60-bit deterministic hash: first 15 hex chars of md5 → bigint.
+
+    Oracle equivalent: ``('0x' || substr(md5(x), 1, 15))::BIGINT``.
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def shingles(text_col: Column, n: int = 3) -> Column:
+    """Token n-gram shingles (space-joined), distinct.
+
+    Documents shorter than n tokens yield their whole text as the single
+    shingle (so they still participate).
+    """
+    toks = F.split(F.trim(text_col), r"\s+")
+    k = F.size(toks) - (n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    return F.array_distinct(grams)
+
+
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    out_col: str = "sig",
+) -> DataFrame:
+    """MinHash signature: sig[i] = min over shingles of h_i(shingle).
+
+    h_i(s) = md5_long(i || '|' || s) — one md5 per (hash, shingle), fully
+    JVM-side (whole-stage codegen over array HOFs; no UDF, no shuffle).
+    """
+    sh = shingles(F.col(text_col), shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda s, i=i: md5_long(F.concat_ws("|", F.lit(str(i)), s)))
+            )
+            for i in range(n_hashes)
+        ]
+    )
+    return df.withColumn(out_col, sig)
+
+
+def lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """LSH candidate pairs: ids sharing ≥1 band bucket, id_a < id_b.
+
+    band hash = md5 of the comma-joined signature slice. Buckets larger
+    than ``max_bucket`` are dropped (degenerate boilerplate guard — at
+    10^10 docs an unbounded bucket is a quadratic bomb; dropping it only
+    loses pairs that exact-dedup already catches).
+    """
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(sig_col)[b * rows_per_band + r].cast("string")
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                ).alias("bhash"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    exploded = df.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
+    )
+    buckets = (
+        exploded.groupBy("band", "bhash")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 16,
+    shingle_n: int = 3,
+    n_bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pairs verified by exact Jaccard.
+
+    Output: (id_a, id_b, jaccard) for candidate pairs whose true shingle
+    Jaccard ≥ threshold. The verify join touches only candidates — the
+    LSH contract.
+    """
+    rows_per_band = n_hashes // n_bands
+    with_sig = minhash_signature(df, text_col, n_hashes, shingle_n).withColumn(
+        "_sh", shingles(F.col(text_col), shingle_n)
+    )
+    cand = lsh_pairs(with_sig, id_col, "sig", n_bands, rows_per_band)
+    sh = with_sig.select(F.col(id_col), F.col("_sh"))
+    verified = (
+        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", n_bits: int = 32, out_col: str = "simhash"
+) -> DataFrame:
+    """SimHash fingerprint: per-bit majority vote of token hashes.
+
+    bit j = 1 iff sum over tokens of (±1 by bit j of md5_long(token)) > 0.
+    Near-duplicate docs (mostly shared tokens) land on equal or
+    hamming-close fingerprints. One SQL HOF expression (the Python DSL's
+    shiftright requires a literal shift, so the nested fold over bit
+    positions is written as Spark SQL — still JVM-side, still codegen'd).
+    """
+    fp = F.expr(
+        f"""
+        aggregate(
+          sequence(0, {n_bits - 1}),
+          cast(0 as bigint),
+          (acc, j) -> acc + if(
+            aggregate(
+              transform(split(trim(`{text_col}`), '\\\\s+'),
+                        t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
+              cast(0 as bigint),
+              (v, h) -> v + if((shiftright(h, j) & 1) = 1, 1, -1)
+            ) > 0,
+            shiftleft(cast(1 as bigint), j),
+            cast(0 as bigint)))
+        """
+    )
+    return df.withColumn(out_col, fp)
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sim_col: str = "simhash",
+    max_hamming: int = 3,
+    n_bits: int = 32,
+    n_blocks: int = 4,
+) -> DataFrame:
+    """Hamming-≤t pairs via the block trick (pigeonhole: t < n_blocks ⇒
+    some block of the fingerprint matches exactly → bucket join, never a
+    cross join)."""
+    width = n_bits // n_blocks
+    mask = (1 << width) - 1
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("blk"),
+                F.shiftright(F.col(sim_col), b * width).bitwiseAND(F.lit(mask)).alias("bval"),
+            )
+            for b in range(n_blocks)
+        ]
+    )
+    ex = df.select(id_col, sim_col, F.explode(blocks).alias("bb")).select(
+        id_col, sim_col, "bb.blk", "bb.bval"
+    )
+    a = ex.select(
+        F.col(id_col).alias("id_a"), F.col(sim_col).alias("sim_a"), "blk", "bval"
+    )
+    b = ex.select(
+        F.col(id_col).alias("id_b"), F.col(sim_col).alias("sim_b"), "blk", "bval"
+    )
+    cand = (
+        a.join(b, ["blk", "bval"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked exact n-gram Jaccard pairs (the non-approximate baseline).
+
+    ``block_cols`` bound the quadratic term (e.g. ['lang']); inside a block
+    the join is a self equi-join on the block key then a pairwise filter.
+    Use minhash_dedup_pairs when no natural block exists.
+    """
+    sh = df.select(
+        F.col(id_col), *[F.col(c) for c in (block_cols or [])],
+        shingles(F.col(text_col), shingle_n).alias("sh"),
+    )
+    a = sh.select(
+        *[F.col(c) for c in (block_cols or [])],
+        F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+    )
+    b = sh.select(
+        *[F.col(c) for c in (block_cols or [])],
+        F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+    )
+    joined = (
+        a.join(b, on=(block_cols or []), how="inner")
+        if block_cols
+        else a.crossJoin(b)
+    )
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -1,0 +1,160 @@
+"""Joins / enrichment — NiFi's lookup & two-branch correlation, Spark-first.
+
+NiFi has no shuffle; its joins are per-record lookups (LookupRecord against
+a LookupService, reference .../standard/LookupRecord.java:97-111) or
+buffered two-FlowFile joins (ForkEnrichment/JoinEnrichment,
+JoinEnrichment.java:100-143). Spark replaces both with real distributed
+joins; the mapping decisions:
+
+- **LookupRecord ≙ broadcast hash join.** The lookup table is a dimension —
+  ship it to every executor (`F.broadcast`), so enrichment is a map-side
+  operation with zero shuffle of the fact stream. At 100 TB of facts this
+  is the only acceptable plan; a shuffle join on the fact side is the
+  classic scale bug.
+- **matched/unmatched routing ≙ join type.** NiFi routes records whose
+  lookup missed to `unmatched` (LookupRecord.java:100); Spark: `left` join
+  + null check, or `left_semi`/`left_anti` when only the routing matters
+  (semi/anti never widen the row — cheaper).
+- **JoinEnrichment strategies** (JoinEnrichment.java:104-109): Wrapper →
+  nest both sides as structs; Insert Enrichment Fields → index-correlated
+  zip (row_number join); SQL → arbitrary `spark.sql` over both views
+  (Calcite ≙ Catalyst).
+- **Defragment ≙ groupBy + ordered collect.** MergeContent's Defragment
+  mode (MergeContent.java:115-127) reassembles fragments by
+  fragment.identifier/index/count — in Spark a hash aggregation with
+  `sort_array(collect_list(struct(idx, payload)))`; map-side partial
+  aggregation keeps shuffle volume at one packed row per fragment id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def lookup(
+    df: DataFrame,
+    dim: DataFrame,
+    on: list[str] | Column,
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Enrich each row from a dimension table (≙ LookupRecord).
+
+    ``broadcast_dim=True`` is the default because NiFi lookup services are
+    by construction small/cached side inputs; set False only when the
+    dimension is too large to broadcast — Catalyst/AQE then picks SMJ.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return df.join(d, on=on, how=how)
+
+
+def lookup_routed(
+    df: DataFrame, dim: DataFrame, on: list[str], broadcast_dim: bool = True
+) -> tuple[DataFrame, DataFrame]:
+    """(matched, unmatched) routing (≙ LookupRecord.java:100 relationships).
+
+    Uses semi/anti joins — no payload widening, no duplicate inflation when
+    the dim has repeated keys.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return (
+        df.join(d, on=on, how="left_semi"),
+        df.join(d, on=on, how="left_anti"),
+    )
+
+
+def join_enrichment_wrapper(
+    original: DataFrame, enrichment: DataFrame, on: list[str]
+) -> DataFrame:
+    """Wrapper strategy: nest both sides (JoinEnrichment.java:104 "Wrapper")."""
+    o = original.select(*on, F.struct(*[c for c in original.columns if c not in on]).alias("original"))
+    e = enrichment.select(*on, F.struct(*[c for c in enrichment.columns if c not in on]).alias("enrichment"))
+    return o.join(e, on=on, how="left")
+
+
+def join_enrichment_indexed(
+    original: DataFrame, enrichment: DataFrame, order_col: str
+) -> DataFrame:
+    """Insert-Enrichment-Fields strategy: zip row i with row i.
+
+    ≙ IndexCorrelatedJoinStrategy (reference
+    .../standard/enrichment/IndexCorrelatedJoinStrategy.java): NiFi
+    correlates the i-th record of the original FlowFile with the i-th of
+    the enrichment. Needs a deterministic order column on both sides
+    (global row_number is anti-scale; order_col keeps it shuffle-bounded).
+    """
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col(order_col))
+    o = original.withColumn("_ix", F.row_number().over(w))
+    e = enrichment.withColumn("_ix", F.row_number().over(w))
+    dup = [c for c in e.columns if c in o.columns and c != "_ix"]
+    return o.join(e.drop(*dup), on="_ix", how="left").drop("_ix")
+
+
+def join_enrichment_sql(
+    original: DataFrame, enrichment: DataFrame, sql: str
+) -> DataFrame:
+    """SQL strategy: arbitrary join SQL over views `original`/`enrichment`.
+
+    ≙ SqlJoinStrategy (reference .../standard/enrichment/SqlJoinStrategy.java:34,
+    Calcite `SELECT … FROM original JOIN enrichment ON …`); here Catalyst
+    plans it (broadcast vs sort-merge chosen by stats + AQE).
+    """
+    original.createOrReplaceTempView("original")
+    enrichment.createOrReplaceTempView("enrichment")
+    return original.sparkSession.sql(sql)
+
+
+def defragment(
+    df: DataFrame,
+    frag_id: str,
+    frag_index: str,
+    payload_col: str,
+    sep: str = "",
+    count_col: str | None = None,
+) -> DataFrame:
+    """Reassemble fragments into one row per fragment id, index order.
+
+    ≙ MergeContent Defragment mode (reference MergeContent.java:115-127,
+    fragment.identifier/fragment.index/fragment.count attributes). Output:
+    (frag_id, n_fragments, merged). When ``count_col`` is given, rows whose
+    group is incomplete (n != declared count) route out separately in NiFi;
+    here they are flagged with ``complete=false``.
+    """
+    agg = (
+        df.groupBy(frag_id)
+        .agg(
+            F.count("*").alias("n_fragments"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(frag_index).alias("i"), F.col(payload_col).alias("p")))
+                    ),
+                    lambda s: s["p"].cast("string"),
+                ),
+                sep,
+            ).alias("merged"),
+            *([F.max(count_col).alias("_declared")] if count_col else []),
+        )
+    )
+    if count_col:
+        agg = agg.withColumn("complete", F.col("n_fragments") == F.col("_declared")).drop("_declared")
+    return agg
+
+
+def detect_duplicate(
+    df: DataFrame, key: Column, keep: str = "first", order_col: str | None = None
+) -> DataFrame:
+    """Flag cross-row duplicates of a computed key (≙ DetectDuplicate).
+
+    Reference DetectDuplicate.java keys a DistributedMapCache on an
+    EL-computed value; here a window over the key marks every row beyond
+    the first occurrence (ordered by ``order_col``) as duplicate.
+    """
+    from pyspark.sql import Window as W
+
+    order = F.col(order_col) if order_col else F.monotonically_increasing_id()
+    w = W.partitionBy(key).orderBy(order)
+    return df.withColumn("is_duplicate", F.row_number().over(w) > 1)
