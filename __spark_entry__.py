@@ -61,6 +61,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _t_wide(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read + spread: the driver's small tables are single parquet files
+    (one scan partition), which would serialize compute-heavy per-row
+    operators (shingling, hashing, vector math) onto one core. At
+    production scale the table is many files and this repartition is a
+    no-op decision; here it buys full parallelism for ~5k-row inputs."""
+    df = _t(spark, sf_dir, name)
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 # --------------------------------------------------------------------------
 # CDC / LWW fold family (the north-star kernel over the events table:
 # event_id ≙ cdc.sequence.id, event_type='error' ≙ delete op)
@@ -424,19 +434,19 @@ def q_token_count(spark, sf_dir):
 
 
 def q_language_id(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return language_id(docs).select("doc_id", "lang_pred")
 
 
 def q_quality_score(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return quality_score(docs).select(
         "doc_id", "n_tokens_q", "mean_token_len", "stopword_ratio", "alpha_ratio", "q_score"
     )
 
 
 def q_doc_fingerprint(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return fingerprint(docs).select("doc_id", "fp")
 
 
@@ -445,17 +455,17 @@ def q_doc_fingerprint(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return minhash_dedup_pairs(docs, "doc_id", "text", n_hashes=16, shingle_n=3, n_bands=4, threshold=0.5)
 
 
 def q_dedup_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return simhash(docs, "text", n_bits=32).select("doc_id", "simhash")
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     return jaccard_pairs(docs, "doc_id", "text", block_cols=["lang"], shingle_n=3, threshold=0.5)
 
 
@@ -464,7 +474,7 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_embedding_cosine_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     out = cosine_topk(queries, emb, k=10)
     return out.select(
@@ -476,7 +486,7 @@ def q_embedding_ann_lsh(spark, sf_dir):
     """Approximate NN via sign-LSH buckets (the scale path). Bucketing is
     hyperplane-dependent → rows-only check; pytest asserts recall vs the
     exact top-k on a fixed slice."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t_wide(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     out = cosine_topk_lsh(queries, emb, k=10, n_planes=4, dim=64)
     return out.select(
@@ -489,7 +499,7 @@ def q_embedding_ann_lsh(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def q_multimodal_decode(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t_wide(spark, sf_dir, "documents")
     media = synthesize_media(docs, "doc_id", "text")
     return decode_features(media)
 
@@ -568,6 +578,18 @@ _DD_SH = (
     "i -> array_to_string({tk}[i:i+2], ' ')))"
 ).format(tk=_DD_TOKS)
 _DD_H = "('0x' || substr(md5({x}), 1, 15))::BIGINT"
+
+
+def _mh_sig_exprs(n_hashes: int = 16) -> str:
+    """DuckDB expressions mirroring minhash_signature's universal-hash
+    family (one per signature slot, over the pre-hashed shingle list hs)."""
+    from nifi_spark.operators.dedup_fuzzy import MINHASH_AB, MINHASH_PRIME
+
+    return ", ".join(
+        f"list_min(list_transform(hs, h -> ({MINHASH_AB[i][0]} * (h >> 30)"
+        f" + {MINHASH_AB[i][1]} * (h & 1073741823) + {i}) % {MINHASH_PRIME}))"
+        for i in range(n_hashes)
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -786,12 +808,13 @@ def oracle_sql() -> dict[str, str]:
             WITH sh AS (
                 SELECT doc_id, {_DD_SH} AS sh FROM documents
             ),
-            sig AS (
+            hs AS (
                 SELECT doc_id, sh,
-                       list_transform(generate_series(0, 15),
-                           h -> list_min(list_transform(sh,
-                                s -> {_DD_H.format(x="h::VARCHAR || '|' || s")}))) AS sig
+                       list_transform(sh, s -> {_DD_H.format(x='s')}) AS hs
                 FROM sh
+            ),
+            sig AS (
+                SELECT doc_id, sh, [{_mh_sig_exprs()}] AS sig FROM hs
             ),
             bands AS (
                 SELECT doc_id, b,

@@ -13,12 +13,21 @@ Re-expresses the reference's ordering/dedup semantics Spark-first:
   dedup.
 
 Physical strategy: ``groupBy(key).agg(max_by(struct(...), seq))`` compiles
-to a hash aggregate with map-side partial aggregation (ObjectHashAggregate),
-which at 10^10 events beats a window sort (`row_number over (partition by
-key order by seq desc)`) because each mapper pre-folds its partition before
-the shuffle: shuffle volume becomes O(distinct keys per mapper), not
-O(events). For Zipf-hot keys :func:`lww_fold_salted` folds in two phases —
-(key, salt) then key — so no single reducer owns a hot conversation.
+to a hash aggregate with map-side partial aggregation (ObjectHashAggregate;
+session config raises its sort-fallback threshold — see session.py), which
+at 10^10 events beats a window sort (`row_number over (partition by key
+order by seq desc)`) because each mapper pre-folds its partition before the
+shuffle: shuffle volume becomes O(distinct keys per mapper), not O(events).
+
+**Skew**: partial aggregation is itself the skew defense — a Zipf-hot key
+is pre-folded to ONE row per map partition before the shuffle, so no
+reducer ever sees more than `n_map_partitions` rows per key. The salted
+two-phase fold (:func:`lww_fold_salted`) is therefore NOT the default: it
+doubles shuffles and defeats map-side combining on cold keys (measured 4x
+slower on a mostly-cold 3.4M-event feed). Reach for it only where partial
+aggregation is unavailable — window-function ordering, grouped
+applyInPandas (which shuffles raw rows), or sort-based payloads too wide
+for the object-hash buffer.
 """
 
 from __future__ import annotations
@@ -70,10 +79,16 @@ def lww_fold_salted(
     survivors per key. Equivalent to :func:`lww_fold` (max_by is
     associative) but no task ever aggregates more than ~1/B of a hot key.
 
+    Use this where partial (map-side) aggregation cannot run — e.g. a
+    grouped applyInPandas stage or a window-sort formulation; for the
+    plain hash-aggregate fold, prefer :func:`lww_fold` (see module
+    docstring — partial aggregation already bounds skew there).
+
     NiFi's CorrelationAttributePartitioner (reference
     .../queue/clustered/partition/CorrelationAttributePartitioner.java:56-74)
     hashes the correlation attribute with no skew handling — hot keys pile
-    onto one node; this operator is the fix the north star requires.
+    onto one node; salting is the fix the north star requires for the
+    shuffle stages that do move raw rows (e.g. the bucketed merge write).
     """
     key_cols = key_cols or KEY_COLS
     payload = [c for c in df.columns if c not in key_cols]

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..normalize import normalize_json
-from ..operators.ordering import lww_fold_salted
+from ..operators.ordering import lww_fold, lww_fold_salted
 from ..schema import CHANGE_EVENTS, KEY_COLS
 from ..sinks.laketable import LakeTable
 from ..lineage import lineage_records, write_lineage
@@ -50,7 +50,7 @@ class CdcPipeline:
         table_path: str,
         checkpoint_dir: str,
         n_buckets: int = 16,
-        salt_buckets: int = 16,
+        salt_buckets: int = 0,
         watermark_delay_s: int | None = None,
         from_json_payload: bool = False,
     ):
@@ -109,15 +109,21 @@ class CdcPipeline:
                 return metrics
 
             if n_events > 0:
-                folded = lww_fold_salted(
-                    events.select(
-                        "seq", "op", "ts", *KEY_COLS,
-                        *[c for c in events.columns if c not in ("seq", "op", "ts", *KEY_COLS, "source_file", "source_pos", "payload_json")],
-                    ),
-                    key_cols=KEY_COLS,
-                    salt_buckets=self.salt_buckets,
-                    keep_deletes=True,
+                payload = events.select(
+                    "seq", "op", "ts", *KEY_COLS,
+                    *[c for c in events.columns if c not in ("seq", "op", "ts", *KEY_COLS, "source_file", "source_pos", "payload_json")],
                 )
+                # Plain hash-aggregate LWW fold by default: map-side partial
+                # aggregation already bounds hot-key skew (see
+                # operators/ordering.py). salt_buckets>1 opts into the
+                # two-phase fold for payloads where partial agg can't run.
+                if self.salt_buckets and self.salt_buckets > 1:
+                    folded = lww_fold_salted(
+                        payload, key_cols=KEY_COLS,
+                        salt_buckets=self.salt_buckets, keep_deletes=True,
+                    )
+                else:
+                    folded = lww_fold(payload, key_cols=KEY_COLS, keep_deletes=True)
                 version = self.table.merge(
                     folded,
                     KEY_COLS,
