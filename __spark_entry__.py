@@ -518,6 +518,82 @@ def q_normalize_arrow(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Second coverage wave: explode, membership, validation, barrier join,
+# sessionization, grouped-pandas UDAF, EL function surface
+# --------------------------------------------------------------------------
+
+def q_fork_record(spark, sf_dir):
+    """ForkRecord/SplitText: 1→N explode with positional index."""
+    from nifi_spark.operators.transform import split_text_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = split_text_lines(docs.withColumn("text", F.regexp_replace("text", " ", "\n")), "text")
+    return out.select("doc_id", F.col("line_idx").cast("int").alias("pos"), F.col("text").alias("token"))
+
+
+def q_scan_membership(spark, sf_dir):
+    from nifi_spark.operators.routing import scan_membership
+
+    ev = _t(spark, sf_dir, "events")
+    return scan_membership(ev, "event_type", ["purchase", "signup"]).select(
+        "event_id", "event_type"
+    )
+
+
+def q_validate_record(spark, sf_dir):
+    from nifi_spark.operators.routing import validate
+
+    li = _t(spark, sf_dir, "lineitem")
+    cond = (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 25) & (F.col("l_discount") <= 0.05)
+    valid, invalid = validate(li, cond)
+    return valid.select(F.lit("valid").alias("validity"), "l_orderkey", "l_linenumber").unionByName(
+        invalid.select(F.lit("invalid").alias("validity"), "l_orderkey", "l_linenumber")
+    )
+
+
+def q_wait_notify(spark, sf_dir):
+    """Wait/Notify barrier: purchases released only once the same user's
+    signup signal exists at-or-before the purchase's event time."""
+    from nifi_spark.operators.enrich import wait_notify
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup")
+    released, _ = wait_notify(purchases, signups, on=["user_id"])
+    return released.select("event_id", "user_id")
+
+
+def q_session_window(spark, sf_dir):
+    from nifi_spark.operators.aggregate import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize(ev, "ts", "30 minutes", ["user_id"])
+
+
+def q_grouped_pandas_stats(spark, sf_dir):
+    from nifi_spark.operators.pandas_grouped import per_key_value_stats
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    return per_key_value_stats(ev, ["user_id"])
+
+
+def q_el_functions(spark, sf_dir):
+    """Expression-Language surface (SURVEY.md §2.7) via the el() dispatcher."""
+    from nifi_spark.functions import el
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        el("toUpper", F.col("p_name")).alias("up"),
+        el("substringBefore", F.col("p_type"), " ").alias("first_word"),
+        el("padLeft", F.col("p_brand"), 12, "*").alias("padded"),
+        el("replaceAll", F.col("p_brand"), "[0-9]+", "#").alias("rep"),
+        el("length", F.col("p_name")).alias("name_len"),
+        el("ifElse", F.col("p_size") > 25, F.lit("big"), F.lit("small")).alias("size_class"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -566,6 +642,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "multimodal_decode": q_multimodal_decode,
         "normalize_arrow": q_normalize_arrow,
+        "fork_record": q_fork_record,
+        "scan_membership": q_scan_membership,
+        "validate_record": q_validate_record,
+        "wait_notify": q_wait_notify,
+        "session_window": q_session_window,
+        "grouped_pandas_stats": q_grouped_pandas_stats,
+        "el_functions": q_el_functions,
     }
 
 
@@ -898,5 +981,65 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id AS seq, event_type AS op,
                    'u-' || user_id::VARCHAR AS conv_id
             FROM events
+        """,
+        "fork_record": """
+            SELECT d.doc_id, CAST(g.i - 1 AS INTEGER) AS pos, d.tk[g.i] AS token
+            FROM (SELECT doc_id, string_split(replace(text, ' ', chr(10)), chr(10)) AS tk
+                  FROM documents) AS d,
+                 unnest(generate_series(1, len(d.tk))) AS g(i)
+        """,
+        "scan_membership": """
+            SELECT event_id, event_type FROM events
+            WHERE event_type IN ('purchase', 'signup')
+        """,
+        "validate_record": """
+            SELECT CASE WHEN l_quantity >= 1 AND l_quantity <= 25 AND l_discount <= 0.05
+                        THEN 'valid' ELSE 'invalid' END AS validity,
+                   l_orderkey, l_linenumber
+            FROM lineitem
+        """,
+        "wait_notify": """
+            SELECT p.event_id, p.user_id FROM events p
+            WHERE p.event_type = 'purchase'
+              AND EXISTS (SELECT 1 FROM events s
+                          WHERE s.event_type = 'signup'
+                            AND s.user_id = p.user_id AND s.ts <= p.ts)
+        """,
+        "session_window": """
+            WITH marked AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE OR
+                                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events
+            ),
+            grp AS (
+                SELECT user_id, ts,
+                       sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM marked
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   count(*) AS n_events
+            FROM grp GROUP BY user_id, session_id
+        """,
+        "grouped_pandas_stats": """
+            SELECT user_id, count(*) AS n,
+                   min(value) AS min_value, max(value) AS max_value,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events GROUP BY user_id
+        """,
+        "el_functions": """
+            SELECT p_partkey,
+                   upper(p_name) AS up,
+                   split_part(p_type, ' ', 1) AS first_word,
+                   lpad(p_brand, 12, '*') AS padded,
+                   regexp_replace(p_brand, '[0-9]+', '#', 'g') AS rep,
+                   len(p_name) AS name_len,
+                   CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class
+            FROM part
         """,
     }

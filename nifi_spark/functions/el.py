@@ -55,7 +55,14 @@ EL_FUNCTIONS: dict[str, callable] = {
         F.substr(_c(s), F.instr(_c(s), x) + F.length(_c(x))),
     ).otherwise(_c(s)),
     "substringBeforeLast": lambda s, x: F.when(
-        F.instr(_c(s), x) > 0, F.substring_index(_c(s), x, -2147483647)
+        F.instr(_c(s), x) > 0,
+        F.substr(
+            _c(s),
+            F.lit(1),
+            F.length(_c(s))
+            - F.length(F.substring_index(_c(s), x, -1))
+            - F.length(_c(x)),
+        ),
     ).otherwise(_c(s)),
     "substringAfterLast": lambda s, x: F.substring_index(_c(s), x, -1),
     "toUpper": lambda s: F.upper(_c(s)),

@@ -170,3 +170,27 @@ def top_k(df: DataFrame, group_cols: list[str], order_col: str, k: int, desc: bo
     order = F.desc(order_col) if desc else F.asc(order_col)
     w = W.partitionBy(*group_cols).orderBy(order, *[F.asc(c) for c in df.columns if c != order_col])
     return df.withColumn("_rank", F.row_number().over(w)).filter(F.col("_rank") <= k)
+
+
+def sessionize(
+    df: DataFrame, ts_col: str, gap: str, group_cols: list[str]
+) -> DataFrame:
+    """Event-time sessionization: events ≤gap apart merge into one session.
+
+    Spark-native ``session_window`` (Structured Streaming's dynamic-gap
+    windows work in batch too). NiFi has no session-window operator — its
+    closest analog is MergeContent's max-bin-age correlation binning
+    (reference MergeContent.java:271 MAX_BIN_AGE); this is the event-time
+    generalization. Output: group cols + session_start/session_end/n_events
+    where session_end = last event + gap (Spark's convention).
+    """
+    return (
+        df.groupBy(*group_cols, F.session_window(F.col(ts_col), gap).alias("sw"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            *group_cols,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+    )

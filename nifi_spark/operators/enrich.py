@@ -158,3 +158,28 @@ def detect_duplicate(
     order = F.col(order_col) if order_col else F.monotonically_increasing_id()
     w = W.partitionBy(key).orderBy(order)
     return df.withColumn("is_duplicate", F.row_number().over(w) > 1)
+
+
+def wait_notify(
+    waiting: DataFrame,
+    signals: DataFrame,
+    on: list[str],
+    wait_ts: str = "ts",
+    signal_ts: str = "ts",
+) -> tuple[DataFrame, DataFrame]:
+    """(released, still_waiting) — the Wait/Notify barrier as a join.
+
+    Reference Wait.java/Notify.java hold FlowFiles in the `wait` relationship
+    until a matching release signal appears in the distributed cache. In a
+    set-oriented engine the barrier is a semi-join against the signal table:
+    a row is released iff a signal with the same key exists at-or-before its
+    event time. In streaming this becomes a stream-stream join with
+    watermarks; in batch it is exactly this.
+    """
+    sig = signals.select(
+        *[F.col(c) for c in on], F.col(signal_ts).alias("_sig_ts")
+    )
+    cond = [waiting[c] == sig[c] for c in on] + [sig["_sig_ts"] <= waiting[wait_ts]]
+    released = waiting.join(sig, on=cond, how="left_semi")
+    still_waiting = waiting.join(sig, on=cond, how="left_anti")
+    return released, still_waiting

@@ -115,34 +115,59 @@ def lsh_signature(
     return df.withColumn(out_col, total.cast("long"))
 
 
+def _table_sigs(
+    df: DataFrame, vec_col: str, n_tables: int, planes_per_table: int, dim: int
+) -> DataFrame:
+    """Explode each vector into (table, signature) rows — one signature per
+    hash table, planes disjoint across tables (OR-amplification)."""
+    entries = []
+    for t in range(n_tables):
+        bits = None
+        for p in range(planes_per_table):
+            plane = _hyperplane(t * planes_per_table + p, dim)
+            bit = F.when(dot(F.col(vec_col), plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            bits = bit if bits is None else bits + bit
+        entries.append(F.struct(F.lit(t).alias("tbl"), bits.cast("long").alias("sig")))
+    return df.withColumn("_e", F.explode(F.array(*entries))).select(
+        *df.columns, F.col("_e.tbl").alias("tbl"), F.col("_e.sig").alias("sig")
+    )
+
+
 def cosine_topk_lsh(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 8,
+    n_tables: int = 8,
+    planes_per_table: int = 4,
     dim: int = 64,
+    n_planes: int | None = None,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the full sign signature bucket;
-    exact cosine re-rank within the bucket.
+    """Approximate top-k with OR-amplified sign-LSH: L hash tables of b
+    planes each; a corpus vector is a candidate if it matches the query's
+    signature in ANY table (standard LSH amplification — single-table sign
+    match alone has poor recall on dense embeddings). Exact cosine re-rank
+    over the candidate union.
 
-    Recall tuning = fewer planes (bigger buckets) or multi-probe; at scale
-    the bucket join replaces the O(n²) cross join with O(n) bucketed work.
+    Cost: candidate generation is a bucket join of O(n·L) rows — never the
+    O(n²) cross join; recall tunes with L (more tables) and bucket size
+    with b (more planes per table). ``n_planes`` (legacy) maps to
+    planes_per_table.
     """
-    qs = lsh_signature(
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-        "_qv", n_planes, dim,
-    )
-    cs = lsh_signature(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        "_cv", n_planes, dim,
-    )
-    scored = (
-        qs.join(cs, on="lsh_sig")
+    if n_planes is not None:
+        planes_per_table = n_planes
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    qs = _table_sigs(q, "_qv", n_tables, planes_per_table, dim)
+    cs = _table_sigs(c, "_cv", n_tables, planes_per_table, dim)
+    cand = (
+        qs.join(cs, on=["tbl", "sig"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
+    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -1,0 +1,142 @@
+"""Unit tests for operator surfaces not already exercised by the
+entry/oracle gate (tests/test_entry.py): nested transforms, enrichment
+join strategies, sampling determinism, EL edge functions, multimodal
+stubs, similarity recall. Tiny deterministic inputs, mirroring the
+reference's TestRunner-style single-operator tests (SURVEY.md §5.1)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_spark.functions import el
+from nifi_spark.operators.aggregate import sample_reservoir, sample_probabilistic
+from nifi_spark.operators.dedup_fuzzy import simhash_pairs, simhash
+from nifi_spark.operators.enrich import (
+    join_enrichment_indexed,
+    join_enrichment_wrapper,
+)
+from nifi_spark.operators.multimodal import decode_image, frame_sample, MEDIA_SCHEMA
+from nifi_spark.operators.routing import split_routes
+from nifi_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from nifi_spark.operators.transform import (
+    attrs_to_json,
+    flatten_struct,
+    fork_record,
+)
+
+
+def test_flatten_struct_recursive(spark):
+    df = spark.sql(
+        "SELECT 1 AS id, named_struct('a', 2, 'b', named_struct('c', 3)) AS s"
+    )
+    out = flatten_struct(df)
+    assert set(out.columns) == {"id", "s.a", "s.b.c"}
+    row = out.collect()[0]
+    assert row["s.b.c"] == 3
+
+
+def test_attrs_to_json_roundtrip(spark):
+    df = spark.createDataFrame([(1, "x")], "id int, name string")
+    out = attrs_to_json(df, ["id", "name"]).collect()[0]
+    assert out["json"] == '{"id":1,"name":"x"}'
+
+
+def test_fork_record_split_and_extract(spark):
+    df = spark.sql(
+        "SELECT 7 AS pid, array(named_struct('v', 1), named_struct('v', 2)) AS kids"
+    )
+    split = fork_record(df, "kids", mode="split").collect()
+    assert [(r["pid"], r["_pos"], r["v"]) for r in split] == [(7, 0, 1), (7, 1, 2)]
+    extract = fork_record(df, "kids", mode="extract").collect()
+    assert [r["v"] for r in extract] == [1, 2]
+
+
+def test_split_routes_multi_match_and_unmatched(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 50.0), (3, -1.0)], "id int, v double")
+    routes = split_routes(
+        df, {"pos": F.col("v") > 0, "big": F.col("v") > 10}
+    )
+    assert sorted(r["id"] for r in routes["pos"].collect()) == [1, 2]
+    assert [r["id"] for r in routes["big"].collect()] == [2]
+    assert [r["id"] for r in routes["unmatched"].collect()] == [3]
+
+
+def test_join_enrichment_wrapper_nests_both_sides(spark):
+    o = spark.createDataFrame([(1, "a")], "k int, x string")
+    e = spark.createDataFrame([(1, "b")], "k int, y string")
+    row = join_enrichment_wrapper(o, e, ["k"]).collect()[0]
+    assert row["original"]["x"] == "a" and row["enrichment"]["y"] == "b"
+
+
+def test_join_enrichment_indexed_zips_by_position(spark):
+    o = spark.createDataFrame([(10, "r0"), (20, "r1")], "ord int, x string")
+    e = spark.createDataFrame([(1, "e0"), (2, "e1")], "ord int, y string")
+    out = join_enrichment_indexed(o, e, "ord").orderBy("x").collect()
+    assert [(r["x"], r["y"]) for r in out] == [("r0", "e0"), ("r1", "e1")]
+
+
+def test_sampling_is_deterministic_across_reruns(spark):
+    df = spark.range(1000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in sample_reservoir(df, 50, seed=7, id_col="k").collect())
+    b = sorted(r["k"] for r in sample_reservoir(df, 50, seed=7, id_col="k").collect())
+    assert a == b and len(a) == 50
+    p1 = sorted(r["k"] for r in sample_probabilistic(df, 0.1, seed=3).collect())
+    p2 = sorted(r["k"] for r in sample_probabilistic(df, 0.1, seed=3).collect())
+    assert p1 == p2
+
+
+def test_el_string_functions(spark):
+    df = spark.createDataFrame([("hello:world:x",)], "s string")
+    out = df.select(
+        el("substringAfter", F.col("s"), ":").alias("after"),
+        el("substringBeforeLast", F.col("s"), ":").alias("before_last"),
+        el("substringAfterLast", F.col("s"), ":").alias("after_last"),
+        el("indexOf", F.col("s"), ":").alias("idx"),
+        el("replaceNull", F.lit(None).cast("string"), "d").alias("rn"),
+        el("getDelimitedField", F.col("s"), 2, ":").alias("f2"),
+    ).collect()[0]
+    assert out["after"] == "world:x"
+    assert out["before_last"] == "hello:world"
+    assert out["after_last"] == "x"
+    assert out["idx"] == 5  # NiFi indexOf is 0-based
+    assert out["rn"] == "d"
+    assert out["f2"] == "world"
+
+
+def test_el_unknown_function_raises():
+    with pytest.raises(KeyError, match="not mapped"):
+        el("now")
+
+
+def test_multimodal_stubs_raise(spark):
+    df = spark.createDataFrame([], MEDIA_SCHEMA)
+    with pytest.raises(NotImplementedError):
+        decode_image(df)
+    with pytest.raises(NotImplementedError):
+        frame_sample(df)
+
+
+def test_simhash_near_dup_pairs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again!"),
+        (3, "completely different words about database engines and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = simhash_pairs(simhash(df), max_hamming=6).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids
+    assert all(p in {(1, 2)} or 3 not in p for p in ids)
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(q, emb, k=5).toPandas()
+    approx = cosine_topk_lsh(q, emb, k=5, n_tables=8, planes_per_table=4, dim=64).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"
