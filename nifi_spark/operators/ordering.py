@@ -12,12 +12,18 @@ Re-expresses the reference's ordering/dedup semantics Spark-first:
   **DetectDuplicate**: subsumed by the same fold — max-seq per key IS the
   dedup.
 
-Physical strategy: ``groupBy(key).agg(max_by(struct(...), seq))`` compiles
-to a hash aggregate with map-side partial aggregation (ObjectHashAggregate;
-session config raises its sort-fallback threshold — see session.py), which
-at 10^10 events beats a window sort (`row_number over (partition by key
-order by seq desc)`) because each mapper pre-folds its partition before the
-shuffle: shuffle volume becomes O(distinct keys per mapper), not O(events).
+Physical strategy: ``groupBy(key).agg(max_by(struct(...), seq))`` plans as
+partial + final SortAggregate (max_by is a declarative aggregate with a
+struct buffer, so neither HashAggregate codegen nor ObjectHashAggregate
+applies — verified with .explain). The partial side is the win regardless
+of the aggregate's physical form: each mapper pre-folds its partition
+before the shuffle, so shuffle volume is O(distinct keys per mapper), not
+O(events), and the reduce side never sees a hot key's full history. The
+alternative hash-only formulation — `groupBy(key).agg(max(seq))` (pure
+HashAggregate) + semi-join back on `(key, seq)` — avoids the map-side
+sort but shuffles every event for the join; measured slower at 10^7
+events on this host. A windowed `row_number` formulation sorts payloads
+too and loses partial aggregation entirely — worst of the three.
 
 **Skew**: partial aggregation is itself the skew defense — a Zipf-hot key
 is pre-folded to ONE row per map partition before the shuffle, so no

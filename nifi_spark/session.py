@@ -37,13 +37,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # max_by/min_by (LWW fold) aggregate struct buffers via
-        # ObjectHashAggregateExec, which silently degrades to sort-based
-        # aggregation after 128 distinct groups per partition — a 4-6x
-        # slowdown on million-key folds. Raise the cliff to 2M groups/task
-        # (a few hundred MB of winner rows) but keep it finite: the sort
-        # fallback is the spill path, and an unbounded map is an OOM at
-        # 10^10-event scale.
+        # TypedImperative aggregates (collect_list/collect_set — e.g. the
+        # Defragment operator) run in ObjectHashAggregateExec, which silently
+        # degrades to sort-based aggregation after 128 distinct groups per
+        # partition. Raise the cliff to 2M groups/task but keep it finite:
+        # the sort fallback is the spill path, and an unbounded map is an
+        # OOM at 10^10-row scale. (max_by/min_by are declarative with a
+        # struct buffer and always plan as SortAggregate — this knob does
+        # not affect the LWW fold; see operators/ordering.py.)
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "2000000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")

@@ -174,3 +174,47 @@ class CdcPipeline:
     def run_to_completion(self, feed_dir: str, **kw) -> None:
         q = self.start(feed_dir, **kw)
         q.awaitTermination()
+
+
+def _cli(argv: list[str] | None = None) -> None:
+    """spark-submit entry point (north rule: `spark-submit --py-files`);
+    launched via the repo-root ``run_cdc.py`` shim (a --py-files main script
+    cannot use this module's relative imports). See run_cdc.py docstring
+    for the full command line.
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="nifi_spark CDC apply pipeline")
+    p.add_argument("--feed-dir", required=True, help="change-feed parquet directory")
+    p.add_argument("--table", required=True, help="target lake table path")
+    p.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--salt-buckets", type=int, default=0)
+    p.add_argument("--watermark-delay-s", type=int, default=None)
+    p.add_argument("--from-json-payload", action="store_true")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--available-now", action="store_true",
+                   help="drain the feed and stop (batch replay); else run continuous")
+    args = p.parse_args(argv)
+
+    from ..session import get_spark
+
+    spark = get_spark("nifi_spark_cdc")
+    pipe = CdcPipeline(
+        spark,
+        table_path=args.table,
+        checkpoint_dir=args.checkpoint,
+        n_buckets=args.n_buckets,
+        salt_buckets=args.salt_buckets,
+        watermark_delay_s=args.watermark_delay_s,
+        from_json_payload=args.from_json_payload,
+    )
+    pipe.run_to_completion(
+        args.feed_dir,
+        max_files_per_trigger=args.max_files_per_trigger,
+        available_now=args.available_now,
+    )
+
+
+if __name__ == "__main__":
+    _cli()
