@@ -80,13 +80,45 @@ class CdcPipeline:
     # ---------- batch apply (the foreachBatch body) ----------
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
-        """Normalize → late-split → fold → merge → lineage. Returns metrics."""
+        """Normalize → DLQ split → late-split → fold → merge → lineage.
+
+        Returns metrics. Malformed events (unparseable payload / missing
+        key or sequence) route to a dead-letter table under
+        ``{table}/_dlq`` instead of poisoning the merge — the engine's
+        RetryFlowFile/penalization analog (reference
+        .../standard/RetryFlowFile.java `retries_exceeded` routing;
+        SURVEY.md §1.1 penalization row).
+        """
+        metrics = {"batch_id": batch_id, "n_events": 0, "n_late": 0, "n_dlq": 0, "version": None}
         if self.from_json_payload:
-            events = normalize_json(batch_df, keep_cols=["source_file", "source_pos"])
+            parsed = normalize_json(
+                batch_df, keep_cols=["source_file", "source_pos", "payload_json"]
+            )
+            bad_cond = (
+                F.col("seq").isNull()
+                | F.col("op").isNull()
+                | F.col("conv_id").isNull()
+                | F.col("turn_idx").isNull()
+            )
+            bad = parsed.filter(bad_cond)
+            n_dlq = bad.count()
+            if n_dlq:
+                (
+                    bad.select(
+                        F.lit(batch_id).cast("long").alias("batch_id"),
+                        "payload_json",
+                        "source_file",
+                        "source_pos",
+                        F.lit("unparseable-or-missing-key").alias("reason"),
+                    )
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(os.path.join(self.table_path, "_dlq"))
+                )
+            metrics["n_dlq"] = n_dlq
+            events = parsed.filter(~bad_cond).drop("payload_json")
         else:
             events = batch_df
-
-        metrics = {"batch_id": batch_id, "n_events": 0, "n_late": 0, "version": None}
 
         # late-data accounting against the engine watermark
         n_late = 0
