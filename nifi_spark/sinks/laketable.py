@@ -107,8 +107,8 @@ class LakeTable:
         b = m.get("summary", {}).get("batch_id")
         return int(b) if b is not None else None
 
-    def schema(self) -> T.StructType | None:
-        m = self._manifest()
+    def schema(self, version: int | None = None) -> T.StructType | None:
+        m = self._manifest(version)
         return T.StructType.fromJson(json.loads(m["schema"])) if m else None
 
     def snapshot_summary(self, version: int | None = None) -> dict:
@@ -148,11 +148,14 @@ class LakeTable:
         m = self._manifest(version)
         return m["files"] if m else {}
 
-    def read_raw(self, buckets: list[int] | None = None) -> DataFrame:
-        """All rows incl. tombstones + internal cols, optionally bucket-pruned."""
-        schema = self.schema()
+    def read_raw(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """All rows incl. tombstones + internal cols, optionally bucket-pruned
+        and/or pinned to an older snapshot version."""
+        schema = self.schema(version)
         files: list[str] = []
-        for b, fl in self._bucket_files().items():
+        for b, fl in self._bucket_files(version).items():
             if buckets is None or int(b) in buckets:
                 files.extend(fl)
         if not files or schema is None:
@@ -161,12 +164,49 @@ class LakeTable:
         # explicit schema => additive evolution for free (old files null-fill)
         return self.spark.read.schema(schema).parquet(*files)
 
-    def read(self) -> DataFrame:
-        """Live rows, user columns only (the queryable table)."""
-        df = self.read_raw()
+    def read(self, version: int | None = None) -> DataFrame:
+        """Live rows, user columns only (the queryable table).
+
+        ``version`` reads an older snapshot (time travel — every commit's
+        manifest is immutable, ≙ Iceberg `VERSION AS OF`).
+        """
+        df = self.read_raw(version=version)
         if "_deleted" in df.columns:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
+
+    # ---------- maintenance ----------
+
+    def compact(self, purge_tombstones_below_seq: int | None = None) -> int:
+        """Rewrite every bucket into one file; optionally purge tombstones.
+
+        ≙ Iceberg data-file compaction (rewrite_data_files) + the
+        MergeContent small-file story (SURVEY.md §2.6): merges spread
+        tombstone-ridden many-file buckets from incremental merges back to
+        one file per bucket. Tombstones older than
+        ``purge_tombstones_below_seq`` can be physically dropped once the
+        caller knows no stale event below that seq can still arrive (the
+        watermark contract); newer tombstones are kept so late stale
+        updates still lose. Commits a new snapshot; readers of old
+        versions are unaffected (copy-on-write).
+        """
+        df = self.read_raw()
+        if purge_tombstones_below_seq is not None:
+            df = df.filter(
+                ~(
+                    F.coalesce(F.col("_deleted"), F.lit(False))
+                    & (F.col("_seq") < purge_tombstones_below_seq)
+                )
+            )
+        files = self._write_buckets(df, f"v{uuid.uuid4().hex[:12]}")
+        manifest = {
+            "schema": json.dumps(self.schema().jsonValue()),
+            "n_buckets": self.n_buckets,
+            "files": files,
+            "summary": {**self.snapshot_summary(), "compaction": True},
+            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        return self._commit(manifest)
 
     # ---------- writes ----------
 

@@ -114,3 +114,55 @@ def test_read_empty_table(spark, tmp_path):
     assert not t.exists()
     assert t.last_batch_id() is None
     assert t.read_raw().count() == 0
+
+
+def test_time_travel_reads_old_snapshot(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nifi_spark.sinks.laketable import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "tt"), n_buckets=2)
+    b1 = spark.createDataFrame(
+        [("c1", 0, "hello", 1)], "conv_id string, turn_idx int, text string, seq long"
+    ).withColumn("op", F.lit("I"))
+    t.merge(b1.select("conv_id", "turn_idx", "seq", "op", "text"), ["conv_id", "turn_idx"], batch_id=0)
+    v1 = t.current_version()
+    b2 = b1.withColumn("seq", F.lit(2)).withColumn("text", F.lit("edited"))
+    t.merge(b2.select("conv_id", "turn_idx", "seq", "op", "text"), ["conv_id", "turn_idx"], batch_id=1)
+    assert t.read().collect()[0]["text"] == "edited"
+    assert t.read(version=v1).collect()[0]["text"] == "hello"
+
+
+def test_compact_purges_old_tombstones_and_keeps_semantics(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from nifi_spark.sinks.laketable import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "cp"), n_buckets=2)
+    rows = [("c%d" % i, 0, i + 1, "I", "t%d" % i) for i in range(10)]
+    b1 = spark.createDataFrame(rows, "conv_id string, turn_idx int, seq long, op string, text string")
+    t.merge(b1, ["conv_id", "turn_idx"], batch_id=0)
+    # delete c0 (seq 100), update c1 (seq 101)
+    b2 = spark.createDataFrame(
+        [("c0", 0, 100, "D", None), ("c1", 0, 101, "U", "t1b")],
+        "conv_id string, turn_idx int, seq long, op string, text string",
+    )
+    t.merge(b2, ["conv_id", "turn_idx"], batch_id=1)
+    before = {r["conv_id"]: r["text"] for r in t.read().collect()}
+    assert "c0" not in before and before["c1"] == "t1b"
+    raw_before = t.read_raw().count()  # includes the c0 tombstone
+    assert raw_before == 10
+
+    t.compact(purge_tombstones_below_seq=200)
+    after = {r["conv_id"]: r["text"] for r in t.read().collect()}
+    assert after == before
+    assert t.read_raw().count() == 9  # tombstone physically gone
+    # a stale pre-delete update must NOT resurrect after purge only because
+    # the caller promised (watermark) no event below seq 200 arrives; a
+    # NEWER re-insert must still win:
+    b3 = spark.createDataFrame(
+        [("c0", 0, 300, "I", "reborn")],
+        "conv_id string, turn_idx int, seq long, op string, text string",
+    )
+    t.merge(b3, ["conv_id", "turn_idx"], batch_id=2)
+    assert {r["conv_id"]: r["text"] for r in t.read().collect()}["c0"] == "reborn"
