@@ -31,7 +31,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "150000"))
 FEED_DIR = os.environ.get(
-    "SPARK_GRAFT_BENCH_FEED", f"/tmp/nifi_spark_bench_feed8_c{N_CONVS}"
+    "SPARK_GRAFT_BENCH_FEED", f"/tmp/nifi_spark_bench_feedj_c{N_CONVS}"
 )
 WORKER_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_BENCH_WORKER_TIMEOUT", "200"))
 # Scaling levels: N vs 4N cores INSIDE the physical-core range. The host
@@ -82,8 +82,11 @@ def ensure_feed() -> int:
         with open(marker) as f:
             return int(f.read().strip())
     spark = get_spark("bench_feedgen", cores=CPUS)
+    # The feed is the faithful binlog shape: raw JSON event payloads plus
+    # lineage coordinates — the worker pays the Arrow-free JVM-side
+    # normalization cost as part of the measured apply.
     feed = generate_change_feed(spark, **_feed_params()).select(
-        "seq", "op", "ts", "conv_id", "turn_idx", "role", "text", "tool"
+        "payload_json", "source_file", "source_pos"
     )
     feed.repartition(64).write.mode("overwrite").parquet(FEED_DIR)
     n = spark.read.parquet(FEED_DIR).count()
@@ -94,14 +97,24 @@ def ensure_feed() -> int:
 
 
 def cdc_worker(cores: int, feed_dir: str) -> None:
-    """One parallelism level: warmup + 2 timed CDC apply trials (min)."""
+    """One parallelism level: warmup + 1 timed CDC apply trial.
+
+    The timed pipeline is the full apply path: JSON payload normalization
+    (when the feed carries payload_json — the faithful binlog shape) →
+    LWW fold → bucketed merge commit.
+    """
+    from nifi_spark.normalize import normalize_json
     from nifi_spark.operators.ordering import lww_fold
     from nifi_spark.schema import KEY_COLS
     from nifi_spark.session import get_spark
     from nifi_spark.sinks.laketable import LakeTable
 
     spark = get_spark(f"bench_cdc_{cores}", cores=cores, shuffle_partitions=cores)
-    ev = spark.read.parquet(feed_dir)
+    raw = spark.read.parquet(feed_dir)
+    if "payload_json" in raw.columns:
+        ev = normalize_json(raw.select("payload_json")).drop("tool_meta")
+    else:
+        ev = raw
     marker = os.path.join(feed_dir, "_COUNT")
     if os.path.exists(marker):
         with open(marker) as f:
@@ -110,12 +123,15 @@ def cdc_worker(cores: int, feed_dir: str) -> None:
         n = ev.count()
 
     def apply_once() -> float:
-        t0 = time.time()
+        # timed window covers exactly the apply (scan -> fold -> bucketed
+        # write -> commit); table-dir setup/teardown is bench scaffolding,
+        # not engine work
         with tempfile.TemporaryDirectory() as d:
             table = LakeTable(spark, d, n_buckets=2 * cores)
             folded = lww_fold(ev, key_cols=KEY_COLS, keep_deletes=True)
+            t0 = time.time()
             table.merge(folded, KEY_COLS, batch_id=0)
-        return time.time() - t0
+            return time.time() - t0
 
     apply_once()  # JIT/codegen warmup — excluded
     best = apply_once()
