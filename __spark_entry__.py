@@ -30,6 +30,7 @@ from nifi_spark.operators.dedup_fuzzy import (
     jaccard_pairs,
     minhash_dedup_pairs,
     simhash,
+    simhash_pairs,
 )
 from nifi_spark.operators.enrich import (
     defragment,
@@ -120,27 +121,39 @@ def q_cdc_lww_fold_salted(spark, sf_dir):
 
 
 def q_cdc_replay_transcripts(spark, sf_dir):
-    """Full north-star replay (feedgen → salted LWW fold → lake MERGE) at a
-    fixed small scale; returns the final transcripts table. Non-SQL (table
-    state machine) → rows-only check; pytest asserts equality vs an
-    independent pandas fold."""
+    """Full north-star replay: derive a change feed from the events table
+    (conv_id = user, turn_idx = event_id%5, op = D on 'error'), split it
+    into 3 interleaved batches, apply each IN ORDER through
+    LakeTable.merge_events (bucket-aligned one-shuffle MERGE: cross-batch
+    last-writer-wins, tombstones, stale-update guard), and return the
+    final table state. The oracle is the single-shot arg_max fold over the
+    same derived feed — equal iff the multi-batch merge state machine is
+    correct (later batches carry BOTH newer and stale-older events for
+    already-merged keys). Feedgen-based transcript replay equality is
+    additionally pytest-asserted (tests/test_pipeline.py)."""
     import tempfile
 
-    from nifi_spark.feedgen import generate_change_feed
     from nifi_spark.sinks.laketable import LakeTable
-    from nifi_spark.schema import KEY_COLS
 
-    feed = generate_change_feed(spark, n_conversations=100, max_turns=6, max_edits=3, seed=7)
-    folded = ordering.lww_fold_salted(
-        feed.select("seq", "op", "ts", "conv_id", "turn_idx", "role", "text", "tool"),
-        key_cols=KEY_COLS,
-        salt_buckets=8,
-        keep_deletes=True,
+    ev = _t(spark, sf_dir, "events")
+    feed = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(5)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_seq"),
     )
+    keys = ["conv_id", "turn_idx"]
     with tempfile.TemporaryDirectory() as d:
-        table = LakeTable(spark, d, n_buckets=4)
-        table.merge(folded, KEY_COLS, batch_id=0)
-        out = table.read().orderBy("conv_id", "turn_idx")
+        table = LakeTable(spark, d, n_buckets=8)
+        for b in range(3):
+            batch = feed.filter(F.pmod(F.col("seq"), F.lit(3)) == b)
+            table.merge_events(batch, keys, batch_id=b)
+        out = table.read().select(
+            "conv_id", "turn_idx", "last_type", "last_value", "last_seq"
+        )
         out = spark.createDataFrame(out.toPandas(), out.schema)  # detach from temp dir
     return out
 
@@ -483,15 +496,29 @@ def q_embedding_cosine_topk(spark, sf_dir):
 
 
 def q_embedding_ann_lsh(spark, sf_dir):
-    """Approximate NN via sign-LSH buckets (the scale path). Bucketing is
-    hyperplane-dependent → rows-only check; pytest asserts recall vs the
-    exact top-k on a fixed slice."""
+    """Approximate NN via OR-amplified sign-LSH buckets (the scale path).
+    The hyperplanes are md5-deterministic (similarity._hyperplane), so the
+    DuckDB oracle reimplements the same plane components, sign signatures,
+    bucket join, and exact re-rank — full value-hash parity on an
+    approximate operator. Recall vs exact top-k additionally asserted in
+    tests/test_operators.py."""
     emb = _t_wide(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     out = cosine_topk_lsh(queries, emb, k=10, n_planes=4, dim=64)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim"
     )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """Hamming-≤3 near-dup pairs via the pigeonhole block join (never a
+    cross join): any pair within hamming 3 of a 32-bit fingerprint split
+    into 4 blocks must agree exactly on ≥1 block."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    sh = simhash(docs, "text", n_bits=32)
+    return simhash_pairs(
+        sh, "doc_id", "simhash", max_hamming=3, n_bits=32, n_blocks=4
+    ).select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 # --------------------------------------------------------------------------
@@ -593,6 +620,70 @@ def q_el_functions(spark, sf_dir):
     )
 
 
+def q_el_functions_v2(spark, sf_dir):
+    """Round-2 EL surface: CharSequenceTranslator escapes, java.lang.Math
+    dispatch, RFC-4122 name-based UUID, last-index/char/field accessors
+    (reference Escape*Evaluator, MathEvaluator.java, Uuid3Evaluator.java)."""
+    from nifi_spark.functions import el
+
+    p = _t(spark, sf_dir, "part")
+    xml_src = F.concat(F.lit("<"), F.col("p_brand"), F.lit('&"'))
+    csv_src = F.concat(F.col("p_brand"), F.lit(',"x'))
+    return p.select(
+        "p_partkey",
+        el("lastIndexOf", F.col("p_name"), "a").alias("last_a"),
+        el("escapeXml", xml_src).alias("xml"),
+        el("unescapeXml", el("escapeXml", xml_src)).alias("xml_rt"),
+        el("escapeCsv", csv_src).alias("csvq"),
+        el("math", "sqrt", F.col("p_retailprice")).alias("sq"),
+        el("math", "round", F.col("p_retailprice")).alias("rnd"),
+        # namespace UUID whose 16 bytes are the ASCII string '0123456789abcdef'
+        # — lets the DuckDB oracle express the RFC-4122 digest input as a
+        # plain string (DuckDB md5 is VARCHAR-only); the implementation path
+        # (unhex -> binary concat -> digest) is identical for any namespace
+        el("UUID3", F.col("p_name"), F.lit("30313233-3435-3637-3839-616263646566")).alias("u3"),
+        el("charAt", F.col("p_type"), 3).alias("ch"),
+        el("getDelimitedField", F.col("p_type"), 2, " ").alias("fld2"),
+    )
+
+
+def q_el_selection(spark, sf_dir):
+    """Multi-attribute selection evaluators (anyAttribute / allAttributes /
+    join over a column set — reference .../evaluation/selection/)."""
+    from nifi_spark.functions.el import all_attributes, any_attribute, join_attributes
+
+    p = _t(spark, sf_dir, "part")
+    cols = [F.col("p_brand"), F.col("p_type"), F.col("p_name")]
+    return p.select(
+        "p_partkey",
+        any_attribute(cols, lambda c: c.contains("1")).alias("any_has_1"),
+        all_attributes(cols, lambda c: F.length(c) > 5).alias("all_long"),
+        join_attributes(cols, "|").alias("joined"),
+    )
+
+
+def q_recordpath_nested(spark, sf_dir):
+    """Nested RecordPath update ``/conv/turns[*]/etype`` compiled to
+    withField/transform chains (reference RecordPathCompiler.java node
+    types), verified by exploding the updated array back to scalars."""
+    from nifi_spark.functions.recordpath import update_at_path
+
+    ev = _t(spark, sf_dir, "events")
+    nested = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("event_id").alias("eid"), F.col("event_type").alias("etype"))
+            )
+        ).alias("turns")
+    )
+    nested = nested.select("user_id", F.struct("turns").alias("conv"))
+    upd = update_at_path(nested, "/conv/turns[*]/etype", lambda c: F.upper(c))
+    ex = upd.select("user_id", F.explode(F.col("conv.turns")).alias("t"))
+    return ex.select(
+        "user_id", F.col("t.eid").alias("eid"), F.col("t.etype").alias("etype")
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -637,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
@@ -649,6 +741,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "grouped_pandas_stats": q_grouped_pandas_stats,
         "el_functions": q_el_functions,
+        "el_functions_v2": q_el_functions_v2,
+        "el_selection": q_el_selection,
+        "recordpath_nested": q_recordpath_nested,
     }
 
 
@@ -692,7 +787,18 @@ def oracle_sql() -> dict[str, str]:
     return {
         "cdc_lww_fold": _CDC_LWW_SQL,
         "cdc_lww_fold_salted": _CDC_LWW_SQL,
-        # cdc_replay_transcripts: rows-only (stateful table replay, not SQL)
+        # The multi-batch LakeTable replay must converge to the single-shot
+        # LWW fold of the whole derived feed (delete-winners tombstoned out).
+        "cdc_replay_transcripts": """
+            SELECT 'u-' || user_id::VARCHAR AS conv_id,
+                   CAST(event_id % 5 AS INTEGER) AS turn_idx,
+                   arg_max(event_type, event_id) AS last_type,
+                   arg_max(value, event_id)      AS last_value,
+                   max(event_id)                 AS last_seq
+            FROM events
+            GROUP BY 1, 2
+            HAVING arg_max(event_type, event_id) <> 'error'
+        """,
         "route_on_attribute": """
             SELECT event_id,
                    CASE WHEN event_type = 'error' THEN 'alert'
@@ -934,6 +1040,24 @@ def oracle_sql() -> dict[str, str]:
                             THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS simhash
             FROM documents
         """,
+        # Pigeonhole equivalence: hamming<=3 over 4 blocks implies >=1 block
+        # equal, so the plain hamming filter reproduces the block join's set.
+        "simhash_pairs": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(list_sum(list_transform(generate_series(0, 31), j ->
+                           CASE WHEN list_sum(list_transform(
+                                    regexp_split_to_array(trim(text), '\\s+'),
+                                    t -> CASE WHEN ({_DD_H.format(x='t')} >> j) & 1 = 1
+                                              THEN 1 ELSE -1 END)) > 0
+                                THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT) AS sh
+                FROM documents
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+            FROM s a JOIN s b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
         "dedup_ngram_jaccard": f"""
             WITH sh AS (
                 SELECT doc_id, lang, {_DD_SH} AS sh FROM documents
@@ -968,7 +1092,56 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 10
         """,
-        # embedding_ann_lsh: rows-only (bucketing is approximate by design)
+        # Mirrors similarity._hyperplane / _table_sigs / cosine_topk_lsh term
+        # for term: plane component d of plane p = md5_long('hp|p|d')/2^59-1,
+        # 8 tables x 4 planes; candidate iff equal sign-signature in any
+        # table; exact cosine re-rank (same fold order => bit-identical).
+        "embedding_ann_lsh": """
+            WITH planes AS (
+                SELECT p, list_transform(generate_series(1, 64),
+                       d -> ('0x' || substr(md5('hp|' || p::VARCHAR || '|' || (d-1)::VARCHAR), 1, 15))::BIGINT
+                            / 576460752303423488.0 - 1.0) AS hp
+                FROM (SELECT unnest(generate_series(0, 31)) AS p)
+            ),
+            dots AS (
+                SELECT e.vec_id, pl.p,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(generate_series(1, 64), i -> e.embedding[i]::DOUBLE * pl.hp[i])),
+                           (a, b) -> a + b) AS d
+                FROM embeddings e, planes pl
+            ),
+            sigs AS (
+                SELECT vec_id, p // 4 AS tbl,
+                       sum(CASE WHEN d > 0 THEN 1 << (p % 4) ELSE 0 END) AS sig
+                FROM dots GROUP BY vec_id, p // 4
+            ),
+            cand AS (
+                SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+                FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+                WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+            ),
+            scored AS (
+                SELECT cand.query_id, cand.neighbor_id,
+                       round(
+                           list_reduce(list_prepend(0.0::DOUBLE,
+                               list_transform(generate_series(1, 64), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)),
+                               (a, b) -> a + b)
+                           / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                                  list_transform(generate_series(1, 64), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE)),
+                                  (a, b) -> a + b))
+                              * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                                  list_transform(generate_series(1, 64), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)),
+                                  (a, b) -> a + b))), 6) AS cos_sim
+                FROM cand
+                JOIN embeddings qe ON qe.vec_id = cand.query_id
+                JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
+            )
+            SELECT query_id, neighbor_id, rank, cos_sim FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        """,
         "multimodal_decode": """
             SELECT doc_id AS media_id,
                    16 AS n_bytes,
@@ -1041,5 +1214,51 @@ def oracle_sql() -> dict[str, str]:
                    len(p_name) AS name_len,
                    CASE WHEN p_size > 25 THEN 'big' ELSE 'small' END AS size_class
             FROM part
+        """,
+        "el_functions_v2": """
+            WITH src AS (
+                SELECT p_partkey, p_name, p_type, p_retailprice,
+                       '<' || p_brand || '&"' AS xs,
+                       p_brand || ',"x' AS cs
+                FROM part
+            ),
+            esc AS (
+                SELECT *,
+                       replace(replace(replace(replace(replace(xs,
+                           '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),
+                           '"', '&quot;'), '''', '&apos;') AS xml,
+                       md5('0123456789abcdef' || p_name) AS h
+                FROM src
+            )
+            SELECT p_partkey,
+                   CASE WHEN strpos(reverse(p_name), 'a') = 0 THEN -1
+                        ELSE len(p_name) - strpos(reverse(p_name), 'a') END AS last_a,
+                   xml,
+                   replace(replace(replace(replace(replace(xml,
+                       '&apos;', ''''), '&quot;', '"'), '&gt;', '>'),
+                       '&lt;', '<'), '&amp;', '&') AS xml_rt,
+                   CASE WHEN regexp_matches(cs, '[,"\n\r]')
+                        THEN '"' || replace(cs, '"', '""') || '"' ELSE cs END AS csvq,
+                   sqrt(p_retailprice) AS sq,
+                   CAST(floor(p_retailprice + 0.5) AS BIGINT) AS rnd,
+                   substr(h, 1, 8) || '-' || substr(h, 9, 4) || '-3' || substr(h, 14, 3)
+                       || '-' || lower(to_hex((('0x' || substr(h, 17, 1))::INTEGER & 3) | 8))
+                       || substr(h, 18, 3) || '-' || substr(h, 21, 12) AS u3,
+                   substr(p_type, 4, 1) AS ch,
+                   string_split(p_type, ' ')[2] AS fld2
+            FROM esc
+        """,
+        "el_selection": """
+            SELECT p_partkey,
+                   contains(p_brand, '1') OR contains(p_type, '1')
+                       OR contains(p_name, '1') AS any_has_1,
+                   len(p_brand) > 5 AND len(p_type) > 5
+                       AND len(p_name) > 5 AS all_long,
+                   p_brand || '|' || p_type || '|' || p_name AS joined
+            FROM part
+        """,
+        "recordpath_nested": """
+            SELECT user_id, event_id AS eid, upper(event_type) AS etype
+            FROM events
         """,
     }

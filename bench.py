@@ -29,16 +29,24 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "150000"))
+N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "600000"))
 FEED_DIR = os.environ.get(
     "SPARK_GRAFT_BENCH_FEED", f"/tmp/nifi_spark_bench_feedj_c{N_CONVS}"
 )
-WORKER_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_BENCH_WORKER_TIMEOUT", "200"))
+WORKER_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_BENCH_WORKER_TIMEOUT", "420"))
 # Scaling levels: N vs 4N cores INSIDE the physical-core range. The host
-# exposes 32 SMT threads over ~16 physical cores; local[32] vs local[8]
-# conflates SMT contention with scaling, so the 4x pair is 4 vs 16.
-CORES_LO = max(int(os.environ.get("SPARK_GRAFT_BENCH_CORES_LO", str(CPUS // 8))), 2)
+# exposes 32 SMT threads over ~16 physical cores; higher pairs conflate
+# SMT contention + frequency scaling with strong scaling (parallel-burn
+# calibration: eff 0.80 at 16 procs, 0.56 at 32), so the 4x pair is 2 vs 8.
+CORES_LO = max(int(os.environ.get("SPARK_GRAFT_BENCH_CORES_LO", "2")), 1)
 CORES_HI = 4 * CORES_LO
+# The physical plan must be IDENTICAL at both levels for a pure
+# strong-scaling measurement: bucket count and shuffle partitioning are
+# fixed (they size the table layout, not the executor count), only the
+# core count varies. 64 partitions ≫ 8 cores keeps both levels
+# load-balanced without plan changes.
+N_BUCKETS = int(os.environ.get("SPARK_GRAFT_BENCH_BUCKETS", "64"))
+SHUFFLE_PARTS = int(os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE", "64"))
 
 # Representative of SURVEY.md §2 families: fold kernel, SQL agg, joins,
 # fragment reassembly, fuzzy dedup (LSH + simhash), similarity, text,
@@ -101,15 +109,19 @@ def cdc_worker(cores: int, feed_dir: str) -> None:
 
     The timed pipeline is the full apply path: JSON payload normalization
     (when the feed carries payload_json — the faithful binlog shape) →
-    LWW fold → bucketed merge commit.
+    in-bucket LWW fold → merge commit, all in the single bucket shuffle
+    (laketable.merge_events "one-shuffle physical plan"). Bucket count and
+    shuffle partitions are FIXED across parallelism levels so the physical
+    plan is identical and only core count varies.
     """
     from nifi_spark.normalize import normalize_json
-    from nifi_spark.operators.ordering import lww_fold
     from nifi_spark.schema import KEY_COLS
     from nifi_spark.session import get_spark
     from nifi_spark.sinks.laketable import LakeTable
 
-    spark = get_spark(f"bench_cdc_{cores}", cores=cores, shuffle_partitions=cores)
+    spark = get_spark(
+        f"bench_cdc_{cores}", cores=cores, shuffle_partitions=SHUFFLE_PARTS
+    )
     raw = spark.read.parquet(feed_dir)
     if "payload_json" in raw.columns:
         ev = normalize_json(raw.select("payload_json")).drop("tool_meta")
@@ -123,14 +135,13 @@ def cdc_worker(cores: int, feed_dir: str) -> None:
         n = ev.count()
 
     def apply_once() -> float:
-        # timed window covers exactly the apply (scan -> fold -> bucketed
-        # write -> commit); table-dir setup/teardown is bench scaffolding,
-        # not engine work
+        # timed window covers exactly the apply (scan -> in-bucket fold ->
+        # partitioned write -> commit); table-dir setup/teardown is bench
+        # scaffolding, not engine work
         with tempfile.TemporaryDirectory() as d:
-            table = LakeTable(spark, d, n_buckets=2 * cores)
-            folded = lww_fold(ev, key_cols=KEY_COLS, keep_deletes=True)
+            table = LakeTable(spark, d, n_buckets=N_BUCKETS)
             t0 = time.time()
-            table.merge(folded, KEY_COLS, batch_id=0)
+            table.merge_events(ev, KEY_COLS, batch_id=0)
             return time.time() - t0
 
     apply_once()  # JIT/codegen warmup — excluded

@@ -26,6 +26,92 @@ def _c(x) -> Column:
     return x if isinstance(x, Column) else F.lit(x)
 
 
+def _chain_replace(s: Column, pairs: list[tuple[str, str]]) -> Column:
+    """Ordered literal replacements (CharSequenceTranslator semantics —
+    reference EscapeXmlEvaluator et al. delegate to commons-text
+    translators, which are ordered lookup tables)."""
+    out = s
+    for a, b in pairs:
+        out = F.replace(out, F.lit(a), F.lit(b))
+    return out
+
+
+# XML/HTML entity tables (subset matching StringEscapeUtils.escapeXml11 /
+# escapeHtml4 for the ASCII entity set NiFi flows actually use; '&' must be
+# first on escape and last on unescape so entities aren't double-processed)
+_XML_ESC = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&apos;")]
+_HTML_ESC = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")]
+
+
+def _uuid_input(s, ns) -> Column:
+    """namespace-UUID bytes ++ name bytes (RFC 4122 §4.3 digest input)."""
+    return F.concat(
+        F.unhex(F.regexp_replace(_c(ns), "-", "")), _c(s).cast("binary")
+    )
+
+
+def _name_uuid(digest_hex: Column, version: str) -> Column:
+    """Format a digest's first 16 bytes as an RFC-4122 UUID of ``version``:
+    nibble 13 = version, nibble 17 = variant (10xx -> 8/9/a/b)."""
+    variant = F.lower(
+        F.conv(
+            F.conv(F.substring(digest_hex, 17, 1), 16, 10)
+            .cast("int")
+            .bitwiseAND(F.lit(3))
+            .bitwiseOR(F.lit(8))
+            .cast("string"),
+            10,
+            16,
+        )
+    )
+    return F.concat_ws(
+        "-",
+        F.substring(digest_hex, 1, 8),
+        F.substring(digest_hex, 9, 4),
+        F.concat(F.lit(version), F.substring(digest_hex, 14, 3)),
+        F.concat(variant, F.substring(digest_hex, 18, 3)),
+        F.substring(digest_hex, 21, 12),
+    )
+
+
+# java.lang.Math dispatch (reference MathEvaluator.java reflects into Math
+# by method name); deterministic members only — Math.random() is excluded
+# like every other unseeded-randomness source (FIXTURES.md §0).
+_MATH_FNS: dict[str, callable] = {
+    "abs": F.abs,
+    "ceil": lambda x: F.ceil(x).cast("double"),
+    "floor": lambda x: F.floor(x).cast("double"),
+    "sqrt": F.sqrt,
+    "cbrt": F.cbrt,
+    "exp": F.exp,
+    "expm1": F.expm1,
+    "log": F.log,
+    "log10": F.log10,
+    "log1p": F.log1p,
+    "sin": F.sin,
+    "cos": F.cos,
+    "tan": F.tan,
+    "asin": F.asin,
+    "acos": F.acos,
+    "atan": F.atan,
+    "sinh": F.sinh,
+    "cosh": F.cosh,
+    "tanh": F.tanh,
+    "signum": F.signum,
+    "toDegrees": F.degrees,
+    "toRadians": F.radians,
+    # Math.round = floor(x + 0.5) as long — NOT half-even bround
+    "round": lambda x: F.floor(x + F.lit(0.5)).cast("long"),
+    "rint": F.rint,
+    "pow": F.pow,
+    "hypot": F.hypot,
+    "atan2": F.atan2,
+    "max": F.greatest,
+    "min": F.least,
+    "IEEEremainder": lambda a, b: a - F.rint(a / b) * b,
+}
+
+
 EL_FUNCTIONS: dict[str, callable] = {
     # ---- string (EL .../functions/{Append,Prepend,...}Evaluator.java) ----
     "append": lambda s, x: F.concat(_c(s), _c(x)),
@@ -34,10 +120,15 @@ EL_FUNCTIONS: dict[str, callable] = {
     "startsWith": lambda s, x: _c(s).startswith(x),
     "endsWith": lambda s, x: _c(s).endswith(x),
     "indexOf": lambda s, x: F.instr(_c(s), x) - 1,  # NiFi is 0-based
-    "lastIndexOf": lambda s, x: F.length(_c(s))
-    - F.instr(F.reverse(_c(s)), F.reverse(_c(x)))
-    - F.length(_c(x))
-    + 1,
+    # NiFi String.lastIndexOf: -1 when absent (instr()==0 case guarded)
+    "lastIndexOf": lambda s, x: F.when(
+        F.instr(F.reverse(_c(s)), F.reverse(_c(x))) == 0, F.lit(-1)
+    ).otherwise(
+        F.length(_c(s))
+        - F.instr(F.reverse(_c(s)), F.reverse(_c(x)))
+        - F.length(_c(x))
+        + 1
+    ),
     "length": lambda s: F.length(_c(s)),
     "matches": lambda s, p: _c(s).rlike(p),
     "find": lambda s, p: F.regexp_extract(_c(s), p, 0) != "",
@@ -68,13 +159,44 @@ EL_FUNCTIONS: dict[str, callable] = {
     "toUpper": lambda s: F.upper(_c(s)),
     "toLower": lambda s: F.lower(_c(s)),
     "trim": lambda s: F.trim(_c(s)),
-    "padLeft": lambda s, n, p=" ": F.lpad(_c(s), n, p),
-    "padRight": lambda s, n, p=" ": F.rpad(_c(s), n, p),
+    # NiFi PadEvaluator returns the string UNCHANGED when already >= n
+    # (Spark lpad/rpad would truncate it)
+    "padLeft": lambda s, n, p=" ": F.when(
+        F.length(_c(s)) >= n, _c(s)
+    ).otherwise(F.lpad(_c(s), n, p)),
+    "padRight": lambda s, n, p=" ": F.when(
+        F.length(_c(s)) >= n, _c(s)
+    ).otherwise(F.rpad(_c(s), n, p)),
     "repeat": lambda s, n: F.repeat(_c(s), n),
-    "getDelimitedField": lambda s, i, d=",": F.split(_c(s), d).getItem(i - 1),
+    # quote-aware split (GetDelimitedFieldEvaluator quote/escape args): the
+    # delimiter only splits outside double-quoted runs
+    # F.get => NULL on out-of-range index (not an error), matching the
+    # evaluator's null result for a missing field
+    "getDelimitedField": lambda s, i, d=",", quoted=False: F.get(
+        F.split(_c(s), d + r'(?=(?:[^"]*"[^"]*")*[^"]*$)') if quoted else F.split(_c(s), d),
+        i - 1,
+    ),
+    "charAt": lambda s, i: F.substr(_c(s), _c(i) + 1, F.lit(1)),
     "escapeJson": lambda s: F.regexp_replace(
         F.regexp_replace(_c(s), r"\\", r"\\\\"), '"', r"\\\""
     ),
+    # ---- CharSequenceTranslator escapes (Escape*/Unescape*Evaluator.java) ----
+    "escapeXml": lambda s: _chain_replace(_c(s), _XML_ESC),
+    "unescapeXml": lambda s: _chain_replace(_c(s), [(b, a) for a, b in reversed(_XML_ESC)]),
+    "escapeHtml3": lambda s: _chain_replace(_c(s), _HTML_ESC),
+    "escapeHtml4": lambda s: _chain_replace(_c(s), _HTML_ESC),
+    "unescapeHtml3": lambda s: _chain_replace(_c(s), [(b, a) for a, b in reversed(_HTML_ESC)]),
+    "unescapeHtml4": lambda s: _chain_replace(_c(s), [(b, a) for a, b in reversed(_HTML_ESC)]),
+    # escapeCsv: quote when the value contains delimiter/quote/newline,
+    # doubling embedded quotes (commons-text StringEscapeUtils.escapeCsv)
+    "escapeCsv": lambda s: F.when(
+        _c(s).rlike('[,"\n\r]'),
+        F.concat(F.lit('"'), F.replace(_c(s), F.lit('"'), F.lit('""')), F.lit('"')),
+    ).otherwise(_c(s)),
+    "unescapeCsv": lambda s: F.when(
+        _c(s).rlike('^".*"$'),
+        F.replace(F.substr(_c(s), F.lit(2), F.length(_c(s)) - 2), F.lit('""'), F.lit('"')),
+    ).otherwise(_c(s)),
     # ---- math (Plus/Minus/...Evaluator.java) ----
     "plus": lambda a, b: _c(a) + _c(b),
     "minus": lambda a, b: _c(a) - _c(b),
@@ -84,11 +206,17 @@ EL_FUNCTIONS: dict[str, callable] = {
     "toRadix": lambda a, r: F.conv(_c(a).cast("string"), 10, r),
     "fromRadix": lambda a, r: F.conv(_c(a), r, 10).cast("long"),
     "abs": lambda a: F.abs(_c(a)),
+    "toNumberOrNull": lambda a: _c(a).try_cast("long"),
+    "toDecimal": lambda a: _c(a).cast("double"),
+    # java.lang.Math dispatch: el("math", "sqrt", col) ≙ ${n:math('sqrt')}
+    "math": lambda name, *args: _MATH_FNS[name](*[_c(a) for a in args]),
     # ---- date/time (Format/StringToDate/...Evaluator.java) ----
     "toDate": lambda s, fmt: F.to_timestamp(_c(s), fmt),
     "format": lambda t, fmt: F.date_format(_c(t), fmt),
     "toNumber": lambda t: (F.unix_timestamp(_c(t)) * 1000),
     "fromEpochMillis": lambda n: F.timestamp_millis(_c(n).cast("long")),
+    "fromEpochSeconds": lambda n: F.timestamp_seconds(_c(n).cast("long")),
+    "toEpochSeconds": lambda t: F.unix_timestamp(_c(t)),
     # ---- boolean / comparison ----
     "and": lambda a, b: _c(a) & _c(b),
     "or": lambda a, b: _c(a) | _c(b),
@@ -110,9 +238,17 @@ EL_FUNCTIONS: dict[str, callable] = {
     "urlEncode": lambda s: F.url_encode(_c(s)),
     "urlDecode": lambda s: F.url_decode(_c(s)),
     "hashMd5": lambda s: F.md5(_c(s).cast("binary")),
+    "hashSha1": lambda s: F.sha1(_c(s).cast("binary")),
     "hashSha256": lambda s: F.sha2(_c(s).cast("binary"), 256),
+    "hashSha512": lambda s: F.sha2(_c(s).cast("binary"), 512),
     "hash": lambda s: F.xxhash64(_c(s)),
-    "UUID5": lambda s, ns=None: F.md5(F.concat(_c(ns if ns is not None else ""), _c(s))),
+    # RFC-4122 name-based UUIDs (reference Uuid3Evaluator/Uuid5Evaluator):
+    # digest(namespace-bytes || name-bytes), stamp version + variant bits,
+    # format 8-4-4-4-12. Namespace is a UUID string (hyphens stripped ->
+    # unhex -> 16 bytes), matching java.util.UUID.nameUUIDFromBytes and
+    # the RFC 4122 §4.3 SHA-1 construction.
+    "UUID3": lambda s, ns: _name_uuid(F.md5(_uuid_input(s, ns)), "3"),
+    "UUID5": lambda s, ns: _name_uuid(F.sha1(_uuid_input(s, ns)), "5"),
     # ---- JSON (JsonPath*Evaluator.java) ----
     "jsonPath": lambda s, p: F.get_json_object(_c(s), p),
     "isJson": lambda s: F.try_parse_json(_c(s)).isNotNull(),
@@ -137,3 +273,35 @@ def el(name: str, *args) -> Column:
             "deliberately-unmapped environmental/non-deterministic set)"
         ) from None
     return fn(*args)
+
+
+# ---- multi-attribute selection (reference .../evaluation/selection/
+# MultiNamedAttributeEvaluator / MultiMatchAttributeEvaluator and the
+# anyAttribute/allAttributes/joinAttrs grammar). NiFi selects over a
+# FlowFile's attribute map; the engine's analog is a set of columns. ----
+
+
+def any_attribute(cols: list[Column], pred) -> Column:
+    """True iff ``pred(col)`` holds for ANY of the columns
+    (≙ ``${anyAttribute('a','b'):pred()}`` OR-reduction)."""
+    out = None
+    for c in cols:
+        p = pred(c)
+        out = p if out is None else (out | p)
+    return out
+
+
+def all_attributes(cols: list[Column], pred) -> Column:
+    """True iff ``pred(col)`` holds for ALL of the columns
+    (≙ ``${allAttributes('a','b'):pred()}`` AND-reduction)."""
+    out = None
+    for c in cols:
+        p = pred(c)
+        out = p if out is None else (out & p)
+    return out
+
+
+def join_attributes(cols: list[Column], sep: str = ",") -> Column:
+    """Selected columns joined to one string (≙ ``:join(delim)`` on a
+    multi-attribute selection)."""
+    return F.concat_ws(sep, *[c.cast("string") for c in cols])

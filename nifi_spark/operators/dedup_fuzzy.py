@@ -274,32 +274,48 @@ def jaccard_pairs(
     block_cols: list[str] | None = None,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    max_block: int | None = 100_000,
 ) -> DataFrame:
     """Blocked exact n-gram Jaccard pairs (the non-approximate baseline).
 
-    ``block_cols`` bound the quadratic term (e.g. ['lang']); inside a block
-    the join is a self equi-join on the block key then a pairwise filter.
-    Use minhash_dedup_pairs when no natural block exists.
+    ``block_cols`` are REQUIRED: they bound the quadratic term (e.g.
+    ['lang']); inside a block the join is a self equi-join on the block key
+    then a pairwise filter. With no natural block the operator refuses to
+    run — an unbounded self-join on a documents table is the canonical
+    scale-killer — and the caller must use :func:`minhash_dedup_pairs`
+    (sub-quadratic by construction) instead. Blocks larger than
+    ``max_block`` are dropped entirely (same degenerate-bucket guard as
+    ``lsh_pairs.max_bucket``: a 10^6-doc block is a 10^12-pair bomb; such
+    corpora need the LSH path, not a bigger block join).
     """
+    if not block_cols:
+        raise ValueError(
+            "jaccard_pairs requires block_cols — an unblocked all-pairs "
+            "Jaccard is quadratic in the corpus; use minhash_dedup_pairs "
+            "for blockless near-dup detection"
+        )
     sh = df.select(
-        F.col(id_col), *[F.col(c) for c in (block_cols or [])],
+        F.col(id_col), *[F.col(c) for c in block_cols],
         shingles(F.col(text_col), shingle_n).alias("sh"),
     )
+    if max_block is not None:
+        sizes = sh.groupBy(*block_cols).agg(F.count("*").alias("_blk_n"))
+        sh = (
+            sh.join(F.broadcast(sizes), on=block_cols)
+            .filter(F.col("_blk_n") <= max_block)
+            .drop("_blk_n")
+        )
     a = sh.select(
-        *[F.col(c) for c in (block_cols or [])],
+        *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
     )
     b = sh.select(
-        *[F.col(c) for c in (block_cols or [])],
+        *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
     )
-    joined = (
-        a.join(b, on=(block_cols or []), how="inner")
-        if block_cols
-        else a.crossJoin(b)
-    )
     return (
-        joined.filter(F.col("id_a") < F.col("id_b"))
+        a.join(b, on=block_cols, how="inner")
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "jaccard",
             F.round(

@@ -73,6 +73,37 @@ def join_enrichment_wrapper(
     return o.join(e, on=on, how="left")
 
 
+def _global_index(df: DataFrame, order_col: str) -> DataFrame:
+    """Deterministic 1-based global index by ``order_col`` WITHOUT a
+    single-partition window: range-partition by the order column (so
+    partition p holds a contiguous, sorted slice), count rows per
+    partition (tiny aggregate, one row per partition), broadcast the
+    cumulative offsets back, and add the within-partition rank. This is
+    the DataFrame restatement of ``zipWithIndex`` — every stage is
+    parallel; the only driver-side data is the per-partition counts.
+    """
+    from pyspark.sql import Window as W
+
+    n_parts = max(df.sparkSession.sparkContext.defaultParallelism, 2)
+    ranged = df.repartitionByRange(n_parts, F.col(order_col))
+    ranged = ranged.withColumn("_pid", F.spark_partition_id())
+    counts = (
+        ranged.groupBy("_pid").count().collect()
+    )  # bounded: one row per partition
+    offsets = {}
+    acc = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = acc
+        acc += row["count"]
+    off_map = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )
+    w = W.partitionBy("_pid").orderBy(F.col(order_col))
+    return ranged.withColumn(
+        "_ix", (off_map[F.col("_pid")] + F.row_number().over(w)).cast("long")
+    ).drop("_pid")
+
+
 def join_enrichment_indexed(
     original: DataFrame, enrichment: DataFrame, order_col: str
 ) -> DataFrame:
@@ -81,14 +112,12 @@ def join_enrichment_indexed(
     ≙ IndexCorrelatedJoinStrategy (reference
     .../standard/enrichment/IndexCorrelatedJoinStrategy.java): NiFi
     correlates the i-th record of the original FlowFile with the i-th of
-    the enrichment. Needs a deterministic order column on both sides
-    (global row_number is anti-scale; order_col keeps it shuffle-bounded).
+    the enrichment, ordered by a deterministic ``order_col`` on both
+    sides. The index is computed per-partition with broadcast offsets
+    (:func:`_global_index`) — no single-partition global sort.
     """
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.col(order_col))
-    o = original.withColumn("_ix", F.row_number().over(w))
-    e = enrichment.withColumn("_ix", F.row_number().over(w))
+    o = _global_index(original, order_col)
+    e = _global_index(enrichment, order_col)
     dup = [c for c in e.columns if c in o.columns and c != "_ix"]
     return o.join(e.drop(*dup), on="_ix", how="left").drop("_ix")
 
@@ -145,18 +174,28 @@ def defragment(
 
 
 def detect_duplicate(
-    df: DataFrame, key: Column, keep: str = "first", order_col: str | None = None
+    df: DataFrame, key: Column, keep: str = "first", order_col: str = None
 ) -> DataFrame:
     """Flag cross-row duplicates of a computed key (≙ DetectDuplicate).
 
     Reference DetectDuplicate.java keys a DistributedMapCache on an
     EL-computed value; here a window over the key marks every row beyond
     the first occurrence (ordered by ``order_col``) as duplicate.
+
+    ``order_col`` is REQUIRED: "first" must be defined by a data column,
+    never by physical row position (monotonically_increasing_id is
+    partition-layout-dependent — the same input repartitioned differently
+    would flag different survivors, breaking replay determinism).
     """
     from pyspark.sql import Window as W
 
-    order = F.col(order_col) if order_col else F.monotonically_increasing_id()
-    w = W.partitionBy(key).orderBy(order)
+    if order_col is None:
+        raise ValueError(
+            "detect_duplicate requires order_col — 'first occurrence' must be "
+            "defined by the data (e.g. a sequence/id column), not by "
+            "partition layout"
+        )
+    w = W.partitionBy(key).orderBy(F.col(order_col))
     return df.withColumn("is_duplicate", F.row_number().over(w) > 1)
 
 

@@ -42,13 +42,20 @@ def per_key_value_stats(
     out_schema = f"{key_schema}, n long, min_value double, max_value double, sum_cents long"
 
     def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         row = {k: [pdf[k].iloc[0]] for k in keys}
         v = pdf[value_col]
+        # half-AWAY-from-zero cent rounding (np.floor(v*100+0.5) for the
+        # non-negative values here) so Spark and the DuckDB oracle share one
+        # tie-break rule — pandas .round() is half-to-even and diverges on
+        # exact .5 cents (repo DECIMAL-addend convention, FIXTURES.md §3)
+        cents = np.floor(v.to_numpy() * 100 + 0.5).astype("int64")
         row.update(
             n=[len(pdf)],
             min_value=[v.min()],
             max_value=[v.max()],
-            sum_cents=[int((v * 100).round().astype("int64").sum())],
+            sum_cents=[int(cents.sum())],
         )
         return pd.DataFrame(row)
 

@@ -10,33 +10,47 @@ table over parquet — the Iceberg model re-expressed, not a toy:
   live files at that version. Readers see the latest committed manifest
   only; writers never mutate files (copy-on-write ≙ Iceberg snapshots,
   reference nifi-docs nifi-in-depth.adoc:72-76 immutability rationale).
-- **Atomic commit with optimistic retry**: manifests are staged to a temp
-  name and ``rename``d into place; a losing racer re-reads state and
-  retries, mirroring PutIceberg's exponential-backoff retry on
+- **Atomic commit with optimistic rebase-retry**: manifests are staged to a
+  temp name and moved into place with Hadoop ``rename`` (fails when the
+  destination exists — atomic on HDFS, see fsio.py for the store-by-store
+  contract). A losing racer re-reads the new head and REBASES: the builder
+  callback receives the current head manifest, re-derives the untouched-
+  bucket file map and re-checks idempotency against it, and only then
+  restamps — mirroring Iceberg's re-validate-and-reapply on
   ``CommitFailedException`` (reference nifi-iceberg-processors
-  PutIceberg.java:367-383).
+  PutIceberg.java:367-383). When the concurrent commit touched an
+  overlapping bucket the rewrite is stale and the builder raises
+  :class:`CommitConflict` instead of silently dropping the other writer's
+  rows — the caller must re-run the merge against the new head.
 - **Idempotent commit IDs**: each commit stamps ``summary.batch_id`` — the
   generalization of NiFi's ``nifi-flowfile-uuid`` snapshot-summary marker
   (PutIceberg.java:89-93, 392-399). :meth:`LakeTable.last_batch_id` lets a
-  restarted job skip already-applied batches (exactly-once on at-least-once
-  replay).
+  restarted job skip already-applied batches; the check is re-evaluated
+  against the head INSIDE the commit loop, so replay-vs-race is also safe.
 - **Bucket partitioning + pruning**: rows are hash-bucketed on the first
   key column (``bucket(conv_id)`` per FIXTURES.md §1); a merge rewrites
   only the buckets its batch touches — at 10^10 rows and 1024 buckets a
   typical batch rewrites a small fraction of the table, which is exactly
   Iceberg COW with partition pruning.
-- **MERGE semantics**: :meth:`merge` applies a pre-folded change batch with
-  the arms of PutDatabaseRecord's statement types (reference
+- **MERGE semantics**: :meth:`merge_events` applies a change batch with the
+  arms of PutDatabaseRecord's statement types (reference
   .../standard/PutDatabaseRecord.java:119-128 INSERT/UPDATE/UPSERT/DELETE):
   source newer than target → update (or tombstone when op='D'); source for
   absent key → insert (unless a newer tombstone exists); stale source →
   ignored (cross-batch last-writer-wins guard ``source.seq > target._seq``).
+- **One-shuffle physical plan**: the batch is hash-repartitioned once on
+  ``_bucket``; because ``_bucket`` is a function of the join/group key, the
+  LWW fold (``groupBy(_bucket, key)``), the full-outer merge join against
+  the bucket-repartitioned target, and the ``partitionBy(_pb)`` file write
+  all reuse that single exchange (subset-key co-partitioning —
+  ``spark.sql.requireAllClusterKeysForCoPartition=false``, set in
+  session.py). Verified by plan assertion in tests/test_laketable.py.
 - **Tombstones**: deletes persist as ``_deleted=true`` rows retaining
   ``_seq`` so a *stale* pre-delete update arriving in a later batch cannot
   resurrect the row, while a genuinely newer re-insert wins (risk register
   SURVEY.md §7.3). :meth:`read` filters tombstones; compaction may purge
   them once the watermark passes.
-- **Additive schema evolution**: :meth:`merge` diffs incoming payload
+- **Additive schema evolution**: :meth:`merge_events` diffs incoming payload
   columns against the table schema and appends new nullable fields to the
   manifest schema (≙ UpdateDatabaseTable.java:506-541 ALTER TABLE ADD
   COLUMN); old files are read with the evolved schema (missing columns
@@ -49,13 +63,15 @@ On a real cluster with Iceberg jars, swap this class for
 from __future__ import annotations
 
 import json
-import os
 import time
 import uuid
+from typing import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..fsio import FsIO, join as pjoin
 
 _COMMITS = "_commits"
 _DATA = "data"
@@ -71,18 +87,18 @@ class LakeTable:
         self.spark = spark
         self.path = path.rstrip("/")
         self.n_buckets = n_buckets
+        self._io = FsIO(spark, self.path)
 
     # ---------- commit log ----------
 
     def _commits_dir(self) -> str:
-        return os.path.join(self.path, _COMMITS)
+        return pjoin(self.path, _COMMITS)
 
     def _versions(self) -> list[int]:
-        d = self._commits_dir()
-        if not os.path.isdir(d):
-            return []
         return sorted(
-            int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+            int(f[1:-5])
+            for f in self._io.list_names(self._commits_dir())
+            if f.startswith("v") and f.endswith(".json")
         )
 
     def current_version(self) -> int:
@@ -93,8 +109,9 @@ class LakeTable:
         version = version or self.current_version()
         if version == 0:
             return None
-        with open(os.path.join(self._commits_dir(), f"v{version:08d}.json")) as f:
-            return json.load(f)
+        return json.loads(
+            self._io.read_text(pjoin(self._commits_dir(), f"v{version:08d}.json"))
+        )
 
     def exists(self) -> bool:
         return self.current_version() > 0
@@ -102,9 +119,13 @@ class LakeTable:
     def last_batch_id(self) -> int | None:
         """Latest committed batch id — the idempotency/resume marker."""
         m = self._manifest()
-        if m is None:
+        return self._batch_id_of(m)
+
+    @staticmethod
+    def _batch_id_of(manifest: dict | None) -> int | None:
+        if manifest is None:
             return None
-        b = m.get("summary", {}).get("batch_id")
+        b = manifest.get("summary", {}).get("batch_id")
         return int(b) if b is not None else None
 
     def schema(self, version: int | None = None) -> T.StructType | None:
@@ -115,31 +136,38 @@ class LakeTable:
         m = self._manifest(version)
         return m.get("summary", {}) if m else {}
 
-    def _commit(self, manifest: dict, max_retries: int = 10) -> int:
-        """Atomic rename commit with optimistic retry (≙ PutIceberg.java:367-383)."""
-        os.makedirs(self._commits_dir(), exist_ok=True)
+    def _commit(
+        self, build: Callable[[dict | None], dict | None], max_retries: int = 10
+    ) -> int | None:
+        """Optimistic commit loop with head rebase.
+
+        ``build(head_manifest)`` derives the manifest to stamp from the
+        CURRENT head (None when the table is empty). It may return None
+        (nothing to do — e.g. batch already applied) or raise
+        :class:`CommitConflict` (the head moved in a way that invalidates
+        the staged data files). Stamp = write temp manifest + atomic
+        rename; a lost rename re-reads the head and rebuilds.
+        ≙ PutIceberg.java:367-383 retry on CommitFailedException.
+        """
+        self._io.mkdirs(self._commits_dir())
         backoff = 0.1
         for _ in range(max_retries):
-            version = self.current_version() + 1
+            head_version = self.current_version()
+            head = self._manifest(head_version) if head_version else None
+            manifest = build(head)
+            if manifest is None:
+                return None
+            version = head_version + 1
             manifest["version"] = version
             manifest["snapshot_id"] = version
-            tmp = os.path.join(self._commits_dir(), f".tmp-{uuid.uuid4().hex}.json")
-            final = os.path.join(self._commits_dir(), f"v{version:08d}.json")
-            with open(tmp, "w") as f:
-                json.dump(manifest, f)
-            if os.path.exists(final):
-                os.unlink(tmp)
-                time.sleep(backoff)
-                backoff = min(backoff * 2, 2.0)
-                continue
-            try:
-                os.link(tmp, final)  # atomic, fails if racer won
-                os.unlink(tmp)
+            tmp = pjoin(self._commits_dir(), f".tmp-{uuid.uuid4().hex}.json")
+            final = pjoin(self._commits_dir(), f"v{version:08d}.json")
+            self._io.write_text(tmp, json.dumps(manifest))
+            if self._io.rename_no_overwrite(tmp, final):
                 return version
-            except FileExistsError:
-                os.unlink(tmp)
-                time.sleep(backoff)
-                backoff = min(backoff * 2, 2.0)
+            self._io.delete(tmp)  # racer won this version — rebase and retry
+            time.sleep(backoff)
+            backoff = min(backoff * 2, 2.0)
         raise CommitConflict(f"could not commit after {max_retries} retries")
 
     # ---------- reads ----------
@@ -178,19 +206,21 @@ class LakeTable:
     # ---------- maintenance ----------
 
     def compact(self, purge_tombstones_below_seq: int | None = None) -> int:
-        """Rewrite every bucket into one file; optionally purge tombstones.
+        """Rewrite every bucket into fewer files; optionally purge tombstones.
 
         ≙ Iceberg data-file compaction (rewrite_data_files) + the
-        MergeContent small-file story (SURVEY.md §2.6): merges spread
-        tombstone-ridden many-file buckets from incremental merges back to
-        one file per bucket. Tombstones older than
-        ``purge_tombstones_below_seq`` can be physically dropped once the
-        caller knows no stale event below that seq can still arrive (the
-        watermark contract); newer tombstones are kept so late stale
-        updates still lose. Commits a new snapshot; readers of old
-        versions are unaffected (copy-on-write).
+        MergeContent small-file story (SURVEY.md §2.6). Tombstones older
+        than ``purge_tombstones_below_seq`` can be physically dropped once
+        the caller knows no stale event below that seq can still arrive
+        (the watermark contract); newer tombstones are kept so late stale
+        updates still lose. Commits a new snapshot; readers of old versions
+        are unaffected (copy-on-write). If any writer commits between the
+        snapshot this compaction read and its own commit, the compaction
+        ABORTS with :class:`CommitConflict` (its rewrite would drop the
+        concurrent merge's rows) — compaction is cheap to re-run.
         """
-        df = self.read_raw()
+        base_version = self.current_version()
+        df = self.read_raw(version=base_version)
         if purge_tombstones_below_seq is not None:
             df = df.filter(
                 ~(
@@ -199,45 +229,58 @@ class LakeTable:
                 )
             )
         files = self._write_buckets(df, f"v{uuid.uuid4().hex[:12]}")
-        manifest = {
-            "schema": json.dumps(self.schema().jsonValue()),
-            "n_buckets": self.n_buckets,
-            "files": files,
-            "summary": {**self.snapshot_summary(), "compaction": True},
-            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
-        return self._commit(manifest)
+        base_schema = json.dumps(self.schema(base_version).jsonValue())
+        base_summary = self.snapshot_summary(base_version)
+
+        def build(head: dict | None) -> dict:
+            if head is None or head["version"] != base_version:
+                raise CommitConflict(
+                    "concurrent commit during compaction "
+                    f"(read v{base_version}, head moved) — re-run compact()"
+                )
+            return {
+                "schema": base_schema,
+                "n_buckets": self.n_buckets,
+                "files": files,
+                "summary": {**base_summary, "compaction": True},
+                "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+
+        return self._commit(build)
 
     # ---------- writes ----------
 
     def _bucket_col(self, key_col: str) -> F.Column:
         return F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets)).cast("int")
 
-    def _write_buckets(self, df: DataFrame, version_tag: str) -> dict[str, list[str]]:
-        """Write df (must carry _bucket) into per-bucket dirs; return bucket→files."""
-        out_dir = os.path.join(self.path, _DATA, version_tag)
+    def _write_partitioned(self, df: DataFrame, version_tag: str) -> dict[str, list[str]]:
+        """Write df (already carrying + partitioned by ``_bucket``) into
+        per-bucket dirs; return bucket→files. No exchange is added: the
+        dynamic-partition writer only local-sorts each task by ``_pb``."""
+        out_dir = pjoin(self.path, _DATA, version_tag)
         (
-            # n_buckets explicit → ~1:1 bucket-to-task mapping; letting the
-            # default shuffle-partition count pack several buckets per task
-            # forces the dynamic-partition writer into a per-task sort
-            # (measured 3x slower at 1M rows / 64 buckets).
             df.withColumn("_pb", F.col("_bucket"))
-            .repartition(self.n_buckets, F.col("_pb"))
             .write.partitionBy("_pb")
             .mode("overwrite")
             .parquet(out_dir)
         )
         mapping: dict[str, list[str]] = {}
-        for entry in os.listdir(out_dir):
+        for entry in self._io.list_names(out_dir):
             if entry.startswith("_pb="):
                 b = entry.split("=", 1)[1]
-                pdir = os.path.join(out_dir, entry)
+                pdir = pjoin(out_dir, entry)
                 mapping[b] = [
-                    os.path.join(pdir, f)
-                    for f in os.listdir(pdir)
+                    pjoin(pdir, f)
+                    for f in self._io.list_names(pdir)
                     if f.endswith(".parquet")
                 ]
         return mapping
+
+    def _write_buckets(self, df: DataFrame, version_tag: str) -> dict[str, list[str]]:
+        """Repartition on _bucket then write (for dfs not already aligned)."""
+        return self._write_partitioned(
+            df.repartition(self.n_buckets, F.col("_bucket")), version_tag
+        )
 
     def create(
         self, df: DataFrame, key_cols: list[str], seq_col: str = "_seq", summary: dict | None = None
@@ -249,14 +292,20 @@ class LakeTable:
             df = df.withColumn("_deleted", F.lit(False))
         df = df.withColumn("_bucket", self._bucket_col(key_cols[0]))
         files = self._write_buckets(df, f"v{uuid.uuid4().hex[:12]}")
-        manifest = {
-            "schema": json.dumps(df.schema.jsonValue()),
-            "n_buckets": self.n_buckets,
-            "files": files,
-            "summary": summary or {},
-            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
-        return self._commit(manifest)
+        schema_json = json.dumps(df.schema.jsonValue())
+
+        def build(head: dict | None) -> dict:
+            if head is not None:
+                raise CommitConflict("table already exists; use merge_events()")
+            return {
+                "schema": schema_json,
+                "n_buckets": self.n_buckets,
+                "files": files,
+                "summary": summary or {},
+                "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+
+        return self._commit(build)
 
     def merge(
         self,
@@ -269,7 +318,9 @@ class LakeTable:
     ) -> int | None:
         """MERGE a pre-folded change batch (one row per key, op ∈ I/U/D).
 
-        Equivalent SQL (the real-Iceberg path, IcebergMergeSink):
+        Compatibility wrapper over :meth:`merge_events` with
+        ``pre_folded=True``. Equivalent SQL (the real-Iceberg path,
+        IcebergMergeSink):
 
             MERGE INTO t USING b ON t.k = b.k
             WHEN MATCHED AND b.seq > t._seq AND b.op = 'D' THEN UPDATE SET _deleted=true, _seq=b.seq
@@ -279,55 +330,121 @@ class LakeTable:
         Returns the new version, or None if ``batch_id`` was already
         committed (idempotent replay).
         """
-        if batch_id is not None:
-            last = self.last_batch_id()
-            if last is not None and batch_id <= last:
-                return None  # already applied — exactly-once on replay
+        return self.merge_events(
+            batch, key_cols, seq_col, op_col, batch_id, extra_summary, pre_folded=True
+        )
 
-        payload_cols = [c for c in batch.columns if c not in (*key_cols, seq_col, op_col)]
-        src = batch.withColumn("_bucket", self._bucket_col(key_cols[0]))
-        if not self.exists():
-            # initial snapshot: single write, no probe — caching would only
-            # add a block-manager copy of the whole batch
-            return self._merge_cached(
-                src, key_cols, seq_col, op_col, batch_id, extra_summary, payload_cols
+    def merge_events(
+        self,
+        events: DataFrame,
+        key_cols: list[str],
+        seq_col: str = "seq",
+        op_col: str = "op",
+        batch_id: int | None = None,
+        extra_summary: dict | None = None,
+        pre_folded: bool = False,
+        fold_mode: str = "bucket",
+    ) -> int | None:
+        """Fold a raw change batch to last-writer-wins per key and MERGE it —
+        one physical shuffle for fold + join + write.
+
+        ``fold_mode``:
+
+        - ``"bucket"`` (default): hash-repartition raw events on ``_bucket``
+          once; the per-key LWW fold runs inside bucket partitions
+          (``groupBy(_bucket, key)`` reuses the exchange), the merge join
+          and the partitioned file write reuse it too. Shuffle volume is
+          O(events) once. Right when events ≈ keys per batch (CDC steady
+          state) or when upstream normalization dominates.
+        - ``"prefold"``: two-phase — map-side partial LWW fold first
+          (shuffle volume O(distinct keys per mapper), the skew defense:
+          a Zipf-hot key is pre-folded to one row per map partition, see
+          operators/ordering.py), then bucket repartition of the folded
+          rows. Two shuffles, but the second moves only folded keys. Right
+          when events ≫ keys (heavy edit churn on few keys).
+
+        Key columns must be non-null (null keys belong in the DLQ — the
+        pipeline routes them there before this call).
+        """
+        if events is None:
+            return None
+        payload_cols = [
+            c for c in events.columns if c not in (*key_cols, seq_col, op_col)
+        ]
+        src = events.withColumn("_bucket", self._bucket_col(key_cols[0]))
+        np = [c for c in events.columns if c not in key_cols]  # non-key incl seq/op
+        if pre_folded:
+            folded = src.repartition(self.n_buckets, F.col("_bucket"))
+        elif fold_mode == "prefold":
+            folded = (
+                src.groupBy(*key_cols)
+                .agg(F.max_by(F.struct(*np, "_bucket"), F.col(seq_col)).alias("_w"))
+                .select(*key_cols, "_w.*")
+                .repartition(self.n_buckets, F.col("_bucket"))
             )
-        # One micro-batch: cache it — both the touched-bucket probe and the
-        # write re-read it, and upstream may be a full fold of the feed.
-        src = src.cache()
+        else:
+            folded = (
+                src.repartition(self.n_buckets, F.col("_bucket"))
+                .groupBy("_bucket", *key_cols)
+                .agg(F.max_by(F.struct(*np), F.col(seq_col)).alias("_w"))
+                .select("_bucket", *key_cols, "_w.*")
+            )
+
+        if not self.exists():
+            return self._commit_initial(
+                folded, key_cols, seq_col, op_col, batch_id, extra_summary, payload_cols
+            )
+        # Incremental: the touched-bucket probe and the merge join both read
+        # the folded batch — cache it across the two actions.
+        folded = folded.cache()
         try:
-            return self._merge_cached(
-                src, key_cols, seq_col, op_col, batch_id, extra_summary, payload_cols
+            return self._merge_incremental(
+                folded, key_cols, seq_col, op_col, batch_id, extra_summary, payload_cols
             )
         finally:
-            src.unpersist()
+            folded.unpersist()
 
-    def _merge_cached(
-        self, src, key_cols, seq_col, op_col, batch_id, extra_summary, payload_cols
+    def _commit_initial(
+        self, folded, key_cols, seq_col, op_col, batch_id, extra_summary, payload_cols
     ) -> int | None:
-        if not self.exists():
-            merged = src.select(
-                *key_cols,
-                *payload_cols,
-                F.col(seq_col).cast("long").alias("_seq"),
-                (F.col(op_col) == "D").alias("_deleted"),
-                "_bucket",
-            )
-            new_schema = merged.schema
-            files = self._write_buckets(merged, f"v{uuid.uuid4().hex[:12]}")
-            manifest = {
-                "schema": json.dumps(new_schema.jsonValue()),
+        merged = folded.select(
+            *key_cols,
+            *payload_cols,
+            F.col(seq_col).cast("long").alias("_seq"),
+            (F.col(op_col) == "D").alias("_deleted"),
+            "_bucket",
+        )
+        schema_json = json.dumps(merged.schema.jsonValue())
+        files = self._write_partitioned(merged, f"v{uuid.uuid4().hex[:12]}")
+
+        def build(head: dict | None) -> dict | None:
+            if head is not None:
+                # another writer created the table between our probe and
+                # commit; our files ignore its rows — cannot rebase
+                raise CommitConflict("table created concurrently — re-run merge")
+            return {
+                "schema": schema_json,
                 "n_buckets": self.n_buckets,
                 "files": files,
                 "summary": {**(extra_summary or {}), "batch_id": batch_id},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
-            return self._commit(manifest)
+
+        return self._commit(build)
+
+    def _merge_incremental(
+        self, folded, key_cols, seq_col, op_col, batch_id, extra_summary, payload_cols
+    ) -> int | None:
+        base_version = self.current_version()
+        if batch_id is not None:
+            last = self._batch_id_of(self._manifest(base_version))
+            if last is not None and batch_id <= last:
+                return None  # already applied — exactly-once on replay
 
         # ---- schema evolution: append new payload columns (nullable) ----
-        table_schema = self.schema()
+        table_schema = self.schema(base_version)
         table_user_cols = [f.name for f in table_schema.fields if f.name not in INTERNAL_COLS]
-        src_types = dict(zip(src.schema.names, src.schema.fields))
+        src_types = dict(zip(folded.schema.names, folded.schema.fields))
         new_fields = [
             T.StructField(c, src_types[c].dataType, True)
             for c in payload_cols
@@ -341,9 +458,10 @@ class LakeTable:
         user_cols = [f.name for f in evolved.fields if f.name not in INTERNAL_COLS]
 
         # ---- bucket pruning: rewrite only touched buckets ----
-        touched = sorted(r[0] for r in src.select("_bucket").distinct().collect())
+        touched = sorted(r[0] for r in folded.select("_bucket").distinct().collect())
+        base_files = self._bucket_files(base_version)
         touched_files = [
-            f for b, fl in self._bucket_files().items() if int(b) in touched for f in fl
+            f for b, fl in base_files.items() if int(b) in touched for f in fl
         ]
         target = (
             self.spark.read.schema(evolved).parquet(*touched_files)
@@ -351,13 +469,16 @@ class LakeTable:
             else self.spark.createDataFrame([], evolved)
         )
 
+        # ---- bucket-aligned full-outer merge join (no added exchange:
+        # both sides are hash-partitioned on the _bucket join key) ----
         evolved_types = {f.name: f.dataType for f in evolved.fields}
         val_cols = [c for c in user_cols if c not in key_cols]
-        src_sel = src.select(
+        src_sel = folded.select(
+            F.col("_bucket").alias("_sb"),
             *[F.col(k).alias(f"_s_{k}") for k in key_cols],
             F.struct(
                 *[
-                    (F.col(c) if c in src.columns else F.lit(None).cast(evolved_types[c])).alias(c)
+                    (F.col(c) if c in folded.columns else F.lit(None).cast(evolved_types[c])).alias(c)
                     for c in val_cols
                 ],
                 F.col(seq_col).cast("long").alias("_seq"),
@@ -365,13 +486,15 @@ class LakeTable:
                 F.col("_bucket"),
             ).alias("_src"),
         )
-        tgt_sel = target.select(
+        tgt_sel = target.repartition(self.n_buckets, F.col("_bucket")).select(
+            F.col("_bucket").alias("_tb"),
             *key_cols,
             F.struct(*val_cols, "_seq", "_deleted", "_bucket").alias("_tgt"),
         )
         joined = tgt_sel.join(
             src_sel,
-            on=[F.col(k) == F.col(f"_s_{k}") for k in key_cols],
+            on=[F.col("_tb") == F.col("_sb")]
+            + [F.col(k) == F.col(f"_s_{k}") for k in key_cols],
             how="full_outer",
         )
         take_src = F.col("_tgt").isNull() | (
@@ -383,27 +506,48 @@ class LakeTable:
             winner.alias("_w"),
         ).select(*key_cols, "_w.*")
 
-        files = dict(self._bucket_files())  # untouched buckets carry over
-        new_files = self._write_buckets(merged, f"v{uuid.uuid4().hex[:12]}")
-        for b in touched:
-            files[str(b)] = new_files.get(str(b), [])
-        manifest = {
-            "schema": json.dumps(
-                T.StructType(
-                    [T.StructField(c, dict(zip(evolved.names, evolved.fields))[c].dataType, True) for c in user_cols]
-                    + [
-                        T.StructField("_seq", T.LongType(), True),
-                        T.StructField("_deleted", T.BooleanType(), True),
-                        T.StructField("_bucket", T.IntegerType(), True),
-                    ]
-                ).jsonValue()
-            ),
-            "n_buckets": self.n_buckets,
-            "files": files,
-            "summary": {**(extra_summary or {}), "batch_id": batch_id},
-            "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
-        }
-        return self._commit(manifest)
+        new_files = self._write_partitioned(merged, f"v{uuid.uuid4().hex[:12]}")
+        schema_json = json.dumps(
+            T.StructType(
+                [
+                    T.StructField(c, evolved_types[c], True)
+                    for c in user_cols
+                ]
+                + [
+                    T.StructField("_seq", T.LongType(), True),
+                    T.StructField("_deleted", T.BooleanType(), True),
+                    T.StructField("_bucket", T.IntegerType(), True),
+                ]
+            ).jsonValue()
+        )
+
+        def build(head: dict | None) -> dict | None:
+            if head is None:
+                raise CommitConflict("table disappeared during merge")
+            if batch_id is not None:
+                last = self._batch_id_of(head)
+                if last is not None and batch_id <= last:
+                    return None  # raced with our own replay — already applied
+            files = dict(head["files"])
+            if head["version"] != base_version:
+                # Rebase: safe iff the concurrent commits did not touch the
+                # buckets we rewrote (our rewrite folded base-version data).
+                for b in touched:
+                    if files.get(str(b), []) != base_files.get(str(b), []):
+                        raise CommitConflict(
+                            f"concurrent commit rewrote bucket {b} — re-run merge"
+                        )
+            for b in touched:
+                files[str(b)] = new_files.get(str(b), [])
+            return {
+                "schema": schema_json,
+                "n_buckets": self.n_buckets,
+                "files": files,
+                "summary": {**(extra_summary or {}), "batch_id": batch_id},
+                "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+
+        return self._commit(build)
 
 
 class IcebergMergeSink:

@@ -55,13 +55,34 @@ class MaxValueState:
             os.replace(tmp, self.path)
 
 
+def _sql_literal(value) -> str:
+    """Type-aware SQL literal for the watermark (≙ reference
+    AbstractDatabaseFetchProcessor.getLiteralByType): numbers verbatim,
+    ISO timestamp strings as TIMESTAMP literals, everything else as a
+    single-quoted string with embedded quotes doubled (never interpolated
+    raw — a quote in a string watermark must not break or inject into the
+    shipped subquery)."""
+    import datetime
+    import re
+
+    if isinstance(value, bool):
+        return "TRUE" if value else "FALSE"
+    if isinstance(value, (int, float)):
+        return repr(value)
+    if isinstance(value, (datetime.datetime, datetime.date)):
+        return f"TIMESTAMP '{value.isoformat(sep=' ')}'"
+    s = str(value).replace("'", "''")
+    if re.fullmatch(r"\d{4}-\d{2}-\d{2}[T ]\d{2}:\d{2}:\d{2}(\.\d+)?", str(value)):
+        return f"TIMESTAMP '{s.replace('T', ' ')}'"
+    return f"'{s}'"
+
+
 def incremental_predicate(state: MaxValueState, table: str, max_value_column: str) -> str | None:
     """WHERE fragment for the next poll, or None on first run (full scan)."""
     last = state.get(table, max_value_column)
     if last is None:
         return None
-    val = f"'{last}'" if isinstance(last, str) else str(last)
-    return f"{max_value_column} > {val}"
+    return f"{max_value_column} > {_sql_literal(last)}"
 
 
 def read_incremental(

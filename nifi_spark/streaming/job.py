@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..normalize import normalize_json
-from ..operators.ordering import lww_fold, lww_fold_salted
+from ..operators.ordering import lww_fold_salted
 from ..schema import CHANGE_EVENTS, KEY_COLS
 from ..sinks.laketable import LakeTable
 from ..lineage import lineage_records, write_lineage
@@ -53,11 +53,13 @@ class CdcPipeline:
         salt_buckets: int = 0,
         watermark_delay_s: int | None = None,
         from_json_payload: bool = False,
+        fold_mode: str = "bucket",
     ):
         self.spark = spark
         self.table = LakeTable(spark, table_path, n_buckets=n_buckets)
         self.checkpoint_dir = checkpoint_dir
         self.salt_buckets = salt_buckets
+        self.fold_mode = fold_mode
         self.watermark_delay_s = watermark_delay_s
         self.from_json_payload = from_json_payload
         self.table_path = table_path
@@ -80,7 +82,7 @@ class CdcPipeline:
     # ---------- batch apply (the foreachBatch body) ----------
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
-        """Normalize → DLQ split → late-split → fold → merge → lineage.
+        """Normalize → flag (DLQ/late) → one metrics pass → merge → lineage.
 
         Returns metrics. Malformed events (unparseable payload / missing
         key or sequence) route to a dead-letter table under
@@ -88,6 +90,13 @@ class CdcPipeline:
         RetryFlowFile/penalization analog (reference
         .../standard/RetryFlowFile.java `retries_exceeded` routing;
         SURVEY.md §1.1 penalization row).
+
+        Driver-action budget per micro-batch (the fixed cost that
+        serializes a thousands-of-batches stream): ONE cached metrics
+        aggregation (bad + late + good counts + max event time together),
+        an optional DLQ write that reads the cache, and the merge itself
+        — down from the 4+ separate count()/collect() actions of the
+        naive formulation.
         """
         metrics = {"batch_id": batch_id, "n_events": 0, "n_late": 0, "n_dlq": 0, "version": None}
         if self.from_json_payload:
@@ -100,11 +109,38 @@ class CdcPipeline:
                 | F.col("conv_id").isNull()
                 | F.col("turn_idx").isNull()
             )
-            bad = parsed.filter(bad_cond)
-            n_dlq = bad.count()
+        else:
+            parsed = batch_df
+            bad_cond = F.lit(False)
+
+        late_cond = F.lit(False)
+        if self.watermark_delay_s is not None:
+            prev_max = self._load_watermark()
+            if prev_max is not None:
+                cutoff = F.timestamp_seconds(F.lit(prev_max - self.watermark_delay_s))
+                late_cond = F.col("ts") < cutoff
+
+        flagged = parsed.withColumn("_bad", bad_cond).withColumn(
+            "_late", ~F.col("_bad") & late_cond
+        )
+        flagged = flagged.cache()
+        try:
+            agg = flagged.agg(
+                F.count("*").alias("total"),
+                F.sum(F.col("_bad").cast("long")).alias("n_dlq"),
+                F.sum(F.col("_late").cast("long")).alias("n_late"),
+                F.max(
+                    F.when(~F.col("_bad") & ~F.col("_late"), F.unix_timestamp("ts"))
+                ).alias("mx"),
+            ).collect()[0]
+            n_dlq = int(agg["n_dlq"] or 0)
+            n_late = int(agg["n_late"] or 0)
+            n_events = int(agg["total"] or 0) - n_dlq - n_late
+            metrics.update(n_events=n_events, n_late=n_late, n_dlq=n_dlq)
             if n_dlq:
                 (
-                    bad.select(
+                    flagged.filter(F.col("_bad"))
+                    .select(
                         F.lit(batch_id).cast("long").alias("batch_id"),
                         "payload_json",
                         "source_file",
@@ -115,65 +151,45 @@ class CdcPipeline:
                     .write.mode("append")
                     .parquet(os.path.join(self.table_path, "_dlq"))
                 )
-            metrics["n_dlq"] = n_dlq
-            events = parsed.filter(~bad_cond).drop("payload_json")
-        else:
-            events = batch_df
-
-        # late-data accounting against the engine watermark
-        n_late = 0
-        if self.watermark_delay_s is not None:
-            prev_max = self._load_watermark()
-            if prev_max is not None:
-                cutoff = F.timestamp_seconds(F.lit(prev_max - self.watermark_delay_s))
-                late = events.filter(F.col("ts") < cutoff)
-                n_late = late.count()
-                events = events.filter(F.col("ts") >= cutoff)
-
-        events = events.cache()
-        try:
-            agg = events.agg(
-                F.count("*").alias("n"), F.max(F.unix_timestamp("ts")).alias("mx")
-            ).collect()[0]
-            n_events = agg["n"]
-            metrics.update(n_events=n_events, n_late=n_late)
-            if n_events == 0 and n_late == 0:
+            if n_events == 0:
                 return metrics
 
-            if n_events > 0:
-                payload = events.select(
-                    "seq", "op", "ts", *KEY_COLS,
-                    *[c for c in events.columns if c not in ("seq", "op", "ts", *KEY_COLS, "source_file", "source_pos", "payload_json")],
+            events = flagged.filter(~F.col("_bad") & ~F.col("_late"))
+            payload = events.select(
+                "seq", "op", "ts", *KEY_COLS,
+                *[c for c in events.columns if c not in ("seq", "op", "ts", *KEY_COLS, "source_file", "source_pos", "payload_json", "_bad", "_late")],
+            )
+            # Fold strategy (see laketable.merge_events + operators/ordering):
+            # "salted" = explicit two-phase salted fold for extreme hot keys;
+            # "prefold" = map-side partial LWW fold (shuffle O(keys));
+            # "bucket" (default) = fold inside the single bucket shuffle.
+            if self.salt_buckets and self.salt_buckets > 1:
+                folded = lww_fold_salted(
+                    payload, key_cols=KEY_COLS,
+                    salt_buckets=self.salt_buckets, keep_deletes=True,
                 )
-                # Plain hash-aggregate LWW fold by default: map-side partial
-                # aggregation already bounds hot-key skew (see
-                # operators/ordering.py). salt_buckets>1 opts into the
-                # two-phase fold for payloads where partial agg can't run.
-                if self.salt_buckets and self.salt_buckets > 1:
-                    folded = lww_fold_salted(
-                        payload, key_cols=KEY_COLS,
-                        salt_buckets=self.salt_buckets, keep_deletes=True,
-                    )
-                else:
-                    folded = lww_fold(payload, key_cols=KEY_COLS, keep_deletes=True)
                 version = self.table.merge(
-                    folded,
-                    KEY_COLS,
-                    seq_col="seq",
-                    op_col="op",
+                    folded, KEY_COLS, seq_col="seq", op_col="op",
                     batch_id=batch_id,
                     extra_summary={"n_events": n_events, "n_late": n_late},
                 )
-                metrics["version"] = version
-                if version is not None:
-                    write_lineage(
-                        lineage_records(events, batch_id, version, n_late=n_late),
-                        self.table_path,
-                    )
-                    if agg["mx"] is not None:
-                        self._store_watermark(int(agg["mx"]))
+            else:
+                version = self.table.merge_events(
+                    payload, KEY_COLS, seq_col="seq", op_col="op",
+                    batch_id=batch_id,
+                    extra_summary={"n_events": n_events, "n_late": n_late},
+                    fold_mode=self.fold_mode,
+                )
+            metrics["version"] = version
+            if version is not None:
+                write_lineage(
+                    lineage_records(events, batch_id, version, n_late=n_late),
+                    self.table_path,
+                )
+                if agg["mx"] is not None:
+                    self._store_watermark(int(agg["mx"]))
         finally:
-            events.unpersist()
+            flagged.unpersist()
         return metrics
 
     # ---------- streaming wiring ----------

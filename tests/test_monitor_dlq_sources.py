@@ -102,8 +102,16 @@ def test_max_value_state_roundtrip(tmp_path):
     assert incremental_predicate(st, "t", "id") == "id > 100"
     st.update("t", "id", 50)  # never regress
     assert st.get("t", "id") == 100
+    # timestamp watermarks get a typed literal (≙ reference
+    # AbstractDatabaseFetchProcessor type-aware literal formatting)
     st.update("t", "updated_at", "2024-01-02 00:00:00")
-    assert incremental_predicate(st, "t", "updated_at") == "updated_at > '2024-01-02 00:00:00'"
+    assert (
+        incremental_predicate(st, "t", "updated_at")
+        == "updated_at > TIMESTAMP '2024-01-02 00:00:00'"
+    )
+    # embedded quotes in a string watermark are doubled, not interpolated raw
+    st.update("t", "name", "O'Brien")
+    assert incremental_predicate(st, "t", "name") == "name > 'O''Brien'"
     # state survives reload
     st2 = MaxValueState(str(tmp_path / "state.json"))
     assert st2.get("t", "id") == 100

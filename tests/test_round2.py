@@ -1,0 +1,273 @@
+"""Round-2 surfaces: scale guards, EL/RecordPath expansion, commit rebase,
+one-shuffle merge plan, Hadoop-FS (file:// URI) table paths."""
+
+from __future__ import annotations
+
+import uuid as pyuuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_spark.functions.el import el
+from nifi_spark.functions.recordpath import (
+    delete_at_path,
+    get_at_path,
+    parse_path,
+    update_at_path,
+)
+from nifi_spark.operators.dedup_fuzzy import jaccard_pairs
+from nifi_spark.operators.enrich import detect_duplicate, join_enrichment_indexed
+from nifi_spark.sinks.laketable import CommitConflict, LakeTable
+from nifi_spark.sources.jdbc_incremental import _sql_literal
+
+KEYS = ["conv_id", "turn_idx"]
+
+
+# ---------- scale guards ----------
+
+
+def test_jaccard_requires_blocks(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="minhash_dedup_pairs"):
+        jaccard_pairs(df, "doc_id", "text", block_cols=None)
+
+
+def test_jaccard_max_block_drops_degenerate(spark):
+    rows = [(i, "x", "the same text here every time") for i in range(10)] + [
+        (100 + i, "y", f"distinct text {i} a b") for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    # block 'x' (10 docs) dropped at max_block=5; block 'y' (2 docs) kept
+    pairs = jaccard_pairs(
+        df, "doc_id", "text", block_cols=["lang"], threshold=0.0, max_block=5
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(100, 101)}
+
+
+def test_detect_duplicate_requires_order(spark):
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    with pytest.raises(ValueError, match="order_col"):
+        detect_duplicate(df, F.col("v"))
+
+
+def test_join_enrichment_indexed_distributed(spark):
+    o = spark.createDataFrame(
+        [(i, f"o{i}") for i in range(50)], "ord long, oval string"
+    ).repartition(7)
+    e = spark.createDataFrame(
+        [(i, f"e{i}") for i in range(50)], "ord long, eval string"
+    ).repartition(3)
+    # both sides ordered by the same column -> row i zips with row i
+    out = join_enrichment_indexed(o, e, "ord")
+    rows = {(r.ord, r.oval, r.eval) for r in out.collect()}
+    assert rows == {(i, f"o{i}", f"e{i}") for i in range(50)}
+
+
+# ---------- jdbc literal safety ----------
+
+
+def test_sql_literal_escapes():
+    assert _sql_literal(100) == "100"
+    assert _sql_literal("O'Brien") == "'O''Brien'"
+    assert _sql_literal("2024-01-02 03:04:05") == "TIMESTAMP '2024-01-02 03:04:05'"
+    assert _sql_literal("plain") == "'plain'"
+
+
+# ---------- EL round-2 surface ----------
+
+
+def test_el_round2_semantics(spark):
+    df = spark.range(1)
+    row = df.select(
+        el("lastIndexOf", F.lit("hello"), "z").alias("absent"),
+        el("lastIndexOf", F.lit("hello"), "l").alias("last_l"),
+        el("padLeft", F.lit("longvalue"), 4, "*").alias("no_trunc"),
+        el("escapeCsv", F.lit('a,"b')).alias("csv"),
+        el("unescapeCsv", el("escapeCsv", F.lit('a,"b'))).alias("csv_rt"),
+        el("math", "round", F.lit(2.5)).alias("half_up"),
+        el("math", "round", F.lit(-2.5)).alias("neg_half"),
+        el("UUID3", F.lit("name"), F.lit("6ba7b810-9dad-11d1-80b4-00c04fd430c8")).alias("u3"),
+        el("UUID5", F.lit("name"), F.lit("6ba7b810-9dad-11d1-80b4-00c04fd430c8")).alias("u5"),
+        el("getDelimitedField", F.lit('a,"b,c",d'), 2, ",", True).alias("quoted"),
+        el("getDelimitedField", F.lit("a,b"), 9, ",").alias("oob"),
+        el("charAt", F.lit("abc"), 1).alias("ch"),
+        el("escapeXml", F.lit('<&"> ')).alias("xml"),
+        el("unescapeXml", el("escapeXml", F.lit('a<&"b'))).alias("xml_rt"),
+    ).collect()[0]
+    assert row.absent == -1
+    assert row.last_l == 3  # 0-based: 'hello' -> last 'l' at 3
+    assert row.no_trunc == "longvalue"  # NiFi pad never truncates
+    assert row.csv == '"a,""b"'
+    assert row.csv_rt == 'a,"b'
+    assert row.half_up == 3 and row.neg_half == -2  # Math.round = floor(x+.5)
+    assert row.u3 == str(pyuuid.uuid3(pyuuid.NAMESPACE_DNS, "name"))
+    assert row.u5 == str(pyuuid.uuid5(pyuuid.NAMESPACE_DNS, "name"))
+    assert row.quoted == '"b,c"'
+    assert row.oob is None
+    assert row.ch == "b"
+    assert row.xml == "&lt;&amp;&quot;&gt; "
+    assert row.xml_rt == 'a<&"b'
+
+
+# ---------- RecordPath nested paths ----------
+
+
+NESTED = (
+    "id int, a struct<b: array<struct<c: string, d: int>>, e: string>"
+)
+
+
+def _nested_df(spark):
+    return spark.createDataFrame(
+        [(1, {"b": [{"c": "x", "d": 1}, {"c": "y", "d": 2}], "e": "keep"})], NESTED
+    )
+
+
+def test_recordpath_parse():
+    assert parse_path("/a/b[*]/c") == [("a", []), ("b", ["*"]), ("c", [])]
+    assert parse_path("/a[3]") == [("a", [3])]
+    with pytest.raises(ValueError):
+        parse_path("/a[0..2]")
+
+
+def test_recordpath_update_wildcard(spark):
+    out = update_at_path(_nested_df(spark), "/a/b[*]/c", F.upper).collect()[0]
+    assert [e.c for e in out.a.b] == ["X", "Y"]
+    assert out.a.e == "keep"
+
+
+def test_recordpath_update_index(spark):
+    out = update_at_path(_nested_df(spark), "/a/b[1]/d", lambda c: c + 100).collect()[0]
+    assert [e.d for e in out.a.b] == [1, 102]
+
+
+def test_recordpath_get_and_delete(spark):
+    got = get_at_path(_nested_df(spark), "/a/b[*]/c", "cs").collect()[0]
+    assert got.cs == ["x", "y"]
+    deleted = delete_at_path(_nested_df(spark), "/a/e").collect()[0]
+    assert "e" not in deleted.a.asDict()
+
+
+def test_recordpath_field_wildcard(spark):
+    df = spark.createDataFrame(
+        [(1, {"x": "p", "y": "q"})], "id int, a struct<x: string, y: string>"
+    )
+    out = update_at_path(df, "/a/*", F.upper).collect()[0]
+    assert out.a.x == "P" and out.a.y == "Q"
+
+
+# ---------- LakeTable: plan shape, rebase, conflicts, URIs ----------
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(
+        rows, "seq long, op string, conv_id string, turn_idx int, text string"
+    )
+
+
+def test_merge_events_single_exchange_plan(spark):
+    """The fold groupBy must reuse the bucket repartition exchange."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        t = LakeTable(spark, d, n_buckets=8)
+        ev = _batch(spark, [(1, "I", "c1", 0, "a"), (2, "U", "c1", 0, "b")])
+        src = ev.withColumn("_bucket", t._bucket_col("conv_id"))
+        np_ = [c for c in ev.columns if c not in KEYS]
+        folded = (
+            src.repartition(8, F.col("_bucket"))
+            .groupBy("_bucket", *KEYS)
+            .agg(F.max_by(F.struct(*np_), F.col("seq")).alias("_w"))
+        )
+        plan = folded._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange") == 1
+
+
+def test_commit_rebase_disjoint_buckets(spark, tmp_path):
+    """A losing commit rebases onto the new head when buckets are disjoint."""
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path, n_buckets=2)
+    # find conv ids landing in buckets 0 and 1
+    probe = spark.createDataFrame(
+        [(f"c{i}",) for i in range(20)], "conv_id string"
+    ).withColumn("b", t._bucket_col("conv_id")).collect()
+    c0 = next(r.conv_id for r in probe if r.b == 0)
+    c1 = next(r.conv_id for r in probe if r.b == 1)
+    t.merge(_batch(spark, [(1, "I", c0, 0, "a"), (2, "I", c1, 0, "b")]), KEYS, batch_id=0)
+
+    t2 = LakeTable(spark, path, n_buckets=2)
+    orig_rename = t._io.rename_no_overwrite
+    state = {"n": 0}
+
+    def racing_rename(src, dst):
+        state["n"] += 1
+        if state["n"] == 1:
+            # competing writer lands the contended version first (bucket of c1)
+            t2.merge(_batch(spark, [(10, "U", c1, 0, "b2")]), KEYS, batch_id=10)
+        return orig_rename(src, dst)
+
+    t._io.rename_no_overwrite = racing_rename
+    v = t.merge(_batch(spark, [(11, "U", c0, 0, "a2")]), KEYS, batch_id=11)
+    assert v == 3  # lost v2 race, rebased, committed v3
+    rows = {(r.conv_id, r.text) for r in t.read().collect()}
+    assert rows == {(c0, "a2"), (c1, "b2")}  # neither writer's update lost
+
+
+def test_commit_conflict_overlapping_buckets(spark, tmp_path):
+    """A losing commit whose buckets overlap the winner must abort."""
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path, n_buckets=2)
+    probe = spark.createDataFrame(
+        [(f"c{i}",) for i in range(20)], "conv_id string"
+    ).withColumn("b", t._bucket_col("conv_id")).collect()
+    c0 = next(r.conv_id for r in probe if r.b == 0)
+    t.merge(_batch(spark, [(1, "I", c0, 0, "a")]), KEYS, batch_id=0)
+
+    t2 = LakeTable(spark, path, n_buckets=2)
+    orig_rename = t._io.rename_no_overwrite
+    state = {"n": 0}
+
+    def racing_rename(src, dst):
+        state["n"] += 1
+        if state["n"] == 1:
+            t2.merge(_batch(spark, [(10, "U", c0, 0, "theirs")]), KEYS, batch_id=10)
+        return orig_rename(src, dst)
+
+    t._io.rename_no_overwrite = racing_rename
+    with pytest.raises(CommitConflict, match="re-run merge"):
+        t.merge(_batch(spark, [(11, "U", c0, 0, "mine")]), KEYS, batch_id=11)
+    # winner's update intact; re-running the merge (fresh read) succeeds
+    t3 = LakeTable(spark, path, n_buckets=2)
+    assert {r.text for r in t3.read().collect()} == {"theirs"}
+    t3.merge(_batch(spark, [(11, "U", c0, 0, "mine")]), KEYS, batch_id=11)
+    assert {r.text for r in t3.read().collect()} == {"mine"}
+
+
+def test_compact_aborts_on_concurrent_commit(spark, tmp_path):
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path, n_buckets=2)
+    t.merge(_batch(spark, [(1, "I", "c1", 0, "a")]), KEYS, batch_id=0)
+    t2 = LakeTable(spark, path, n_buckets=2)
+    orig_rename = t._io.rename_no_overwrite
+    state = {"n": 0}
+
+    def racing_rename(src, dst):
+        state["n"] += 1
+        if state["n"] == 1:
+            t2.merge(_batch(spark, [(2, "U", "c1", 0, "b")]), KEYS, batch_id=1)
+        return orig_rename(src, dst)
+
+    t._io.rename_no_overwrite = racing_rename
+    with pytest.raises(CommitConflict, match="compact"):
+        t.compact()
+    assert {r.text for r in LakeTable(spark, path, 2).read().collect()} == {"b"}
+
+
+def test_laketable_file_uri(spark, tmp_path):
+    """The Hadoop-FS IO layer works through an explicit file:// URI."""
+    t = LakeTable(spark, f"file://{tmp_path}/uri_table", n_buckets=2)
+    t.merge(_batch(spark, [(1, "I", "c1", 0, "a"), (2, "U", "c1", 0, "b")]), KEYS, batch_id=0)
+    t.merge(_batch(spark, [(3, "U", "c1", 0, "c"), (4, "I", "c2", 1, "d")]), KEYS, batch_id=1)
+    rows = {(r.conv_id, r.text) for r in t.read().collect()}
+    assert rows == {("c1", "c"), ("c2", "d")}
+    assert t.last_batch_id() == 1
