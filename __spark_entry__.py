@@ -685,6 +685,248 @@ def q_recordpath_nested(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Third coverage wave: binning/rate control, keyed cache, N-of-M barrier,
+# log dialects (5424/CEF-ext/Grok composites), CHOICE parse, XML/YAML
+# --------------------------------------------------------------------------
+
+def q_merge_record_bins(spark, sf_dir):
+    """MergeRecord binning: correlation = user_id, flush at 10 records or
+    a 2-hour bin age (deterministic replay from the event ts), minimum 3
+    (underfilled bins flagged, not held)."""
+    from nifi_spark.operators.binning import assemble_bins
+
+    ev = _t(spark, sf_dir, "events")
+    out = assemble_bins(
+        ev,
+        correlation_cols=["user_id"],
+        order_col="event_id",
+        content_col="event_type",
+        max_records=10,
+        min_records=3,
+        max_bin_age="2 hours",
+        ts_col="ts",
+    )
+    return out.select(
+        "user_id", "bin_id", "n_records", "first_order", "last_order",
+        "merged", "underfilled",
+    )
+
+
+def q_control_rate(spark, sf_dir):
+    """Per-group ControlRate: ≤5 events per event_type per hour window,
+    admission ordered by (ts, event_id)."""
+    from nifi_spark.operators.binning import control_rate
+
+    ev = _t(spark, sf_dir, "events")
+    admitted, _ = control_rate(
+        ev, ["event_type"], "ts", max_per_window=5,
+        window_duration="1 hour", order_cols=["event_id"],
+    )
+    return admitted.select("event_id", "event_type", "window_start")
+
+
+def q_duplicate_flowfile(spark, sf_dir):
+    from nifi_spark.operators.binning import duplicate_records
+
+    n = _t(spark, sf_dir, "nation")
+    return duplicate_records(n.select("n_nationkey", "n_name"), 3).select(
+        "n_nationkey", "n_name", F.col("copy_idx").cast("int").alias("copy_idx")
+    )
+
+
+def q_map_cache_fetch(spark, sf_dir):
+    """Put/FetchDistributedMapCache: put the nation names keyed by
+    nationkey into a LakeTable-backed cache, fetch onto customers via
+    broadcast join (missing keys → NULL = the not-found route)."""
+    import tempfile
+
+    from nifi_spark.operators.cache import MapCache
+
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cache_key"),
+        F.col("n_name").alias("cache_value"),
+        F.col("n_nationkey").alias("put_seq"),
+    )
+    cust = _t(spark, sf_dir, "customer")
+    with tempfile.TemporaryDirectory() as d:
+        cache = MapCache(spark, d, n_buckets=4)
+        cache.put(nation, batch_id=0)
+        out = cache.fetch(cust, "c_nationkey", out_col="nation_name").select(
+            "c_custkey", "nation_name"
+        )
+        out = spark.createDataFrame(out.toPandas(), out.schema)  # detach from temp dir
+    return out
+
+
+def q_wait_notify_counter(spark, sf_dir):
+    """N-of-M Wait/Notify: a purchase is released only once its user has
+    accumulated ≥5 events (any type) at-or-before the purchase time."""
+    from nifi_spark.operators.enrich import wait_notify_counters
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    released, _ = wait_notify_counters(purchases, ev, on=["user_id"], target_count=5)
+    return released.select("event_id", "user_id")
+
+
+def _syslog5424_lines(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id", "event_type",
+        F.concat(
+            F.lit("<"), F.pmod(F.col("event_id"), F.lit(192)).cast("string"),
+            F.lit(">1 2026-01-01T00:00:00Z host-"),
+            F.col("user_id").cast("string"),
+            F.lit(" app-"), F.col("event_type"),
+            F.lit(" "), F.col("event_id").cast("string"),
+            F.lit(" MSG7 [meta k=\""), F.col("event_type"),
+            F.lit("\" n=\""), F.col("user_id").cast("string"),
+            # decimal-cast before string: Spark and DuckDB render doubles
+            # with different shortest-roundtrip tails; DECIMAL(18,2) prints
+            # identically in both engines
+            F.lit("\"] payload "), F.col("value").cast("decimal(18,2)").cast("string"),
+        ).alias("line"),
+    )
+
+
+def q_syslog_5424(spark, sf_dir):
+    """RFC 5424 parse inverts a deterministic synthesis from the events
+    table — every header field and the structured-data params round-trip
+    back to the source columns (the oracle computes them directly)."""
+    from nifi_spark.sources.formats import parse_syslog_5424
+
+    lines = _syslog5424_lines(spark, sf_dir)
+    p = parse_syslog_5424(lines, "line")
+    return p.select(
+        "event_id", "pri", "facility", "severity", "version",
+        "host", "app", F.col("procid").try_cast("long").alias("procid"),
+        "msgid", "sd_id",
+        F.col("sd_params")["k"].alias("sd_k"),
+        F.col("sd_params")["n"].alias("sd_n"),
+        "message",
+    )
+
+
+def q_cef_extensions(spark, sf_dir):
+    """CEF extension k=v parsing into a map — values with spaces (msg)
+    bound by the next key token, mirrored term-for-term in the oracle."""
+    from nifi_spark.sources.formats import parse_cef
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("CEF:0|nifi|spark|1.0|"), F.col("event_type"),
+            F.lit("|Event "), F.col("event_type"), F.lit("|5|src=10.0.0."),
+            F.pmod(F.col("user_id"), F.lit(256)).cast("string"),
+            F.lit(" spt="), F.col("event_id").cast("string"),
+            F.lit(" msg=evt "), F.col("event_type"),
+            F.lit(" v "), F.col("value").cast("decimal(18,2)").cast("string"),
+        ).alias("line"),
+    )
+    p = parse_cef(lines, "line", parse_extensions=True)
+    return p.select(
+        "event_id", "signature_id", "event_name",
+        F.col("ext")["src"].alias("ext_src"),
+        F.col("ext")["spt"].try_cast("long").alias("ext_spt"),
+        F.col("ext")["msg"].alias("ext_msg"),
+    )
+
+
+def q_grok_pattern_file(spark, sf_dir):
+    """GrokReader with a pattern file: a custom composite (SSHLOG) built on
+    the resolved library patterns (SYSLOGTIMESTAMP/HOSTNAME), applied as
+    one JVM-side regexp over synthesized auth-log lines."""
+    from nifi_spark.sources.formats import load_grok_patterns, parse_grok
+
+    ev = _t(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_id",
+        F.concat(
+            F.lit("Jan "), F.lpad(F.pmod(F.col("event_id"), F.lit(28)) + 1, 2, "0"),
+            F.lit(" 12:00:00 host"), F.pmod(F.col("user_id"), F.lit(100)).cast("string"),
+            F.lit(".example.com sshd["), F.col("event_id").cast("string"),
+            F.lit("]: Accepted password for user-"), F.col("user_id").cast("string"),
+        ).alias("line"),
+    )
+    pats = load_grok_patterns()
+    p = parse_grok(
+        lines,
+        "line",
+        r"%{SYSLOGTIMESTAMP:sts} %{HOSTNAME:host} %{WORD:prog}\[%{INT:pid}\]: %{GREEDYDATA:msg}",
+        patterns=pats,
+    )
+    return p.select(
+        "event_id", "sts", "host", "prog",
+        F.col("pid").try_cast("long").alias("pid"), "msg",
+    )
+
+
+def q_choice_normalize(spark, sf_dir):
+    """CHOICE-type permissive parse: two payload shapes interleaved in one
+    JSON column; each row takes the first branch whose required fields
+    parse non-null (all JVM from_json — no Python, no second pass)."""
+    from pyspark.sql import types as T
+
+    from nifi_spark.normalize import normalize_choice
+
+    ev = _t(spark, sf_dir, "events")
+    payload = F.when(
+        F.pmod(F.col("event_id"), F.lit(2)) == 0,
+        F.to_json(F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("kind"))),
+    ).otherwise(
+        F.to_json(F.struct(F.col("event_id").alias("seq"), F.col("value").alias("v")))
+    )
+    src = ev.select("event_id", payload.alias("payload"))
+    a = T.StructType([T.StructField("id", T.LongType()), T.StructField("kind", T.StringType())])
+    b = T.StructType([T.StructField("seq", T.LongType()), T.StructField("v", T.DoubleType())])
+    out = normalize_choice(src, "payload", [(a, ["id", "kind"]), (b, ["seq", "v"])])
+    return out.select(
+        "event_id", "branch",
+        F.col("parsed_0")["kind"].alias("kind"),
+        F.col("parsed_1")["v"].alias("v"),
+    )
+
+
+def q_xml_parse(spark, sf_dir):
+    """XMLReader (Spark 4 native from_xml): parse inverts a deterministic
+    XML synthesis from the part table."""
+    from nifi_spark.sources.formats import parse_xml
+
+    p = _t(spark, sf_dir, "part")
+    src = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("<r><k>"), F.col("p_partkey").cast("string"),
+            F.lit("</k><n>"), F.col("p_name"), F.lit("</n></r>"),
+        ).alias("xml"),
+    )
+    out = parse_xml(src, "xml", "k BIGINT, n STRING")
+    return out.select(
+        "p_partkey", F.col("parsed")["k"].alias("k"), F.col("parsed")["n"].alias("n")
+    )
+
+
+def q_yaml_tree(spark, sf_dir):
+    """YamlTreeReader: Arrow-batched yaml→json bridge + JVM from_json,
+    inverting a deterministic YAML synthesis from the part table."""
+    from nifi_spark.sources.formats import parse_yaml_tree
+
+    p = _t(spark, sf_dir, "part")
+    src = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit("k: "), F.col("p_partkey").cast("string"),
+            F.lit("\nn: "), F.col("p_name"),
+        ).alias("y"),
+    )
+    out = parse_yaml_tree(src, "y", "k BIGINT, n STRING")
+    return out.select(
+        "p_partkey", F.col("parsed")["k"].alias("k"), F.col("parsed")["n"].alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -744,6 +986,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_functions_v2": q_el_functions_v2,
         "el_selection": q_el_selection,
         "recordpath_nested": q_recordpath_nested,
+        "merge_record_bins": q_merge_record_bins,
+        "control_rate": q_control_rate,
+        "duplicate_flowfile": q_duplicate_flowfile,
+        "map_cache_fetch": q_map_cache_fetch,
+        "wait_notify_counter": q_wait_notify_counter,
+        "syslog_5424": q_syslog_5424,
+        "cef_extensions": q_cef_extensions,
+        "grok_pattern_file": q_grok_pattern_file,
+        "choice_normalize": q_choice_normalize,
+        "xml_parse": q_xml_parse,
+        "yaml_tree": q_yaml_tree,
     }
 
 
@@ -1260,5 +1513,104 @@ def oracle_sql() -> dict[str, str]:
         "recordpath_nested": """
             SELECT user_id, event_id AS eid, upper(event_type) AS etype
             FROM events
+        """,
+        # Deterministic MergeRecord bin replay: age bucket from the group's
+        # first ts (2h), count index within, dense bin enumeration.
+        "merge_record_bins": """
+            WITH ab AS (
+                SELECT user_id, event_id, event_type,
+                       CAST(floor((epoch_ms(ts) - min(epoch_ms(ts)) OVER (PARTITION BY user_id))
+                                  / 7200000.0) AS INTEGER) AS age_bucket
+                FROM events
+            ),
+            ci AS (
+                SELECT *, CAST(floor((row_number() OVER (PARTITION BY user_id, age_bucket
+                                      ORDER BY event_id) - 1) / 10) AS INTEGER) AS count_idx
+                FROM ab
+            ),
+            binned AS (
+                SELECT *, CAST(dense_rank() OVER (PARTITION BY user_id
+                               ORDER BY age_bucket, count_idx) - 1 AS INTEGER) AS bin_id
+                FROM ci
+            )
+            SELECT user_id, bin_id, count(*) AS n_records,
+                   min(event_id) AS first_order, max(event_id) AS last_order,
+                   string_agg(event_type, ',' ORDER BY event_id) AS merged,
+                   count(*) < 3 AS underfilled
+            FROM binned GROUP BY user_id, bin_id
+        """,
+        "control_rate": """
+            SELECT event_id, event_type, date_trunc('hour', ts) AS window_start
+            FROM (
+                SELECT event_id, event_type, ts,
+                       row_number() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                          ORDER BY ts, event_id) AS rn
+                FROM events
+            ) WHERE rn <= 5
+        """,
+        "duplicate_flowfile": """
+            SELECT n_nationkey, n_name, CAST(g.i AS INTEGER) AS copy_idx
+            FROM nation, unnest(generate_series(0, 3)) AS g(i)
+        """,
+        "map_cache_fetch": """
+            SELECT c_custkey, n_name AS nation_name
+            FROM customer LEFT JOIN nation
+              ON c_nationkey::VARCHAR = n_nationkey::VARCHAR
+        """,
+        "wait_notify_counter": """
+            SELECT p.event_id, p.user_id FROM events p
+            WHERE p.event_type = 'purchase'
+              AND (SELECT count(*) FROM events s
+                   WHERE s.user_id = p.user_id AND s.ts <= p.ts) >= 5
+        """,
+        # Inversion oracles: the parse must reproduce the source columns the
+        # line was synthesized from.
+        "syslog_5424": """
+            SELECT event_id,
+                   CAST(event_id % 192 AS INTEGER) AS pri,
+                   CAST((event_id % 192) // 8 AS INTEGER) AS facility,
+                   CAST((event_id % 192) % 8 AS INTEGER) AS severity,
+                   1 AS version,
+                   'host-' || user_id::VARCHAR AS host,
+                   'app-' || event_type AS app,
+                   event_id AS procid,
+                   'MSG7' AS msgid,
+                   'meta' AS sd_id,
+                   event_type AS sd_k,
+                   user_id::VARCHAR AS sd_n,
+                   'payload ' || value::DECIMAL(18,2)::VARCHAR AS message
+            FROM events
+        """,
+        "cef_extensions": """
+            SELECT event_id,
+                   event_type AS signature_id,
+                   'Event ' || event_type AS event_name,
+                   '10.0.0.' || (user_id % 256)::VARCHAR AS ext_src,
+                   event_id AS ext_spt,
+                   'evt ' || event_type || ' v ' || value::DECIMAL(18,2)::VARCHAR AS ext_msg
+            FROM events
+        """,
+        "grok_pattern_file": """
+            SELECT event_id,
+                   'Jan ' || lpad(((event_id % 28) + 1)::VARCHAR, 2, '0')
+                       || ' 12:00:00' AS sts,
+                   'host' || (user_id % 100)::VARCHAR || '.example.com' AS host,
+                   'sshd' AS prog,
+                   event_id AS pid,
+                   'Accepted password for user-' || user_id::VARCHAR AS msg
+            FROM events
+        """,
+        "choice_normalize": """
+            SELECT event_id,
+                   CAST(CASE WHEN event_id % 2 = 0 THEN 0 ELSE 1 END AS INTEGER) AS branch,
+                   CASE WHEN event_id % 2 = 0 THEN event_type END AS kind,
+                   CASE WHEN event_id % 2 = 1 THEN value END AS v
+            FROM events
+        """,
+        "xml_parse": """
+            SELECT p_partkey, p_partkey::BIGINT AS k, p_name AS n FROM part
+        """,
+        "yaml_tree": """
+            SELECT p_partkey, p_partkey::BIGINT AS k, p_name AS n FROM part
         """,
     }

@@ -33,7 +33,10 @@ N_CONVS = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "600000"))
 FEED_DIR = os.environ.get(
     "SPARK_GRAFT_BENCH_FEED", f"/tmp/nifi_spark_bench_feedj_c{N_CONVS}"
 )
-WORKER_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_BENCH_WORKER_TIMEOUT", "420"))
+# Generous: the host throttles CPU 3-10x in windows (BENCH/SCALING.md);
+# a worker that would take 150s in a fast window can need >600s in a slow
+# one, and a timed-out worker means no scaling-efficiency headline at all.
+WORKER_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_BENCH_WORKER_TIMEOUT", "900"))
 # Scaling levels: N vs 4N cores INSIDE the physical-core range. The host
 # exposes 32 SMT threads over ~16 physical cores; higher pairs conflate
 # SMT contention + frequency scaling with strong scaling (parallel-burn
@@ -134,18 +137,20 @@ def cdc_worker(cores: int, feed_dir: str) -> None:
     else:
         n = ev.count()
 
-    def apply_once() -> float:
+    def apply_once(src) -> float:
         # timed window covers exactly the apply (scan -> in-bucket fold ->
         # partitioned write -> commit); table-dir setup/teardown is bench
         # scaffolding, not engine work
         with tempfile.TemporaryDirectory() as d:
             table = LakeTable(spark, d, n_buckets=N_BUCKETS)
             t0 = time.time()
-            table.merge_events(ev, KEY_COLS, batch_id=0)
+            table.merge_events(src, KEY_COLS, batch_id=0)
             return time.time() - t0
 
-    apply_once()  # JIT/codegen warmup — excluded
-    best = apply_once()
+    # JIT/codegen warmup on a quarter sample — compiles the same plan for
+    # a fraction of the full-run cost (the timed trial is the full feed)
+    apply_once(ev.sample(fraction=0.25, seed=1))
+    best = apply_once(ev)
     print(json.dumps({"cores": cores, "n_events": n, "wall_sec": round(best, 3),
                       "events_per_sec": round(n / best)}))
 
@@ -165,18 +170,27 @@ def _run_worker(cores: int) -> dict | None:
     return json.loads(last[-1]) if last else None
 
 
-def _scaling_runs(budget_s: float = 400.0) -> tuple[dict | None, dict | None]:
+def _scaling_runs(budget_s: float = 1100.0) -> tuple[dict | None, dict | None]:
     """Interleave lo/hi trials so host-load noise hits both levels; keep
-    the best (min wall) result per level. Stops early when the time budget
-    is spent (the host throttles unpredictably — see BENCH/BASELINE.md)."""
+    the best (min wall) result per level.
+
+    Robust to throttling windows: a level with ZERO completed trials is
+    retried past the soft budget (a missing level means no efficiency
+    headline at all — worth the extra wall time); once both levels have
+    two completed trials the loop exits early."""
     best = {CORES_LO: None, CORES_HI: None}
+    counts = {CORES_LO: 0, CORES_HI: 0}
     t0 = time.time()
-    for i, cores in enumerate((CORES_LO, CORES_HI, CORES_LO, CORES_HI, CORES_LO, CORES_HI)):
-        if i >= 2 and (time.time() - t0) > budget_s:
-            break
+    for cores in (CORES_LO, CORES_HI, CORES_LO, CORES_HI, CORES_LO, CORES_HI):
+        if counts[cores] >= 2:
+            continue
+        if (time.time() - t0) > budget_s and best[cores] is not None:
+            continue  # budget spent: only chase levels still missing a result
         r = _run_worker(cores)
-        if r and (best[cores] is None or r["wall_sec"] < best[cores]["wall_sec"]):
-            best[cores] = r
+        if r:
+            counts[cores] += 1
+            if best[cores] is None or r["wall_sec"] < best[cores]["wall_sec"]:
+                best[cores] = r
     return best[CORES_LO], best[CORES_HI]
 
 

@@ -101,3 +101,46 @@ def normalize_json_arrow(df: DataFrame, json_col: str = "payload_json") -> DataF
             yield out
 
     return df.select(json_col).mapInPandas(parse, schema=out_schema)
+
+
+def normalize_choice(
+    df: DataFrame,
+    json_col: str,
+    branches: list[tuple[T.StructType, list[str]]],
+) -> DataFrame:
+    """Permissive multi-branch parse for ragged payloads (NiFi CHOICE
+    types — SURVEY.md §1.3 porting hazard; reference record CHOICE
+    handling in FieldTypeInference.java widens conflicting shapes).
+
+    ``branches`` = ordered [(schema, required_fields)]: each row is parsed
+    against every branch schema (all JVM-side ``from_json``, evaluated
+    lazily in one projection — no Python), and takes the FIRST branch
+    whose required fields all parse non-null. Adds:
+
+    - ``branch`` — 0-based winning branch index, -1 if none matched
+      (route those to the DLQ).
+    - ``parsed_<i>`` — the winning branch's struct (others NULLed out so
+      downstream selects are unambiguous).
+
+    Scale: k branches cost k from_json calls per row inside one
+    whole-stage-codegen'd projection — no shuffle, no second pass.
+    """
+    out = df
+    match_exprs = []
+    for i, (schema, required) in enumerate(branches):
+        p = F.from_json(F.col(json_col), schema)
+        ok = F.lit(True)
+        for r in required:
+            ok = ok & p.getField(r).isNotNull()
+        out = out.withColumn(f"_p{i}", p).withColumn(f"_ok{i}", ok)
+        match_exprs.append((i, F.col(f"_ok{i}")))
+    branch = F.lit(-1)
+    for i, ok in reversed(match_exprs):
+        branch = F.when(ok, F.lit(i)).otherwise(branch)
+    out = out.withColumn("branch", branch.cast("int"))
+    for i, _ in enumerate(branches):
+        out = out.withColumn(
+            f"parsed_{i}",
+            F.when(F.col("branch") == i, F.col(f"_p{i}")),
+        ).drop(f"_p{i}", f"_ok{i}")
+    return out

@@ -222,3 +222,41 @@ def wait_notify(
     released = waiting.join(sig, on=cond, how="left_semi")
     still_waiting = waiting.join(sig, on=cond, how="left_anti")
     return released, still_waiting
+
+
+def wait_notify_counters(
+    waiting: DataFrame,
+    signals: DataFrame,
+    on: list[str],
+    target_count: int,
+    wait_ts: str = "ts",
+    signal_ts: str = "ts",
+) -> tuple[DataFrame, DataFrame]:
+    """N-of-M Wait/Notify: release a waiting row only once ≥ ``target_count``
+    signals for its key exist at-or-before its event time.
+
+    Reference WaitNotifyProtocol.java keeps per-key release *counters* (each
+    Notify increments; Wait's Target Signal Count gates release) — the
+    signal-exists barrier (:func:`wait_notify`) is the N=1 special case.
+    Set-oriented replay: aggregate the signal table to per-key ordered
+    counts once (one shuffle on the key), then release iff the count of
+    signals ≤ wait_ts reaches the target. The aggregated signal side is
+    one row per (key, signal), so the join input is bounded by signal
+    cardinality, not waiting-row cardinality.
+    """
+    # per-key signal number in signal-time order (deterministic: ties break
+    # on the timestamp itself; callers needing a total order pass a
+    # pre-disambiguated signal_ts)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*on).orderBy(F.col("_sig_ts"))
+    nth = (
+        signals.select(*on, F.col(signal_ts).alias("_sig_ts"))
+        .withColumn("_n", F.row_number().over(w))
+        .filter(F.col("_n") == target_count)  # the release-threshold signal
+        .select(*on, "_sig_ts")
+    )
+    cond = [waiting[c] == nth[c] for c in on] + [nth["_sig_ts"] <= waiting[wait_ts]]
+    released = waiting.join(nth, on=cond, how="left_semi")
+    still_waiting = waiting.join(nth, on=cond, how="left_anti")
+    return released, still_waiting

@@ -25,6 +25,14 @@ _SYSLOG_3164 = (
 # Minimal CEF: "CEF:0|vendor|product|version|sig|name|severity|extensions"
 _CEF = r"^CEF:(\d+)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|([^|]*)\|(.*)$"
 
+# RFC 5424: "<PRI>VERSION TIMESTAMP HOSTNAME APP-NAME PROCID MSGID SD [MSG]"
+# where any header field may be the NILVALUE '-' and SD is '-' or one or
+# more [id k="v" ...] elements (≙ Syslog5424Reader.java header columns).
+_SYSLOG_5424 = (
+    r"^<(\d+)>(\d+) (\S+) (\S+) (\S+) (\S+) (\S+) "
+    r"((?:-|(?:\[[^\]]*\])+))(?: (.*))?$"
+)
+
 
 def convert_record(
     spark, in_path: str, in_format: str, out_path: str, out_format: str, **options
@@ -63,14 +71,82 @@ def parse_syslog_3164(df: DataFrame, line_col: str = "line") -> DataFrame:
     )
 
 
-def parse_cef(df: DataFrame, line_col: str = "line") -> DataFrame:
-    """CEFReader header fields + raw extension blob (k=v pairs)."""
+def parse_syslog_5424(df: DataFrame, line_col: str = "line") -> DataFrame:
+    """Syslog5424Reader (RFC 5424) as regexp capture groups, JVM-side.
+
+    Header columns pri/facility/severity/version/syslog_ts/host/app/procid/
+    msgid (NILVALUE '-' → NULL), plus the structured-data element:
+    ``sd_id`` (first element's SD-ID) and ``sd_params``
+    (map<string,string> of every ``k="v"`` pair across elements) —
+    reference Syslog5424RecordReader.java flattens SD the same way.
+    Non-matching lines yield NULL host (the reader's unparseable route).
+    """
+    line = F.col(line_col)
+
+    def g(i: int) -> Column:
+        return F.regexp_extract(line, _SYSLOG_5424, i)
+
+    def nil(c: Column) -> Column:
+        return F.when((c == "-") | (c == ""), F.lit(None)).otherwise(c)
+
+    pri = g(1).try_cast("int")
+    sd = g(8)
+    kv = F.regexp_extract_all(sd, F.lit(r'(\w+)="([^"]*)"'), 1)
+    vv = F.regexp_extract_all(sd, F.lit(r'(\w+)="([^"]*)"'), 2)
+    return df.withColumns(
+        {
+            "pri": pri,
+            "facility": (pri / 8).cast("int"),
+            "severity": F.pmod(pri, F.lit(8)).cast("int"),
+            "version": g(2).try_cast("int"),
+            "syslog_ts": nil(g(3)),
+            "host": nil(g(4)),
+            "app": nil(g(5)),
+            "procid": nil(g(6)),
+            "msgid": nil(g(7)),
+            "sd_id": nil(F.regexp_extract(sd, r"\[(\S+?)[ \]]", 1)),
+            "sd_params": F.map_from_arrays(kv, vv),
+            "message": nil(g(9)),
+        }
+    )
+
+
+def cef_extensions_map(ext: Column) -> Column:
+    """CEF extension blob ``k1=v1 k2=v2 with spaces`` → map<string,string>.
+
+    Values may contain spaces (``msg=out of memory``); the boundary between
+    entries is the next ``key=`` token (reference CEFReader.java parses
+    extensions the same way via the parcefone grammar). Pure column
+    expression: mark each boundary with \\x01, split, split each entry at
+    its first '='.
+    """
+    marked = F.regexp_replace(ext, r" (\w+)=", "\x01$1=")
+    entries = F.filter(F.split(marked, "\x01"), lambda e: e.contains("="))
+    return F.map_from_entries(
+        F.transform(
+            entries,
+            lambda e: F.struct(
+                F.substring_index(e, "=", 1).alias("key"),
+                F.substr(e, F.instr(e, "=") + F.lit(1), F.length(e)).alias("value"),
+            ),
+        )
+    )
+
+
+def parse_cef(
+    df: DataFrame, line_col: str = "line", parse_extensions: bool = False
+) -> DataFrame:
+    """CEFReader header fields + extension k=v pairs.
+
+    ``parse_extensions=True`` adds ``ext`` (map<string,string>) via
+    :func:`cef_extensions_map`; the raw blob stays in ``extensions``.
+    """
     line = F.col(line_col)
 
     def g(i: int) -> Column:
         return F.regexp_extract(line, _CEF, i)
 
-    return df.withColumns(
+    out = df.withColumns(
         {
             "cef_version": g(1).try_cast("int"),
             "vendor": g(2),
@@ -82,6 +158,9 @@ def parse_cef(df: DataFrame, line_col: str = "line") -> DataFrame:
             "extensions": g(8),
         }
     )
+    if parse_extensions:
+        out = out.withColumn("ext", cef_extensions_map(F.col("extensions")))
+    return out
 
 
 # The handful of Grok primitives the reference's default patterns rely on
@@ -99,17 +178,77 @@ _GROK_PRIMITIVES: dict[str, str] = {
 }
 
 
-def grok_to_regex(pattern: str) -> tuple[str, list[str]]:
+# Composite patterns in the logstash pattern-file *format* (each line
+# "NAME definition", definitions may reference other patterns) — written
+# from the public grammar, resolved recursively by load_grok_patterns.
+_GROK_COMPOSITES = """\
+HOSTNAME \\b(?:[0-9A-Za-z][0-9A-Za-z-]{0,62})(?:\\.(?:[0-9A-Za-z][0-9A-Za-z-]{0,62}))*\\.?\\b
+USERNAME [a-zA-Z0-9._-]+
+MONTH \\b(?:Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec)\\b
+MONTHDAY (?:[ 0]?[1-9]|[12][0-9]|3[01])
+TIME \\d{2}:\\d{2}:\\d{2}
+SYSLOGTIMESTAMP %{MONTH} %{MONTHDAY} %{TIME}
+IPORHOST (?:%{IP}|%{HOSTNAME})
+SYSLOGPROG %{NOTSPACE}(?:\\[%{INT}\\])?
+HTTPDATE %{MONTHDAY}/%{MONTH}/\\d{4}:%{TIME} [+-]\\d{4}
+QUOTEDSTRING "(?:[^"\\\\]|\\\\.)*"
+LOGLINE %{TIMESTAMP_ISO8601} %{LOGLEVEL} %{GREEDYDATA}
+"""
+
+
+def load_grok_patterns(text: str | None = None) -> dict[str, str]:
+    """Parse a Grok pattern file ("NAME definition" per line, '#' comments)
+    and resolve %{NAME} references recursively against the primitives.
+
+    ≙ GrokReader's pattern-file property (reference
+    .../serialization/GrokReader.java loads the logstash pattern library
+    the same way). Returns a fully-resolved name → plain-regex dict; pass
+    it to :func:`parse_grok` as ``patterns``.
+    """
+    raw = dict(_GROK_PRIMITIVES)
+    for line in (_GROK_COMPOSITES + (text or "")).splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        name, _, body = line.partition(" ")
+        raw[name] = body
+
+    resolved: dict[str, str] = {}
+
+    def resolve(name: str, seen: tuple = ()) -> str:
+        if name in resolved:
+            return resolved[name]
+        if name in seen:
+            raise ValueError(f"recursive grok pattern: {name}")
+        body = re.sub(
+            r"%\{(\w+)\}",
+            lambda m: f"(?:{resolve(m.group(1), seen + (name,))})",
+            raw[name],
+        )
+        resolved[name] = body
+        return body
+
+    for name in raw:
+        resolve(name)
+    return resolved
+
+
+def grok_to_regex(
+    pattern: str, patterns: dict[str, str] | None = None
+) -> tuple[str, list[str]]:
     """Compile a Grok expression (%{TYPE:name}) to (regex, field names).
 
-    ≙ GrokReader (reference .../serialization/GrokReader.java) for the
-    primitive pattern subset; named groups become extraction columns.
+    ≙ GrokReader (reference .../serialization/GrokReader.java); named
+    groups become extraction columns. ``patterns`` defaults to the
+    built-in primitive set; pass :func:`load_grok_patterns` output for the
+    composite library / custom pattern files.
     """
     fields: list[str] = []
+    defs = patterns if patterns is not None else _GROK_PRIMITIVES
 
     def sub(m: re.Match) -> str:
         typ, _, name = m.group(1).partition(":")
-        body = _GROK_PRIMITIVES[typ]
+        body = defs[typ]
         if name:
             fields.append(name)
             return f"({body})"
@@ -119,10 +258,81 @@ def grok_to_regex(pattern: str) -> tuple[str, list[str]]:
     return regex, fields
 
 
-def parse_grok(df: DataFrame, line_col: str, pattern: str) -> DataFrame:
+def parse_grok(
+    df: DataFrame,
+    line_col: str,
+    pattern: str,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
     """Apply a Grok pattern: one column per named capture."""
-    regex, fields = grok_to_regex(pattern)
+    # resolved composite bodies may carry their own groups — force them
+    # non-capturing so capture index i+1 addresses exactly the i-th named
+    # field
+    defs = {
+        k: re.sub(r"\((?!\?)", "(?:", v)
+        for k, v in (patterns if patterns is not None else _GROK_PRIMITIVES).items()
+    }
+    regex, fields = grok_to_regex(pattern, defs)
     line = F.col(line_col)
     return df.withColumns(
         {name: F.regexp_extract(line, regex, i + 1) for i, name in enumerate(fields)}
     )
+
+
+def parse_xml(df: DataFrame, xml_col: str, schema) -> DataFrame:
+    """XMLReader: parse an XML-string column against a StructType/DDL
+    schema (Spark 4's built-in from_xml — reference XMLReader.java maps to
+    the native XML source; file-level reads are
+    ``spark.read.format('xml')``). Adds ``parsed`` (struct).
+    """
+    return df.withColumn("parsed", F.from_xml(F.col(xml_col), schema))
+
+
+def parse_yaml_tree(df: DataFrame, yaml_col: str, schema) -> DataFrame:
+    """YamlTreeReader: YAML-string column → struct, via Arrow-batched
+    mapInPandas (YAML has no JVM-side parser in Spark; each batch is
+    yaml.safe_load → json so the typed decode stays in from_json on the
+    JVM). Import-gated: raises if PyYAML is unavailable.
+    """
+    import json as _json
+
+    import yaml  # noqa: F401 — import-gated dependency
+
+    from pyspark.sql import types as T
+
+    # fresh StructType — StructType.add would mutate df's cached schema
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("_json", T.StringType())]
+    )
+
+    def to_json(batches):
+        import pandas as pd  # local import: executor-side
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["_json"] = [
+                _json.dumps(yaml.safe_load(s)) if s is not None else None
+                for s in pdf[yaml_col]
+            ]
+            yield pdf
+
+    with_json = df.mapInPandas(to_json, schema=out_schema)
+    return with_json.withColumn("parsed", F.from_json(F.col("_json"), schema)).drop(
+        "_json"
+    )
+
+
+def infer_json_schema(spark, df: DataFrame, json_col: str, sample: int | None = None):
+    """Schema inference over a JSON-string column (tooling/exploration —
+    reference SchemaInferenceEngine.java / FieldTypeInference.java's
+    two-pass type widening ≙ Spark's JSON inference pass, which widens
+    conflicting field types across rows the same way).
+
+    Returns a StructType. Not for the hot path: production pipelines pass
+    explicit schemas (SURVEY.md §1.3); this helper exists to *derive* that
+    explicit schema once, offline, optionally from a row sample.
+    """
+    src = df.select(F.col(json_col).cast("string"))
+    if sample is not None:
+        src = src.limit(sample)
+    return spark.read.json(src.rdd.map(lambda r: r[0])).schema

@@ -73,6 +73,128 @@ def stateful_stale_filter(
     )
 
 
+def stateful_bin_flush(
+    df: DataFrame,
+    correlation_cols: list[str],
+    order_col: str,
+    content_col: str,
+    max_records: int,
+    max_bin_age_ms: int | None = None,
+    sep: str = ",",
+) -> DataFrame:
+    """Streaming MergeRecord: per-correlation-key open bins that flush on
+    record count or processing-time age (reference
+    .../standard/merge/RecordBinManager.java bin lifecycle + MergeRecord's
+    MAX_BIN_AGE timer, MergeRecord.java:271,385).
+
+    State per key = (open-bin record count, packed content) — the bin's
+    accumulated payload, bounded by ``max_records`` entries. Count flushes
+    emit inside the batch; age flushes ride the state-timeout callback
+    (``GroupStateTimeout.ProcessingTimeTimeout``), which fires on the next
+    micro-batch after the deadline — exactly NiFi's timer-thread semantics
+    where an aged bin is flushed by the housekeeping pass, not mid-write.
+    Output rows: correlation key, n_records, merged content, flush_reason
+    ('count' | 'age').
+    """
+    key_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in df.schema if f.name in correlation_cols
+    )
+    out_schema = (
+        f"{key_fields}, n_records int, merged string, flush_reason string"
+    )
+    state_schema = "n long, packed string"
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def out_row(n: int, packed: str, reason: str) -> pd.DataFrame:
+            vals = {c: [k] for c, k in zip(correlation_cols, key)}
+            vals.update(n_records=[n], merged=[packed], flush_reason=[reason])
+            return pd.DataFrame(vals)
+
+        if state.hasTimedOut:
+            n, packed = state.get if state.exists else (0, "")
+            state.remove()
+            if n:
+                yield out_row(int(n), packed, "age")
+            return
+
+        n, packed = state.get if state.exists else (0, "")
+        n = int(n)
+        parts = packed.split(sep) if packed else []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col)
+            for c in pdf[content_col].astype(str):
+                parts.append(c)
+                n += 1
+                if n >= max_records:
+                    yield out_row(n, sep.join(parts), "count")
+                    n, parts = 0, []
+        if n:
+            state.update((n, sep.join(parts)))
+            if max_bin_age_ms is not None:
+                state.setTimeoutDuration(max_bin_age_ms)
+        elif state.exists:
+            state.remove()
+
+    return df.groupBy(*correlation_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if max_bin_age_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
+    )
+
+
+def stateful_rate_limit(
+    df: DataFrame,
+    group_cols: list[str],
+    max_per_window: int,
+    window_ms: int,
+) -> DataFrame:
+    """Streaming ControlRate: admit at most ``max_per_window`` rows per
+    group per processing-time window (reference ControlRate.java:140-193
+    throttle ledger). State = (window-open flag via timeout, admitted
+    count); the window resets when the state times out. Excess rows are
+    dropped from the admitted stream (NiFi re-queues; a streaming source
+    replays from the checkpoint, so dropping here is the backpressure
+    signal).
+    """
+    out_schema = df.schema
+    state_schema = "admitted long"
+
+    def fn(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        (admitted,) = state.get if state.exists else (0,)
+        admitted = int(admitted)
+        for pdf in pdfs:
+            if admitted >= max_per_window:
+                break
+            take = min(len(pdf), max_per_window - admitted)
+            if take:
+                yield pdf.head(take)
+                admitted += take
+        state.update((admitted,))
+        state.setTimeoutDuration(window_ms)
+
+    return df.groupBy(*group_cols).applyInPandasWithState(
+        fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def stateful_detect_duplicate(
     df: DataFrame,
     key_cols: list[str],
