@@ -926,6 +926,43 @@ def q_yaml_tree(spark, sf_dir):
     )
 
 
+def q_jolt_transform(spark, sf_dir):
+    """JoltTransformJSON: a declarative shift/default/remove spec chain
+    compiled to one Catalyst projection over a struct column (no per-row
+    JSON walking). The spec reshapes {id, info{type, val}} into
+    {out{kind, id, note}, v} with a default and a remove."""
+    from nifi_spark.operators.jolt import jolt_chain
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.struct(
+                F.col("event_type").alias("type"),
+                F.col("value").alias("val"),
+                F.lit("drop-me").alias("junk"),
+            ).alias("info"),
+        ).alias("doc"),
+    )
+    out = jolt_chain(
+        src,
+        "doc",
+        [
+            ("remove", {"info": {"junk": ""}}),
+            ("shift", {"id": "out.id", "info": {"type": "out.kind", "val": "v"}}),
+            ("default", {"out": {"note": "filled"}}),
+        ],
+    )
+    return out.select(
+        "event_id",
+        F.col("doc")["out"]["id"].alias("oid"),
+        F.col("doc")["out"]["kind"].alias("kind"),
+        F.col("doc")["out"]["note"].alias("note"),
+        F.col("doc")["v"].alias("v"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -997,6 +1034,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "choice_normalize": q_choice_normalize,
         "xml_parse": q_xml_parse,
         "yaml_tree": q_yaml_tree,
+        "jolt_transform": q_jolt_transform,
     }
 
 
@@ -1612,5 +1650,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "yaml_tree": """
             SELECT p_partkey, p_partkey::BIGINT AS k, p_name AS n FROM part
+        """,
+        "jolt_transform": """
+            SELECT event_id, event_id AS oid, event_type AS kind,
+                   'filled' AS note, value AS v
+            FROM events
         """,
     }

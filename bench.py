@@ -155,6 +155,32 @@ def cdc_worker(cores: int, feed_dir: str) -> None:
                       "events_per_sec": round(n / best)}))
 
 
+def _burn_loop(iters: int) -> int:
+    x = 0
+    for i in range(iters):
+        x += (i * 31) & 1023
+    return x
+
+
+def _burn_wall(procs: int, iters: int = 25_000_000) -> float:
+    """Embarrassingly-parallel calibration burn: `procs` Python processes
+    each run the same fixed arithmetic loop (zero shared state, zero IO).
+    On an unthrottled host with >= procs free cores the wall time is
+    independent of procs, so burn_wall_lo / burn_wall_hi == 1.0; under the
+    sandbox's aggregate-CPU cap the hi level's wall stretches and the
+    ratio measures the MAXIMUM parallel speedup the host permits at this
+    moment (BASELINE.md §C.5)."""
+    from multiprocessing import Process
+
+    ps = [Process(target=_burn_loop, args=(iters,)) for _ in range(procs)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    return time.time() - t0
+
+
 def _run_worker(cores: int) -> dict | None:
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
@@ -186,8 +212,13 @@ def _scaling_runs(budget_s: float = 1100.0) -> tuple[dict | None, dict | None]:
             continue
         if (time.time() - t0) > budget_s and best[cores] is not None:
             continue  # budget spent: only chase levels still missing a result
+        # bracket the trial with calibration burns: the mean measures the
+        # host's permitted parallelism in the same throttle window
+        b0 = _burn_wall(cores)
         r = _run_worker(cores)
+        b1 = _burn_wall(cores)
         if r:
+            r["burn_wall"] = round((b0 + b1) / 2, 3)
             counts[cores] += 1
             if best[cores] is None or r["wall_sec"] < best[cores]["wall_sec"]:
                 best[cores] = r
@@ -209,6 +240,21 @@ def time_queries() -> dict[str, float]:
         timings[name] = round(time.time() - t0, 3)
     spark.stop()
     return timings
+
+
+def _calib_section(cdc: dict) -> str:
+    if "host_parallel_eff" not in cdc:
+        return ""
+    ratio = cdc["cores_hi"] // cdc["cores_lo"]
+    return f"""
+Host-parallelism calibration (BASELINE.md §C.5): an embarrassingly-parallel
+arithmetic burn bracketing each timed trial ran in {cdc['burn_wall_lo']} s at
+{cdc['cores_lo']} procs vs {cdc['burn_wall_hi']} s at {cdc['cores_hi']} procs — i.e. in this
+window the host permitted **{cdc['host_parallel_eff']}** of the ideal {ratio}× parallel
+speedup (1.0 = unthrottled). Engine scaling normalized by that ceiling:
+**{cdc['scaling_efficiency_normalized']}**. The normalized figure is the
+cluster-transferable one — on real N vs 4N executors the ceiling is 1.0.
+"""
 
 
 def write_report(result: dict) -> None:
@@ -239,7 +285,7 @@ local[{cdc['cores_lo']}] vs local[{cdc['cores_hi']}] per the sandbox protocol.
 
 **Scaling efficiency** = (evps_hi / evps_lo) / ({cdc['cores_hi']}/{cdc['cores_lo']})
 = **{cdc['scaling_efficiency']}** (target ≥ 0.8).
-
+{_calib_section(cdc)}
 Command lines:
 
 ```
@@ -283,6 +329,15 @@ def main() -> None:
             events_per_sec_hi=hi["events_per_sec"],
             scaling_efficiency=round(eff, 3),
         )
+        if lo.get("burn_wall") and hi.get("burn_wall"):
+            # per-proc work is identical, so the host's permitted parallel
+            # speedup over the lo->hi core ratio is wall_lo / wall_hi
+            host_eff = lo["burn_wall"] / hi["burn_wall"]
+            cdc.update(
+                burn_wall_lo=lo["burn_wall"], burn_wall_hi=hi["burn_wall"],
+                host_parallel_eff=round(host_eff, 3),
+                scaling_efficiency_normalized=round(eff / host_eff, 3),
+            )
     result = {
         "metric": "cdc_apply_wall_sec_hi",
         "value": (hi or {}).get("wall_sec", -1.0),

