@@ -232,8 +232,14 @@ def time_queries() -> dict[str, float]:
     spark = get_spark("bench_queries", cores=CPUS)
     qs = em.queries()
     timings = {}
-    # single pass (the first query absorbs JVM warmup; the host's budget is
-    # tight under throttling windows, so no per-query warm run)
+    # Warm the two cold paths before the single timed pass so timings
+    # measure the queries, not session bring-up: one JVM query (codegen,
+    # shuffle machinery) and one Arrow op (Python daemon worker spawn —
+    # measured up to 30s cold under host throttle vs 0.8s warm).
+    qs["doc_fingerprint"](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+    spark.range(1000).repartition(CPUS).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
     for name in HEADLINE_QUERIES:
         t0 = time.time()
         qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
