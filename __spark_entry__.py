@@ -926,6 +926,48 @@ def q_yaml_tree(spark, sf_dir):
     )
 
 
+def q_windows_event_xml(spark, sf_dir):
+    """WindowsEventLogReader: parse a deterministic Windows Event XML
+    synthesis (System header attrs + EventData name/value pairs) via
+    native from_xml; map entries projected as scalar columns so the
+    oracle compares values, not map renderings."""
+    from nifi_spark.sources.formats import parse_windows_event_xml
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        F.col("event_id").alias("eid"),
+        F.col("event_type").alias("etype_src"),
+        F.concat(
+            F.lit('<Event><System><Provider Name="prov-'),
+            (F.col("event_id") % 4).cast("string"),
+            F.lit('"/><EventID>'),
+            F.col("event_id").cast("string"),
+            F.lit("</EventID><Level>"),
+            (F.col("event_id") % 5).cast("string"),
+            F.lit('</Level><TimeCreated SystemTime="2024-01-01T00:00:00Z"/>'),
+            F.lit("<Computer>host-"),
+            (F.col("event_id") % 3).cast("string"),
+            F.lit("</Computer></System><EventData>"),
+            F.lit('<Data Name="etype">'),
+            F.col("event_type"),
+            F.lit('</Data><Data Name="user">u-'),
+            (F.col("event_id") % 7).cast("string"),
+            F.lit("</Data></EventData></Event>"),
+        ).alias("xml"),
+    )
+    out = parse_windows_event_xml(src, "xml")
+    return out.select(
+        F.col("eid"),
+        "provider",
+        F.col("event_id").alias("win_event_id"),
+        "level",
+        "time_created",
+        "computer",
+        F.col("event_data")["etype"].alias("etype"),
+        F.col("event_data")["user"].alias("duser"),
+    )
+
+
 def q_jolt_transform(spark, sf_dir):
     """JoltTransformJSON: a declarative shift/default/remove spec chain
     compiled to one Catalyst projection over a struct column (no per-row
@@ -1035,6 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xml_parse": q_xml_parse,
         "yaml_tree": q_yaml_tree,
         "jolt_transform": q_jolt_transform,
+        "windows_event_xml": q_windows_event_xml,
     }
 
 
@@ -1654,6 +1697,17 @@ def oracle_sql() -> dict[str, str]:
         "jolt_transform": """
             SELECT event_id, event_id AS oid, event_type AS kind,
                    'filled' AS note, value AS v
+            FROM events
+        """,
+        "windows_event_xml": """
+            SELECT event_id AS eid,
+                   'prov-' || (event_id % 4) AS provider,
+                   event_id AS win_event_id,
+                   (event_id % 5)::BIGINT AS level,
+                   '2024-01-01T00:00:00Z' AS time_created,
+                   'host-' || (event_id % 3) AS computer,
+                   event_type AS etype,
+                   'u-' || (event_id % 7) AS duser
             FROM events
         """,
     }

@@ -288,6 +288,44 @@ def parse_xml(df: DataFrame, xml_col: str, schema) -> DataFrame:
     return df.withColumn("parsed", F.from_xml(F.col(xml_col), schema))
 
 
+_WINEVT_SCHEMA = (
+    "System struct<Provider struct<_Name string>, EventID bigint, "
+    "Level bigint, TimeCreated struct<_SystemTime string>, Computer string>, "
+    "EventData struct<Data array<struct<_Name string, _VALUE string>>>"
+)
+
+
+def parse_windows_event_xml(df: DataFrame, xml_col: str = "xml") -> DataFrame:
+    """WindowsEventLogReader: the Windows Event XML shape via native
+    from_xml (reference WindowsEventLogReader.java flattens the same
+    System header + EventData name/value pairs). Attributes use Spark's
+    ``_`` prefix convention. Adds provider, event_id, level, time_created,
+    computer, and ``event_data`` (map<string,string> of Data elements).
+    """
+    p = F.from_xml(F.col(xml_col), _WINEVT_SCHEMA)
+    data = p.getField("EventData").getField("Data")
+    return df.withColumns(
+        {
+            "provider": p.getField("System").getField("Provider").getField("_Name"),
+            "event_id": p.getField("System").getField("EventID"),
+            "level": p.getField("System").getField("Level"),
+            "time_created": p.getField("System")
+            .getField("TimeCreated")
+            .getField("_SystemTime"),
+            "computer": p.getField("System").getField("Computer"),
+            "event_data": F.map_from_entries(
+                F.transform(
+                    F.coalesce(data, F.array()),
+                    lambda d: F.struct(
+                        d.getField("_Name").alias("key"),
+                        d.getField("_VALUE").alias("value"),
+                    ),
+                )
+            ),
+        }
+    )
+
+
 def parse_yaml_tree(df: DataFrame, yaml_col: str, schema) -> DataFrame:
     """YamlTreeReader: YAML-string column → struct, via Arrow-batched
     mapInPandas (YAML has no JVM-side parser in Spark; each batch is

@@ -327,3 +327,28 @@ def test_infer_json_schema_widens(spark):
     fields = {f.name: f.dataType.simpleString() for f in schema}
     assert fields["a"] == "double"  # long widened to double across rows
     assert fields["b"] == "string" and fields["c"] == "boolean"
+
+
+def test_parse_windows_event_xml(spark):
+    from nifi_spark.sources.formats import parse_windows_event_xml
+
+    full = (
+        '<Event><System><Provider Name="P"/><EventID>7</EventID>'
+        '<Level>2</Level><TimeCreated SystemTime="2024-01-01T00:00:00Z"/>'
+        "<Computer>h1</Computer></System><EventData>"
+        '<Data Name="k1">v1</Data><Data Name="k2">v2</Data>'
+        "</EventData></Event>"
+    )
+    # no EventData block at all -> empty map, header still parsed
+    bare = (
+        '<Event><System><Provider Name="Q"/><EventID>8</EventID>'
+        '<Level>0</Level><TimeCreated SystemTime="2024-01-02T00:00:00Z"/>'
+        "<Computer>h2</Computer></System></Event>"
+    )
+    df = spark.createDataFrame([(1, full), (2, bare)], "id long, xml string")
+    rows = {r.id: r for r in parse_windows_event_xml(df, "xml").collect()}
+    r1 = rows[1]
+    assert r1.provider == "P" and r1.event_id == 7 and r1.level == 2
+    assert r1.computer == "h1" and r1.event_data == {"k1": "v1", "k2": "v2"}
+    r2 = rows[2]
+    assert r2.provider == "Q" and r2.event_id == 8 and r2.event_data == {}
