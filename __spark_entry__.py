@@ -968,6 +968,47 @@ def q_windows_event_xml(spark, sf_dir):
     )
 
 
+def q_el_json_mutation(spark, sf_dir):
+    """EL JSON mutation family (JsonPath{Set,Put,Add,Delete}) + getUri +
+    formatInstant: mutate a deterministic JSON synthesis and rebuild the
+    expected documents literally in the oracle."""
+    from nifi_spark.functions.el import el
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.concat(
+            F.lit('{"a":{"b":['),
+            F.col("event_id").cast("string"),
+            F.lit(']},"c":"'),
+            F.col("event_type"),
+            F.lit('"}'),
+        ).alias("j"),
+    )
+    return src.select(
+        "event_id",
+        el("jsonPathSet", F.col("j"), "$.c", "done").alias("set_c"),
+        el("jsonPathAdd", F.col("j"), "$.a.b", 7).alias("add_b"),
+        el("jsonPathPut", F.col("j"), "$.a", "k", 5).alias("put_k"),
+        el("jsonPathDelete", F.col("j"), "$.a.b[0]").alias("del_b"),
+        el(
+            "getUri",
+            "https",
+            None,
+            F.concat(F.lit("h"), (F.col("event_id") % 5).cast("string")),
+            (8080 + F.col("event_id") % 3).cast("int"),
+            "/p",
+            F.concat(F.lit("q="), F.col("event_type")),
+            None,
+        ).alias("uri"),
+        el("formatInstant", F.col("ts"), "yyyy-MM-dd HH:mm", "GMT+05:30").alias(
+            "inst"
+        ),
+    )
+
+
 def q_jolt_transform(spark, sf_dir):
     """JoltTransformJSON: a declarative shift/default/remove spec chain
     compiled to one Catalyst projection over a struct column (no per-row
@@ -1078,6 +1119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yaml_tree": q_yaml_tree,
         "jolt_transform": q_jolt_transform,
         "windows_event_xml": q_windows_event_xml,
+        "el_json_mutation": q_el_json_mutation,
     }
 
 
@@ -1708,6 +1750,17 @@ def oracle_sql() -> dict[str, str]:
                    'host-' || (event_id % 3) AS computer,
                    event_type AS etype,
                    'u-' || (event_id % 7) AS duser
+            FROM events
+        """,
+        "el_json_mutation": """
+            SELECT event_id,
+                   '{"a":{"b":[' || event_id || ']},"c":"done"}' AS set_c,
+                   '{"a":{"b":[' || event_id || ',7]},"c":"' || event_type || '"}' AS add_b,
+                   '{"a":{"b":[' || event_id || '],"k":5},"c":"' || event_type || '"}' AS put_k,
+                   '{"a":{"b":[]},"c":"' || event_type || '"}' AS del_b,
+                   'https://h' || (event_id % 5) || ':' || (8080 + event_id % 3)
+                       || '/p?q=' || event_type AS uri,
+                   strftime(ts + INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M') AS inst
             FROM events
         """,
     }

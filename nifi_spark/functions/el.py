@@ -6,7 +6,9 @@ functions/, ≈115 files — inventory in SURVEY.md §2.7) and RecordPath
 standalone functions (nifi-commons/nifi-record-path/.../functions/,
 33 files). This module is the parity table: every EL/RecordPath scalar
 with a deterministic, engine-expressible meaning maps to a
-`pyspark.sql.functions` expression — JVM-side, codegen'd. Functions whose
+`pyspark.sql.functions` expression — JVM-side, codegen'd (sole exception:
+the JSON mutation family, which is Arrow-batched because Spark has no
+JVM-side JSON mutation). Functions whose
 NiFi semantics are environmental (hostname(), ip(), thread()) or
 non-deterministic (random(), now() in the data path) are intentionally
 absent: the engine forbids wall-clock/unseeded randomness in data paths
@@ -18,6 +20,10 @@ directly. Each lambda takes Columns/literals in NiFi argument order.
 
 from __future__ import annotations
 
+import json
+import re
+
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -217,6 +223,14 @@ EL_FUNCTIONS: dict[str, callable] = {
     "fromEpochMillis": lambda n: F.timestamp_millis(_c(n).cast("long")),
     "fromEpochSeconds": lambda n: F.timestamp_seconds(_c(n).cast("long")),
     "toEpochSeconds": lambda t: F.unix_timestamp(_c(t)),
+    # Instant variants (StringToInstantEvaluator / InstantFormatEvaluator):
+    # parse/render in an explicit zone, value carried as UTC instant
+    "toInstant": lambda s, fmt, tz="UTC": F.to_utc_timestamp(
+        F.to_timestamp(_c(s), fmt), tz
+    ),
+    "formatInstant": lambda t, fmt, tz="UTC": F.date_format(
+        F.from_utc_timestamp(_c(t), tz), fmt
+    ),
     # ---- boolean / comparison ----
     "and": lambda a, b: _c(a) & _c(b),
     "or": lambda a, b: _c(a) | _c(b),
@@ -252,6 +266,14 @@ EL_FUNCTIONS: dict[str, callable] = {
     # ---- JSON (JsonPath*Evaluator.java) ----
     "jsonPath": lambda s, p: F.get_json_object(_c(s), p),
     "isJson": lambda s: F.try_parse_json(_c(s)).isNotNull(),
+    # JSON mutation (JsonPath{Set,Put,Add,Delete}Evaluator.java via
+    # JsonPathUpdateEvaluator.java:52-68): documents are mutated at a
+    # compiled path; path-not-found -> subject unchanged, parse error ->
+    # empty string. Arrow-batched UDF (Spark has no JVM JSON mutation).
+    "jsonPathSet": lambda s, p, v: json_path_mutate(s, "set", p, v),
+    "jsonPathPut": lambda s, p, k, v: json_path_mutate(s, "put", p, v, k),
+    "jsonPathAdd": lambda s, p, v: json_path_mutate(s, "add", p, v),
+    "jsonPathDelete": lambda s, p: json_path_mutate(s, "delete", p),
     # ---- RecordPath standalone functions (.../record/path/functions/) ----
     "concat": lambda *xs: F.concat(*[_c(x) for x in xs]),
     "coalesce": lambda *xs: F.coalesce(*[_c(x) for x in xs]),
@@ -260,7 +282,117 @@ EL_FUNCTIONS: dict[str, callable] = {
     "mapOf": lambda *kv: F.create_map(*[_c(x) for x in kv]),
     "toString": lambda a: _c(a).cast("string"),
     "toBytes": lambda a: _c(a).cast("binary"),
+    # ---- system (GetUriEvaluator.java:40-67 CONSTRUCTS a URI from parts) ----
+    "getUri": lambda *parts: get_uri(*parts),
 }
+
+
+# ---- URI construction (GetUriEvaluator.java): 3-arg (scheme, host, path)
+# and 7-arg (scheme, userInfo, host, port, path, query, fragment) forms of
+# java.net.URI; null/empty parts and their separators are omitted. ----
+
+
+def get_uri(*parts) -> Column:
+    if len(parts) == 3:
+        scheme, host, path = (_c(p) for p in parts)
+        return F.concat(scheme, F.lit("://"), host, path)
+    if len(parts) != 7:
+        raise ValueError(f"getUri takes 3 or 7 arguments, got {len(parts)}")
+    scheme, user, host, port, path, query, frag = (_c(p) for p in parts)
+
+    def _opt(prefix, c, suffix=""):
+        return F.when(
+            c.isNull() | (c.cast("string") == ""), F.lit("")
+        ).otherwise(F.concat(F.lit(prefix), c.cast("string"), F.lit(suffix)))
+
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        _opt("", user, "@"),
+        host,
+        F.when(port.isNull() | (port < 0), F.lit("")).otherwise(
+            F.concat(F.lit(":"), port.cast("long").cast("string"))
+        ),
+        path,
+        _opt("?", query),
+        _opt("#", frag),
+    )
+
+
+# ---- JSON mutation (JsonPath{Set,Put,Add,Delete}Evaluator.java). The
+# reference mutates with Jayway JsonPath on the JVM; here a dot-path
+# (``$.a.b[2].c`` — child + array-index nodes, the forms NiFi flows use
+# with these evaluators) is compiled once on the driver and applied in an
+# Arrow-batched pandas UDF. Error contract mirrors
+# JsonPathUpdateEvaluator.java:52-68: path not found -> subject unchanged;
+# unparseable subject -> empty string. ----
+
+_PATH_TOKEN = re.compile(r"\.([A-Za-z_][A-Za-z0-9_]*)|\[(\d+)\]")
+
+
+def _compile_json_path(path: str) -> list:
+    if not path.startswith("$"):
+        raise ValueError(f"json path must start with '$': {path!r}")
+    toks, pos = [], 1
+    while pos < len(path):
+        m = _PATH_TOKEN.match(path, pos)
+        if not m:
+            raise ValueError(f"unsupported json path syntax at {path[pos:]!r}")
+        toks.append(m.group(1) if m.group(1) is not None else int(m.group(2)))
+        pos = m.end()
+    if not toks and path != "$":
+        raise ValueError(f"empty json path: {path!r}")
+    return toks
+
+
+def json_path_mutate(col, mode: str, path: str, value=None, key: str | None = None) -> Column:
+    """Apply one JSON mutation at ``path`` to every document in ``col``.
+
+    mode: ``set`` (replace value at path), ``put`` (set ``key`` in the map
+    at path), ``add`` (append to the array at path), ``delete`` (remove
+    the element at path). ``value`` is a Python literal (str stays a JSON
+    string, int/float/bool/None map to their JSON types).
+    """
+    if mode not in ("set", "put", "add", "delete"):
+        raise ValueError(f"unknown mode {mode!r}")
+    toks = _compile_json_path(path)
+    if mode in ("set", "delete") and not toks:
+        raise ValueError(f"mode {mode!r} needs a non-root path")
+
+    @F.pandas_udf("string")
+    def _mutate(s: pd.Series) -> pd.Series:
+        def one(txt):
+            if txt is None:
+                return None
+            try:
+                doc = json.loads(txt)
+            except ValueError:
+                return ""  # reference returns EMPTY on unparseable subject
+            try:
+                node = doc
+                for t in toks[:-1] if mode in ("set", "delete") else toks:
+                    node = node[t]
+                if mode == "set":
+                    leaf = toks[-1]
+                    _ = node[leaf]  # must exist (Jayway set on existing path)
+                    node[leaf] = value
+                elif mode == "delete":
+                    del node[toks[-1]]
+                elif mode == "put":
+                    if not isinstance(node, dict):
+                        raise KeyError(path)
+                    node[key] = value
+                else:  # add
+                    if not isinstance(node, list):
+                        raise KeyError(path)
+                    node.append(value)
+            except (KeyError, IndexError, TypeError):
+                return txt  # path not found -> unchanged
+            return json.dumps(doc, separators=(",", ":"), ensure_ascii=False)
+
+        return s.map(one)
+
+    return _mutate(_c(col))
 
 
 def el(name: str, *args) -> Column:

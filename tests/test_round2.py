@@ -271,3 +271,52 @@ def test_laketable_file_uri(spark, tmp_path):
     rows = {(r.conv_id, r.text) for r in t.read().collect()}
     assert rows == {("c1", "c"), ("c2", "d")}
     assert t.last_batch_id() == 1
+
+
+def test_json_path_mutate_contract(spark):
+    from nifi_spark.functions.el import el, _compile_json_path
+    import pytest as _pt
+
+    df = spark.createDataFrame(
+        [(1, '{"a":{"b":[1,2]},"c":"x"}'), (2, "not json"), (3, '{"a":{}}'), (4, None)],
+        "id long, j string",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            el("jsonPathSet", F.col("j"), "$.c", "y").alias("set_c"),
+            el("jsonPathAdd", F.col("j"), "$.a.b", 9).alias("add_b"),
+            el("jsonPathPut", F.col("j"), "$.a", "k", 5).alias("put_k"),
+            el("jsonPathDelete", F.col("j"), "$.a.b[0]").alias("del_b"),
+        ).collect()
+    }
+    assert rows[1].set_c == '{"a":{"b":[1,2]},"c":"y"}'
+    assert rows[1].add_b == '{"a":{"b":[1,2,9]},"c":"x"}'
+    assert rows[1].put_k == '{"a":{"b":[1,2],"k":5},"c":"x"}'
+    assert rows[1].del_b == '{"a":{"b":[2]},"c":"x"}'
+    # unparseable subject -> empty string (JsonPathUpdateEvaluator EMPTY)
+    assert rows[2].set_c == "" and rows[2].del_b == ""
+    # path not found -> subject unchanged
+    assert rows[3].set_c == '{"a":{}}' and rows[3].add_b == '{"a":{}}'
+    assert rows[4].set_c is None
+    with _pt.raises(ValueError):
+        _compile_json_path("a.b")  # must start with $
+    with _pt.raises(ValueError):
+        _compile_json_path("$.a[*]")  # wildcards unsupported
+
+
+def test_get_uri_forms(spark):
+    from nifi_spark.functions.el import el, get_uri
+    import pytest as _pt
+
+    (r,) = spark.range(1).select(
+        el("getUri", "https", "host.io", "/p").alias("u3"),
+        el("getUri", "https", "me", "host.io", 8443, "/p", "q=1", "f").alias("u7"),
+        el("getUri", "https", None, "host.io", -1, "/p", None, None).alias("u7n"),
+    ).collect()
+    assert r.u3 == "https://host.io/p"
+    assert r.u7 == "https://me@host.io:8443/p?q=1#f"
+    assert r.u7n == "https://host.io/p"
+    with _pt.raises(ValueError):
+        get_uri("https", "host.io")
