@@ -684,6 +684,51 @@ def q_recordpath_nested(spark, sf_dir):
     )
 
 
+def q_recordpath_advanced(spark, sf_dir):
+    """RecordPath node-type round-out (RecordPathCompiler.java:
+    PredicatePath, MultiArrayIndexPath/range, SingularMapKeyPath,
+    DescendantFieldPath): predicate-targeted update, index-range get,
+    map-key update, descendant update — all pure Catalyst chains,
+    verified by projecting scalars the oracle derives arithmetically."""
+    from nifi_spark.functions.recordpath import get_at_path, update_at_path
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        "event_type",
+        F.struct(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        (F.col("event_id") + i).alias("val"),
+                    )
+                    for i in range(3)
+                ]
+            ).alias("turns"),
+            F.struct(F.col("event_type").alias("tag")).alias("meta"),
+        ).alias("conv"),
+        F.create_map(
+            F.lit("a"), F.col("event_id"), F.lit("b"), F.col("event_id") + 5
+        ).alias("m"),
+    )
+    upd = update_at_path(src, "/conv/turns[./i = 1]/val", lambda c: c + 100)
+    upd = update_at_path(upd, "/m['a']", lambda c: c * 2)
+    upd = update_at_path(upd, "//tag", F.upper)
+    upd = get_at_path(upd, "/conv/turns[0..1]/val", "picked")
+    return upd.select(
+        "event_id",
+        F.col("conv.turns")[0]["val"].alias("v0"),
+        F.col("conv.turns")[1]["val"].alias("v1"),
+        F.col("conv.turns")[2]["val"].alias("v2"),
+        F.col("picked")[0].alias("p0"),
+        F.col("picked")[1].alias("p1"),
+        F.col("m")["a"].alias("ma"),
+        F.col("m")["b"].alias("mb"),
+        F.col("conv.meta.tag").alias("tag"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Third coverage wave: binning/rate control, keyed cache, N-of-M barrier,
 # log dialects (5424/CEF-ext/Grok composites), CHOICE parse, XML/YAML
@@ -1120,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jolt_transform": q_jolt_transform,
         "windows_event_xml": q_windows_event_xml,
         "el_json_mutation": q_el_json_mutation,
+        "recordpath_advanced": q_recordpath_advanced,
     }
 
 
@@ -1761,6 +1807,18 @@ def oracle_sql() -> dict[str, str]:
                    'https://h' || (event_id % 5) || ':' || (8080 + event_id % 3)
                        || '/p?q=' || event_type AS uri,
                    strftime(ts + INTERVAL 330 MINUTE, '%Y-%m-%d %H:%M') AS inst
+            FROM events
+        """,
+        "recordpath_advanced": """
+            SELECT event_id,
+                   event_id AS v0,
+                   event_id + 101 AS v1,
+                   event_id + 2 AS v2,
+                   event_id AS p0,
+                   event_id + 101 AS p1,
+                   event_id * 2 AS ma,
+                   event_id + 5 AS mb,
+                   upper(event_type) AS tag
             FROM events
         """,
     }

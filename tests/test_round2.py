@@ -126,8 +126,15 @@ def _nested_df(spark):
 def test_recordpath_parse():
     assert parse_path("/a/b[*]/c") == [("a", []), ("b", ["*"]), ("c", [])]
     assert parse_path("/a[3]") == [("a", [3])]
+    assert parse_path("/a[0..2]") == [("a", [("idx", [0, 1, 2])])]
+    assert parse_path("/a[0,2]") == [("a", [("idx", [0, 2])])]
+    assert parse_path("/m['k']/v") == [("m", [("key", ["k"])]), ("v", [])]
+    assert parse_path("/a[./c = 'x']") == [("a", [("pred", "c", "=", "x")])]
+    assert parse_path("//c") == [("**c", [])]
     with pytest.raises(ValueError):
-        parse_path("/a[0..2]")
+        parse_path("/a[?]")  # unknown step form
+    with pytest.raises(ValueError):
+        parse_path("//*")  # wildcard descendant out of scope
 
 
 def test_recordpath_update_wildcard(spark):
@@ -154,6 +161,53 @@ def test_recordpath_field_wildcard(spark):
     )
     out = update_at_path(df, "/a/*", F.upper).collect()[0]
     assert out.a.x == "P" and out.a.y == "Q"
+
+
+def test_recordpath_predicate(spark):
+    df = _nested_df(spark)
+    # update only elements where c = 'x'
+    out = update_at_path(df, "/a/b[./c = 'x']/d", lambda c: c + 10).collect()[0]
+    assert [e.d for e in out.a.b] == [11, 2]
+    # get filters matching elements
+    got = get_at_path(df, "/a/b[./d > 1]/c", "cs").collect()[0]
+    assert got.cs == ["y"]
+
+
+def test_recordpath_multi_index_and_range(spark):
+    df = spark.createDataFrame([(1, [10, 20, 30, 40])], "id int, a array<int>")
+    out = update_at_path(df, "/a[0,2]", lambda c: c + 1).collect()[0]
+    assert out.a == [11, 20, 31, 40]
+    out2 = update_at_path(df, "/a[1..2]", lambda c: c * 2).collect()[0]
+    assert out2.a == [10, 40, 60, 40]
+    got = get_at_path(df, "/a[0,3]", "picked").collect()[0]
+    assert got.picked == [10, 40]
+
+
+def test_recordpath_map_key(spark):
+    df = spark.createDataFrame(
+        [(1, {"k1": "v1", "k2": "v2"})], "id int, m map<string, string>"
+    )
+    out = update_at_path(df, "/m['k1']", F.upper).collect()[0]
+    assert out.m == {"k1": "V1", "k2": "v2"}
+    got = get_at_path(df, "/m['k2']", "v").collect()[0]
+    assert got.v == "v2"
+    both = get_at_path(df, "/m['k1','k2']", "vs").collect()[0]
+    assert both.vs == ["v1", "v2"]
+
+
+def test_recordpath_descendant(spark):
+    df = spark.createDataFrame(
+        [(1, {"b": {"c": "x"}, "c": "y"})],
+        "id int, a struct<b: struct<c: string>, c: string>",
+    )
+    # //c matches a.b.c AND a.c -> both updated
+    out = update_at_path(df, "//c", F.upper).collect()[0]
+    assert out.a.b.c == "X" and out.a.c == "Y"
+    # get requires a unique match
+    got = get_at_path(df, "/a//b/c", "v").collect()[0]
+    assert got.v == "x"
+    with pytest.raises(ValueError):
+        get_at_path(df, "//c", "v")
 
 
 # ---------- LakeTable: plan shape, rebase, conflicts, URIs ----------
