@@ -495,6 +495,23 @@ def q_embedding_cosine_topk(spark, sf_dir):
     )
 
 
+def q_embedding_ann_ivf(spark, sf_dir):
+    """Approximate NN via IVF coarse quantization (the k-means-cell scale
+    path): md5-sampled deterministic centroids, argmax cell assignment,
+    nprobe-cell bucket join, exact re-rank. Every step is deterministic,
+    so the DuckDB oracle reimplements centroid choice, assignment,
+    probing, and re-rank with the same fold shape — full value-hash
+    parity. Recall vs exact top-k additionally asserted in pytest."""
+    from nifi_spark.operators.similarity import cosine_topk_ivf
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = cosine_topk_ivf(queries, emb, k=10, n_cells=16, nprobe=8)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim"
+    )
+
+
 def q_embedding_ann_lsh(spark, sf_dir):
     """Approximate NN via OR-amplified sign-LSH buckets (the scale path).
     The hyperplanes are md5-deterministic (similarity._hyperplane), so the
@@ -1166,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windows_event_xml": q_windows_event_xml,
         "el_json_mutation": q_el_json_mutation,
         "recordpath_advanced": q_recordpath_advanced,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
     }
 
 
@@ -1507,6 +1525,71 @@ def oracle_sql() -> dict[str, str]:
                                   list_transform(generate_series(1, 64), i -> cv[i]::DOUBLE * cv[i]::DOUBLE)),
                                   (a, b) -> a + b))), 6) AS cos_sim
                 FROM q, c WHERE query_id <> neighbor_id
+            )
+            SELECT query_id, neighbor_id, rank, cos_sim FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
+                FROM scored
+            ) WHERE rank <= 10
+        """,
+        # Mirrors similarity.ivf_centroids / ivf_assign / cosine_topk_ivf
+        # term for term: centroids = 16 smallest md5_long('ivf|id'),
+        # argmax-cosine cell (ties -> smallest cid), 8 probed cells per
+        # query, exact re-rank — same fold order => bit-identical doubles.
+        "embedding_ann_ivf": """
+            WITH cents AS (
+                SELECT vec_id AS cid, embedding AS cv
+                FROM embeddings
+                ORDER BY ('0x' || substr(md5('ivf|' || vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+                LIMIT 16
+            ),
+            scores AS (
+                SELECT e.vec_id, c.cid,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(generate_series(1, 64), i -> e.embedding[i]::DOUBLE * c.cv[i]::DOUBLE)),
+                           (a, b) -> a + b)
+                       / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                              list_transform(generate_series(1, 64), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+                              (a, b) -> a + b))
+                          * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                              list_transform(generate_series(1, 64), i -> c.cv[i]::DOUBLE * c.cv[i]::DOUBLE)),
+                              (a, b) -> a + b))) AS s
+                FROM embeddings e, cents c
+            ),
+            assign AS (
+                SELECT vec_id AS neighbor_id, cid AS cell FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+                    FROM scores
+                ) WHERE rn = 1
+            ),
+            probe AS (
+                SELECT vec_id AS query_id, cid AS cell FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+                    FROM scores WHERE vec_id < 10
+                ) WHERE rn <= 8
+            ),
+            cand AS (
+                SELECT p.query_id, a.neighbor_id
+                FROM probe p JOIN assign a ON p.cell = a.cell
+                WHERE p.query_id <> a.neighbor_id
+            ),
+            scored AS (
+                SELECT cand.query_id, cand.neighbor_id,
+                       round(
+                           list_reduce(list_prepend(0.0::DOUBLE,
+                               list_transform(generate_series(1, 64), i -> qe.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)),
+                               (a, b) -> a + b)
+                           / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                                  list_transform(generate_series(1, 64), i -> qe.embedding[i]::DOUBLE * qe.embedding[i]::DOUBLE)),
+                                  (a, b) -> a + b))
+                              * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                                  list_transform(generate_series(1, 64), i -> ce.embedding[i]::DOUBLE * ce.embedding[i]::DOUBLE)),
+                                  (a, b) -> a + b))), 6) AS cos_sim
+                FROM cand
+                JOIN embeddings qe ON qe.vec_id = cand.query_id
+                JOIN embeddings ce ON ce.vec_id = cand.neighbor_id
             )
             SELECT query_id, neighbor_id, rank, cos_sim FROM (
                 SELECT *, CAST(row_number() OVER (PARTITION BY query_id

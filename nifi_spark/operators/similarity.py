@@ -174,3 +174,119 @@ def cosine_topk_lsh(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) coarse quantization — the k-means-cell scale path the
+# LSH docstring promises. Centroids here are a deterministic pseudo-random
+# md5 sample of the corpus (a real deployment would Lloyd-refine them; the
+# cell assignment / probe / re-rank plumbing is identical and that plumbing
+# is what must scale). Centroids are bounded (n_cells × dim floats — always
+# driver-safe, exactly like trained IVF centroids shipped to executors), so
+# assignment is a pure broadcast projection: NO shuffle over the corpus.
+# ---------------------------------------------------------------------------
+
+
+def _cell_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Array of (cos, -cid) structs, one per centroid. Struct ordering
+    gives argmax with smallest-cid tie-break via the negated id."""
+    return F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("s"),
+                F.lit(-cid).cast("long").alias("n"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed_tag: str = "ivf",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic coarse centroids: the ``n_cells`` corpus vectors with
+    smallest ``md5_long(seed_tag|id)`` (a seeded sample; oracle:
+    ``ORDER BY ('0x' || substr(md5('ivf|' || id), 1, 15))::BIGINT LIMIT n``).
+    """
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(
+            md5_long(F.concat(F.lit(seed_tag + "|"), F.col("cid").cast("string"))),
+            F.col("cid"),
+        )
+        .limit(n_cells)
+        .collect()
+    )
+    return [(r.cid, [float(x) for x in r.cv]) for r in rows]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "cell",
+) -> DataFrame:
+    """Assign every vector to its max-cosine centroid (cell). Pure
+    projection — the centroid list is compiled into the expression."""
+    best = F.array_max(_cell_scores(F.col(vec_col), centroids))
+    return df.withColumn(out_col, (-best["n"]).cast("long"))
+
+
+def cosine_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed_tag: str = "ivf",
+) -> DataFrame:
+    """Approximate top-k via IVF: corpus vectors are bucketed into
+    ``n_cells`` coarse cells (one argmax projection); each query probes
+    its ``nprobe`` nearest cells; exact cosine re-rank inside the probed
+    cells only. Candidate generation is a bucket equi-join of
+    O(n · nprobe / n_cells) expected rows — never the O(n²) cross join —
+    and recall tunes with ``nprobe``. Skewed cells degrade gracefully:
+    the join key is the cell id, so AQE skew-join splitting applies.
+
+    Output: (query_id, neighbor_id, rank, cos_sim), self-matches excluded.
+    """
+    centroids = ivf_centroids(corpus, id_col, vec_col, n_cells, seed_tag)
+    c = ivf_assign(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        centroids,
+        "_cv",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+    # nprobe nearest cells: sort the (cos, -cid) structs descending —
+    # largest cos first, ties -> largest -cid = smallest cid
+    probed = q.withColumn(
+        "cell",
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.sort_array(_cell_scores(F.col("_qv"), centroids), asc=False),
+                    1,
+                    nprobe,
+                ),
+                lambda e: -e["n"],
+            )
+        ),
+    )
+    cand = (
+        probed.join(c, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "_qv", "_cv")
+    )
+    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cos_sim")
+    )

@@ -19,7 +19,7 @@ from nifi_spark.operators.enrich import (
 )
 from nifi_spark.operators.multimodal import decode_image, frame_sample, MEDIA_SCHEMA
 from nifi_spark.operators.routing import split_routes
-from nifi_spark.operators.similarity import cosine_topk, cosine_topk_lsh
+from nifi_spark.operators.similarity import cosine_topk, cosine_topk_ivf, cosine_topk_lsh
 from nifi_spark.operators.transform import (
     attrs_to_json,
     flatten_struct,
@@ -140,3 +140,14 @@ def test_ann_lsh_recall_vs_exact(spark):
     approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_ann_ivf_recall_vs_exact(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(q, emb, k=5).toPandas()
+    approx = cosine_topk_ivf(q, emb, k=5, n_cells=16, nprobe=8).toPandas()
+    exact_set = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
