@@ -22,11 +22,23 @@ so an UpdateRecord flow with nested RecordPath targets ports directly:
 - ``//name``        descendant (DescendantFieldPath — schema-resolved to
                     every nested struct field of that name; struct
                     nesting only, not through arrays)
+- ``//*``           wildcard descendant (WildcardDescendantPath.java
+                    findDescendants — every field at every struct depth,
+                    parent-first, so a child update applied after its
+                    parent's wins, matching NiFi's sequential FieldValue
+                    updates; filter with ``where_type`` for the common
+                    "all string leaves" use)
+- ``/a/b/..``       parent (ParentPath — normalized at parse time by
+                    popping the previous segment; ``..`` above the root
+                    raises, and a popped segment's index/predicate steps
+                    are popped with it)
+- ``.`` / ``/.``    current field (CurrentFieldPath — identity; the
+                    bare record path ``.`` selects/updates the whole
+                    record as a struct)
 
-Unsupported reference node types (ParentPath ``..``, WildcardDescendant
-``//*``, CurrentFieldPath standalone ``.``) raise ValueError — each has a
-hand-written equivalent and they appear in <5% of flows per the
-SURVEY.md §2.7 usage audit.
+All 16 RecordPathCompiler.java node types are covered; descendant
+resolution stays schema-side (struct nesting only, not through
+array/map elements — those take explicit ``[*]``/``['k']`` steps).
 
 Semantics note for ``[i]``/predicates: the update function must preserve
 the element type (untouched elements keep theirs); ``[*]`` may change it
@@ -92,6 +104,8 @@ def parse_path(path: str) -> list[Seg]:
     # split on '/' only outside [...] (predicates contain relative './'
     # operands, so a naive split would break inside the brackets)
     s = path.strip().rstrip("/")
+    if not s:
+        return []  # '/' — the record root
     raw_segs, buf, depth = [], [], 0
     for ch in s:
         if ch == "[":
@@ -114,21 +128,32 @@ def parse_path(path: str) -> list[Seg]:
                 raise ValueError(f"'///' not a valid RecordPath in {path!r}")
             descend = True
             continue
+        if raw == ".":
+            # CurrentFieldPath — identity, dropped at parse time
+            if descend:
+                raise ValueError(f"'//.' not a valid RecordPath in {path!r}")
+            continue
+        if raw == "..":
+            # ParentPath — pop the previous segment (steps and all)
+            if descend:
+                raise ValueError(f"'//..' not a valid RecordPath in {path!r}")
+            if not segs:
+                raise ValueError(f"ParentPath '..' above the record root in {path!r}")
+            segs.pop()
+            continue
         m = _SEG.match(raw)
         if not m:
             raise ValueError(f"unsupported RecordPath segment {raw!r}")
         name, blob = m.group(1), m.group(2)
         steps = [_parse_step(s) for s in re.findall(r"\[([^\]]+)\]", blob)]
         if descend:
-            if name == "*":
-                raise ValueError("wildcard descendant '//*' is out of scope")
-            name = "**" + name
+            name = "**" + name  # '//*' becomes '***' (fields can't be '*')
             descend = False
         segs.append((name, steps))
     if descend:
         raise ValueError(f"trailing '//' in {path!r}")
-    if not segs:
-        raise ValueError(f"empty RecordPath {path!r}")
+    # empty = the record root ('.', '/a/..') — callers treat it as the
+    # whole record (CurrentFieldPath at root)
     return segs
 
 
@@ -241,6 +266,34 @@ def _descendant_paths(dt: T.DataType, name: str, prefix: list[str]) -> list[list
     return found
 
 
+def _all_descendant_paths(dt: T.DataType, prefix: list[str]) -> list[list[str]]:
+    """Every field path at every struct depth, parent before child
+    (WildcardDescendantPath.java findDescendants order)."""
+    found: list[list[str]] = []
+    if not isinstance(dt, T.StructType):
+        return found
+    for f in dt.fields:
+        here = prefix + [f.name]
+        found.append(here)
+        found.extend(_all_descendant_paths(f.dataType, here))
+    return found
+
+
+def _datatype_at(schema: T.StructType, segs: list[Seg]) -> T.DataType:
+    """DataType at a concrete path (steps peel element/value types)."""
+    dt: T.DataType = schema
+    for name, steps in segs:
+        dt = dict((f.name, f.dataType) for f in dt.fields)[name]
+        for s in steps:
+            if isinstance(s, tuple) and s[0] == "key":
+                dt = dt.valueType
+            elif isinstance(s, int) or s == "*" or (
+                isinstance(s, tuple) and s[0] in ("idx", "pred")
+            ):
+                dt = dt.elementType
+    return dt
+
+
 def _expand(df: DataFrame, segs: list[Seg]) -> list[list[Seg]]:
     """Expand descendant segments against the DataFrame schema into
     concrete path lists (one per match)."""
@@ -255,7 +308,11 @@ def _expand(df: DataFrame, segs: list[Seg]) -> list[list[Seg]]:
                     raise ValueError(
                         "descendant below array/map steps is out of scope"
                     )
-            matches = _descendant_paths(dt, target, [])
+            matches = (
+                _all_descendant_paths(dt, [])
+                if target == "*"
+                else _descendant_paths(dt, target, [])
+            )
             out = []
             for mpath in matches:
                 concrete = (
@@ -269,17 +326,37 @@ def _expand(df: DataFrame, segs: list[Seg]) -> list[list[Seg]]:
     return [segs]
 
 
-def update_at_path(df: DataFrame, path: str, fn: Callable[[Column], Column]) -> DataFrame:
+def update_at_path(
+    df: DataFrame,
+    path: str,
+    fn: Callable[[Column], Column],
+    where_type: Callable[[T.DataType], bool] | None = None,
+) -> DataFrame:
     """Apply ``fn`` to the value(s) at ``path`` (≙ UpdateRecord with a
-    RecordPath target), leaving everything else intact."""
-    for segs in _expand(df, parse_path(path)):
+    RecordPath target), leaving everything else intact.
+
+    ``where_type`` filters the expanded concrete paths by leaf DataType —
+    the schema-side restatement of NiFi's per-FieldValue type coercion
+    (e.g. ``//*`` + ``lambda t: t == T.StringType()`` updates every
+    nested string leaf without touching structs or numerics)."""
+    parsed = parse_path(path)
+    if not parsed:
+        # record root ('.', '/a/..'): fn over the whole record struct
+        out = fn(F.struct(*[F.col(c) for c in df.columns]))
+        return df.select(out.alias("_r")).select("_r.*")
+    for segs in _expand(df, parsed):
         if segs[-1][0] == "*" and not segs[-1][1]:
             # field wildcard: expand to one update per resolved field
             prefix = segs[:-1]
             for fname in _resolve_struct_fields(df, prefix):
                 df = update_at_path(
-                    df, "/" + "/".join(_unparse(prefix + [(fname, [])])), fn
+                    df,
+                    "/" + "/".join(_unparse(prefix + [(fname, [])])),
+                    fn,
+                    where_type,
                 )
+            continue
+        if where_type is not None and not where_type(_datatype_at(df.schema, segs)):
             continue
         name, steps = segs[0]
         df = df.withColumn(name, _apply_steps(F.col(name), steps, segs[1:], fn))
@@ -290,7 +367,11 @@ def get_at_path(df: DataFrame, path: str, out_col: str) -> DataFrame:
     """Project the value(s) at ``path`` into ``out_col`` (wildcard /
     predicate / multi-index steps yield arrays, one level per step — not
     flattened). Descendant paths must resolve to exactly one match."""
-    exp = _expand(df, parse_path(path))
+    parsed = parse_path(path)
+    if not parsed:
+        # record root: the whole record as one struct value
+        return df.withColumn(out_col, F.struct(*[F.col(c) for c in df.columns]))
+    exp = _expand(df, parsed)
     if len(exp) != 1:
         raise ValueError(
             f"get_at_path needs exactly one concrete path, got {len(exp)} "
@@ -331,7 +412,10 @@ def _get_steps(col: Column, steps: list, rest: list[Seg]) -> Column:
 def delete_at_path(df: DataFrame, path: str) -> DataFrame:
     """Remove the struct field at ``path`` (≙ RemoveRecordField with a
     nested target). The leaf must be a struct field (not an array slot)."""
-    for segs in _expand(df, parse_path(path)):
+    parsed = parse_path(path)
+    if not parsed:
+        raise ValueError("delete_at_path cannot delete the record root")
+    for segs in _expand(df, parsed):
         leaf, steps = segs[-1]
         if steps or leaf == "*":
             raise ValueError("delete_at_path targets a named struct field")

@@ -7,6 +7,7 @@ import uuid as pyuuid
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from nifi_spark.functions.el import el
 from nifi_spark.functions.recordpath import (
@@ -131,10 +132,39 @@ def test_recordpath_parse():
     assert parse_path("/m['k']/v") == [("m", [("key", ["k"])]), ("v", [])]
     assert parse_path("/a[./c = 'x']") == [("a", [("pred", "c", "=", "x")])]
     assert parse_path("//c") == [("**c", [])]
+    assert parse_path("//*") == [("***", [])]  # wildcard descendant
+    assert parse_path("/a/b/../c") == [("a", []), ("c", [])]  # ParentPath
+    assert parse_path("/a/./b") == [("a", []), ("b", [])]  # CurrentFieldPath
+    assert parse_path(".") == []  # record root
+    assert parse_path("/a/..") == []
     with pytest.raises(ValueError):
         parse_path("/a[?]")  # unknown step form
     with pytest.raises(ValueError):
-        parse_path("//*")  # wildcard descendant out of scope
+        parse_path("/..")  # ParentPath above the root
+
+
+def test_recordpath_wildcard_descendant(spark):
+    # '//*' + where_type: every nested string leaf, structs untouched
+    out = update_at_path(
+        _nested_df(spark), "//*", F.upper, where_type=lambda t: t == T.StringType()
+    ).collect()[0]
+    assert [e.c for e in out.a.b] == ["x", "y"]  # below an array step — not struct-nested
+    assert out.a.e == "KEEP"
+
+
+def test_recordpath_parent_and_root(spark):
+    # ParentPath normalization: /a/e/../e ≡ /a/e
+    out = update_at_path(_nested_df(spark), "/a/e/../e", F.upper).collect()[0]
+    assert out.a.e == "KEEP"
+    # record root: get as struct, update via struct rebuild
+    got = get_at_path(_nested_df(spark), ".", "rec").collect()[0]
+    assert got.rec.id == 1
+    upd = update_at_path(
+        _nested_df(spark), ".", lambda r: r.withField("id", r["id"] + 10)
+    ).collect()[0]
+    assert upd.id == 11
+    with pytest.raises(ValueError):
+        delete_at_path(_nested_df(spark), ".")
 
 
 def test_recordpath_update_wildcard(spark):
