@@ -704,9 +704,11 @@ def q_recordpath_nested(spark, sf_dir):
 def q_recordpath_advanced(spark, sf_dir):
     """RecordPath node-type round-out (RecordPathCompiler.java:
     PredicatePath, MultiArrayIndexPath/range, SingularMapKeyPath,
-    DescendantFieldPath): predicate-targeted update, index-range get,
-    map-key update, descendant update — all pure Catalyst chains,
-    verified by projecting scalars the oracle derives arithmetically."""
+    DescendantFieldPath, ParentPath ``..``, WildcardDescendantPath
+    ``//*``): predicate-targeted update, index-range get, map-key update,
+    parent-normalized update, type-filtered wildcard-descendant update —
+    all pure Catalyst chains, verified by projecting scalars the oracle
+    derives arithmetically."""
     from nifi_spark.functions.recordpath import get_at_path, update_at_path
 
     ev = _t(spark, sf_dir, "events")
@@ -729,12 +731,18 @@ def q_recordpath_advanced(spark, sf_dir):
             F.lit("a"), F.col("event_id"), F.lit("b"), F.col("event_id") + 5
         ).alias("m"),
     )
+    from pyspark.sql import types as T
+
     upd = update_at_path(src, "/conv/turns[./i = 1]/val", lambda c: c + 100)
     upd = update_at_path(upd, "/m['a']", lambda c: c * 2)
-    upd = update_at_path(upd, "//tag", F.upper)
+    # ParentPath: /conv/meta/../turns[2]/val normalizes to /conv/turns[2]/val
+    upd = update_at_path(upd, "/conv/meta/../turns[2]/val", lambda c: c + 1000)
+    # WildcardDescendantPath + type filter: every nested string leaf
+    upd = update_at_path(upd, "//*", F.upper, where_type=lambda t: t == T.StringType())
     upd = get_at_path(upd, "/conv/turns[0..1]/val", "picked")
     return upd.select(
         "event_id",
+        F.col("event_type").alias("etype"),
         F.col("conv.turns")[0]["val"].alias("v0"),
         F.col("conv.turns")[1]["val"].alias("v1"),
         F.col("conv.turns")[2]["val"].alias("v2"),
@@ -1894,9 +1902,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "recordpath_advanced": """
             SELECT event_id,
+                   upper(event_type) AS etype,
                    event_id AS v0,
                    event_id + 101 AS v1,
-                   event_id + 2 AS v2,
+                   event_id + 1002 AS v2,
                    event_id AS p0,
                    event_id + 101 AS p1,
                    event_id * 2 AS ma,

@@ -236,6 +236,53 @@ def ivf_assign(
     return df.withColumn(out_col, (-best["n"]).cast("long"))
 
 
+def lloyd_refine(
+    corpus: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    iters: int = 1,
+) -> list[tuple[int, list[float]]]:
+    """Refine coarse seeds with spherical k-means (Lloyd) iterations:
+    assign every corpus vector to its max-cosine centroid, recompute each
+    cell's centroid as the element-wise mean, L2-normalized (the
+    cosine-metric variant). Deterministic given the md5-sampled seeds
+    (``ivf_centroids``) — means are order-insensitive, ties break on cid.
+
+    Scale: each iteration is ONE hash aggregation over the corpus with
+    ``dim`` avg() columns — no explode, no shuffle beyond the agg, no
+    per-row Python; the centroid list stays driver-side bounded
+    (n_cells × dim floats), exactly like trained IVF centroids shipped
+    to executors. An empty cell keeps its previous centroid.
+    """
+    import math
+
+    dim = len(centroids[0][1])
+    for _ in range(iters):
+        assigned = ivf_assign(
+            corpus.select(F.col(vec_col).alias("_v")), centroids, "_v", "cell"
+        )
+        rows = (
+            assigned.groupBy("cell")
+            .agg(
+                F.array(
+                    *[F.avg(F.element_at(F.col("_v"), i + 1)) for i in range(dim)]
+                ).alias("m")
+            )
+            .collect()
+        )
+        means = {r["cell"]: r["m"] for r in rows}
+        new: list[tuple[int, list[float]]] = []
+        for cid, cv in centroids:
+            m = means.get(cid)
+            if m is None:
+                new.append((cid, cv))
+                continue
+            nrm = math.sqrt(sum(x * x for x in m)) or 1.0
+            new.append((cid, [float(x) / nrm for x in m]))
+        centroids = new
+    return centroids
+
+
 def cosine_topk_ivf(
     queries: DataFrame,
     corpus: DataFrame,
@@ -245,6 +292,7 @@ def cosine_topk_ivf(
     n_cells: int = 16,
     nprobe: int = 4,
     seed_tag: str = "ivf",
+    lloyd_iters: int = 0,
 ) -> DataFrame:
     """Approximate top-k via IVF: corpus vectors are bucketed into
     ``n_cells`` coarse cells (one argmax projection); each query probes
@@ -254,9 +302,17 @@ def cosine_topk_ivf(
     and recall tunes with ``nprobe``. Skewed cells degrade gracefully:
     the join key is the cell id, so AQE skew-join splitting applies.
 
+    ``lloyd_iters > 0`` refines the md5-sampled seeds with spherical
+    k-means passes (:func:`lloyd_refine`) before assignment — tighter
+    cells, better recall at the same nprobe, one extra corpus agg per
+    iteration. The default 0 keeps the centroid derivation closed-form
+    (exactly reproducible in the DuckDB oracle).
+
     Output: (query_id, neighbor_id, rank, cos_sim), self-matches excluded.
     """
     centroids = ivf_centroids(corpus, id_col, vec_col, n_cells, seed_tag)
+    if lloyd_iters:
+        centroids = lloyd_refine(corpus, centroids, vec_col, lloyd_iters)
     c = ivf_assign(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
         centroids,

@@ -151,3 +151,25 @@ def test_ann_ivf_recall_vs_exact(spark):
     approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.5, f"IVF recall too low: {recall}"
+
+
+def test_ann_ivf_lloyd_refinement(spark):
+    from nifi_spark.operators.similarity import ivf_centroids, lloyd_refine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seeds = ivf_centroids(emb, n_cells=8)
+    r1 = lloyd_refine(emb, seeds, iters=1)
+    # deterministic: same seeds + same corpus -> identical centroids
+    assert r1 == lloyd_refine(emb, seeds, iters=1)
+    # refined centroids are unit-normalized and differ from the raw seeds
+    assert all(abs(sum(x * x for x in cv) - 1.0) < 1e-6 for _, cv in r1)
+    assert r1 != seeds
+    # the refined index still returns neighbors at equal-or-better recall
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(q, emb, k=5).toPandas()
+    approx = cosine_topk_ivf(q, emb, k=5, n_cells=8, nprobe=4, lloyd_iters=1).toPandas()
+    base = cosine_topk_ivf(q, emb, k=5, n_cells=8, nprobe=4).toPandas()
+    ex = set(map(tuple, exact[["query_id", "neighbor_id"]].values))
+    ap = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    bs = set(map(tuple, base[["query_id", "neighbor_id"]].values))
+    assert len(ex & ap) >= len(ex & bs) - 2  # refinement must not tank recall
