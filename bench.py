@@ -288,7 +288,7 @@ def _merge_worker_results(a: dict | None, b: dict | None) -> dict | None:
 
 
 def _scaling_runs(
-    max_rounds: int = 2, budget_s: float = 1500.0
+    max_rounds: int = 3, budget_s: float = 1500.0
 ) -> tuple[dict | None, dict | None]:
     """Min-of-many-trials per level, lo/hi workers back to back.
 
@@ -308,10 +308,13 @@ def _scaling_runs(
     hi: dict | None = None
     t0 = time.time()
     for i in range(max_rounds):
-        if i > 0:
-            if lo and hi and _eff(lo, hi) >= 0.8:
+        if i > 0 and lo and hi:
+            # Early-exit only on a CREDIBLE pass: efficiency above ~1.0
+            # is impossible for real strong scaling — it means the lo
+            # minimum is still throttled (undersampled), so keep drawing.
+            if 0.8 <= _eff(lo, hi) <= 1.02:
                 break
-            if (time.time() - t0) > budget_s and lo and hi:
+            if (time.time() - t0) > budget_s:
                 break
         # hi-level trials are ~4x cheaper — sample them harder: the hi
         # minimum is the volatile term (a single throttle spike inflates

@@ -20,10 +20,13 @@ so an UpdateRecord flow with nested RecordPath targets ports directly:
                     transform; operand ``.`` or a child field, ops
                     ``= != > >= < <=``, literal string/number)
 - ``//name``        descendant (DescendantFieldPath — schema-resolved to
-                    every nested struct field of that name; struct
-                    nesting only, not through arrays)
+                    every nested field of that name, walking structs AND
+                    arrays-of-struct via an implicit ``[*]`` step, like
+                    the reference's isRecord/isRecordArray recursion;
+                    maps and scalar arrays stop the walk — address those
+                    with explicit ``['k']``/``[*]`` steps)
 - ``//*``           wildcard descendant (WildcardDescendantPath.java
-                    findDescendants — every field at every struct depth,
+                    findDescendants — every field at every depth,
                     parent-first, so a child update applied after its
                     parent's wins, matching NiFi's sequential FieldValue
                     updates; filter with ``where_type`` for the common
@@ -252,30 +255,56 @@ def _resolve_struct_fields(df: DataFrame, segs: list[Seg]) -> list[str]:
     return [f.name for f in dt.fields]
 
 
-def _descendant_paths(dt: T.DataType, name: str, prefix: list[str]) -> list[list[str]]:
-    """Every nested struct path (struct nesting only) ending at ``name``
-    (DescendantFieldPath.java getDescendants walks child records)."""
-    found: list[list[str]] = []
-    if not isinstance(dt, T.StructType):
+def _descend_type(dt: T.DataType) -> tuple[T.DataType, list] | None:
+    """How descendant search enters ``dt``: structs directly; arrays of
+    structs through an implicit ``[*]`` step (DescendantFieldPath.java /
+    WildcardDescendantPath.java recurse into child records AND record
+    arrays — Filters.isRecord / isRecordArray). Maps and scalar arrays
+    stop the walk (explicit ``['k']``/``[*]`` steps address those)."""
+    if isinstance(dt, T.StructType):
+        return dt, []
+    if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
+        return dt.elementType, ["*"]
+    return None
+
+
+def _descendant_paths(dt: T.DataType, name: str, prefix: list[Seg]) -> list[list[Seg]]:
+    """Every nested path (struct nesting, and array-of-struct nesting via
+    an implicit ``[*]`` step) ending at a field called ``name``
+    (DescendantFieldPath.java getDescendants walks child records and
+    record arrays). Returns full Seg lists."""
+    found: list[list[Seg]] = []
+    entered = _descend_type(dt)
+    if entered is None:
         return found
-    for f in dt.fields:
-        here = prefix + [f.name]
+    st, _ = entered
+    for f in st.fields:
+        fe = _descend_type(f.dataType)
         if f.name == name:
-            found.append(here)
-        found.extend(_descendant_paths(f.dataType, name, here))
+            found.append(prefix + [(f.name, [])])
+        if fe:
+            found.extend(
+                _descendant_paths(f.dataType, name, prefix + [(f.name, list(fe[1]))])
+            )
     return found
 
 
-def _all_descendant_paths(dt: T.DataType, prefix: list[str]) -> list[list[str]]:
-    """Every field path at every struct depth, parent before child
-    (WildcardDescendantPath.java findDescendants order)."""
-    found: list[list[str]] = []
-    if not isinstance(dt, T.StructType):
+def _all_descendant_paths(dt: T.DataType, prefix: list[Seg]) -> list[list[Seg]]:
+    """Every field path at every depth (struct + array-of-struct nesting),
+    parent before child (WildcardDescendantPath.java findDescendants
+    order). Returns full Seg lists."""
+    found: list[list[Seg]] = []
+    entered = _descend_type(dt)
+    if entered is None:
         return found
-    for f in dt.fields:
-        here = prefix + [f.name]
-        found.append(here)
-        found.extend(_all_descendant_paths(f.dataType, here))
+    st, _ = entered
+    for f in st.fields:
+        found.append(prefix + [(f.name, [])])
+        fe = _descend_type(f.dataType)
+        if fe:
+            found.extend(
+                _all_descendant_paths(f.dataType, prefix + [(f.name, list(fe[1]))])
+            )
     return found
 
 
@@ -315,10 +344,14 @@ def _expand(df: DataFrame, segs: list[Seg]) -> list[list[Seg]]:
             )
             out = []
             for mpath in matches:
+                # mpath segments already carry implicit [*] steps for
+                # array-of-struct hops; the matched leaf takes the
+                # descendant segment's own explicit steps
+                leaf_name, _ = mpath[-1]
                 concrete = (
                     segs[:i]
-                    + [(p, []) for p in mpath[:-1]]
-                    + [(mpath[-1], steps)]
+                    + mpath[:-1]
+                    + [(leaf_name, steps)]
                     + segs[i + 1 :]
                 )
                 out.extend(_expand(df, concrete))

@@ -144,11 +144,13 @@ def test_recordpath_parse():
 
 
 def test_recordpath_wildcard_descendant(spark):
-    # '//*' + where_type: every nested string leaf, structs untouched
+    # '//*' + where_type: every nested string leaf, including through
+    # array-of-struct hops (WildcardDescendantPath recurses record arrays)
     out = update_at_path(
         _nested_df(spark), "//*", F.upper, where_type=lambda t: t == T.StringType()
     ).collect()[0]
-    assert [e.c for e in out.a.b] == ["x", "y"]  # below an array step — not struct-nested
+    assert [e.c for e in out.a.b] == ["X", "Y"]
+    assert [e.d for e in out.a.b] == [1, 2]  # non-strings untouched
     assert out.a.e == "KEEP"
 
 
