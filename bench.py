@@ -328,6 +328,69 @@ def _eff(lo: dict, hi: dict) -> float:
     return (hi["events_per_sec"] / lo["events_per_sec"]) / (CORES_HI / CORES_LO)
 
 
+STREAM_FEED_DIR = os.environ.get(
+    "SPARK_GRAFT_BENCH_STREAM_FEED", "/tmp/nifi_spark_bench_streamfeed"
+)
+STREAM_BATCHES = int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_BATCHES", "50"))
+
+
+def stream_bench() -> dict:
+    """50-microbatch streaming drain (VERDICT r1 item 6 evidence): the
+    feed is split into STREAM_BATCHES files and drained availableNow with
+    maxFilesPerTrigger=1, so every file is one foreachBatch invocation —
+    normalize → single-pass flag/metrics → incremental LakeTable merge →
+    lineage. This measures the per-micro-batch FIXED cost (driver
+    actions + plan build + commit) that dominates thousand-batch streams;
+    apply_batch's budget is ~2 actions/batch (one cached metrics agg +
+    the merge)."""
+    import shutil
+
+    from nifi_spark.feedgen import generate_change_feed
+    from nifi_spark.session import get_spark
+    from nifi_spark.streaming.job import CdcPipeline
+
+    spark = get_spark("bench_stream", cores=CPUS)
+    marker = os.path.join(STREAM_FEED_DIR, "_COUNT")
+    if not os.path.exists(marker):
+        feed = generate_change_feed(
+            spark,
+            n_conversations=60_000,
+            max_turns=8,
+            max_edits=4,
+            seed=43,
+            hot_keys=50,
+            hot_extra_edits=40,
+        ).select("payload_json", "source_file", "source_pos")
+        feed.repartition(STREAM_BATCHES).write.mode("overwrite").parquet(STREAM_FEED_DIR)
+        n = spark.read.parquet(STREAM_FEED_DIR).count()
+        with open(marker, "w") as f:
+            f.write(str(n))
+    with open(marker) as f:
+        n = int(f.read().strip())
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        pipe = CdcPipeline(
+            spark,
+            os.path.join(work, "table"),
+            os.path.join(work, "ckpt"),
+            n_buckets=32,
+            from_json_payload=True,
+        )
+        t0 = time.time()
+        pipe.run_to_completion(STREAM_FEED_DIR, max_files_per_trigger=1)
+        wall = time.time() - t0
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return {
+        "n_batches": STREAM_BATCHES,
+        "n_events": n,
+        "wall_sec": round(wall, 3),
+        "batches_per_sec": round(STREAM_BATCHES / wall, 3),
+        "events_per_sec": round(n / wall),
+        "sec_per_batch": round(wall / STREAM_BATCHES, 3),
+    }
+
+
 def time_queries() -> dict[str, float]:
     import __spark_entry__ as em
     from nifi_spark.session import get_spark
@@ -388,6 +451,22 @@ def _trials_table(cdc: dict) -> str:
     return "\n".join(rows)
 
 
+def _stream_section(result: dict) -> str:
+    s = result.get("stream")
+    if not s:
+        return ""
+    return f"""
+## Streaming micro-batch drain ({s['n_batches']} batches, maxFilesPerTrigger=1)
+
+{s['n_events']:,} events drained availableNow as {s['n_batches']} foreachBatch
+invocations (normalize → single-pass flag/metrics → incremental merge →
+lineage) into one LakeTable: **{s['wall_sec']} s wall = {s['sec_per_batch']} s/batch,
+{s['events_per_sec']:,} events/s**. The per-batch fixed cost is the number that
+dominates thousand-batch streams; apply_batch holds it to ~2 driver
+actions per batch (one cached metrics aggregation + the merge).
+"""
+
+
 def write_report(result: dict) -> None:
     os.makedirs(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH"), exist_ok=True)
     cdc = result["cdc"]
@@ -443,6 +522,7 @@ python bench.py --cdc-worker {cdc['cores_hi']} {FEED_DIR}
 |---|---|
 {qlines}
 
+{_stream_section(result)}
 Reference comparison: NiFi's CDC path is single-threaded at the source and
 row-at-a-time at the sink (BASELINE.md §A note) — its design envelope is
 ~50-100 MB/s/node; the apply rate above processes the equivalent change
@@ -462,6 +542,7 @@ def main() -> None:
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
     ensure_feed()
     queries = time_queries()
+    stream = stream_bench()
     lo, hi = _scaling_runs()
     cdc: dict = {"cores_lo": CORES_LO, "cores_hi": CORES_HI}
     if lo and hi:
@@ -507,6 +588,7 @@ def main() -> None:
         "sf": sf,
         "spark_version": pyspark.__version__,
         "cdc": cdc,
+        "stream": stream,
     }
     write_report(result)
     print(json.dumps(result))
