@@ -19,13 +19,27 @@ Supported spec subset (the operations NiFi flows use most):
   is NULL, or adds the field if the struct lacks it.
 - ``remove`` — nested dict; a leaf (any non-dict value) removes that
   field.
+- ``cardinality`` — leaf ``"ONE"`` unwraps a list field to its first
+  element, ``"MANY"`` wraps a single value into a one-element list
+  (reference nifi-jolt-bundle JoltTransformJSON TRANSFORM value
+  ``jolt-transform-card``).
+- ``sort`` — recursively orders struct fields by name (Jolt's sortr;
+  ``jolt-transform-sort``). Takes no spec.
+- ``modify-default-beta`` / ``modify-overwrite-beta`` — leaf values are
+  literals or ``=fn`` templates; supported fns: ``toUpper`` ``toLower``
+  ``trim`` ``size`` ``abs`` ``toInteger`` ``toDouble`` ``toString`` and
+  ``concat(...)`` / ``join(sep, ...)`` with ``@(1,field)`` sibling refs
+  and quoted literals. *default* writes only when the target is NULL or
+  missing; *overwrite* always writes.
 
-Unsupported Jolt features (``@`` value refs, multi-level ``&N``,
-``cardinality``/``sort`` ops) raise ValueError — their flows need the
-imperative escape hatch (`functions/recordpath.py` + expressions).
+Unsupported Jolt features (``@`` value refs in shift, multi-level
+``&N``, JSLT) raise ValueError — their flows need the imperative escape
+hatch (`functions/recordpath.py` + expressions).
 """
 
 from __future__ import annotations
+
+import re
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -38,6 +52,20 @@ def _field_types(dt: T.DataType) -> dict[str, T.DataType]:
     return {f.name: f.dataType for f in dt.fields}
 
 
+_INDEXED_AMP = re.compile(r"&[\d(]")
+
+
+def _check_out_path(v: str) -> str:
+    # '&0' / '&(1,0)' are multi-level match refs; plain '&' substitution
+    # would silently mangle them into '<field>0' — reject up front.
+    if _INDEXED_AMP.search(v):
+        raise ValueError(
+            f"unsupported indexed Jolt match ref in output path {v!r} "
+            "(only plain '&' is supported)"
+        )
+    return v
+
+
 def _collect_shift(
     col: Column, dt: T.DataType, spec: dict, out: list[tuple[list[str], Column]]
 ) -> None:
@@ -48,6 +76,7 @@ def _collect_shift(
             targets = [f for f in fields if f not in literal]
             if not isinstance(v, str):
                 raise ValueError('"*" supports a string output path (with &) only')
+            _check_out_path(v)
             for f in targets:
                 out.append((v.replace("&", f).split("."), col[f]))
             continue
@@ -132,6 +161,7 @@ def _shift_out_type(dt: T.DataType, spec: dict) -> T.StructType:
         literal = {k for k in s if k != "*"}
         for k, v in s.items():
             if k == "*":
+                _check_out_path(v)
                 for f in fields:
                     if f not in literal:
                         pairs.append((v.replace("&", f).split("."), fields[f]))
@@ -178,10 +208,23 @@ def jolt_chain(
             col = jolt_default(col, dt, spec)
             for k, v in spec.items():
                 if not isinstance(v, dict) and k not in _field_types(dt):
-                    dt = T.StructType(dt.fields).add(k, _lit_type(v))
+                    # copy the fields list: StructType keeps the passed list
+                    # by reference and .add appends in place, which would
+                    # silently grow the source DataFrame's cached schema
+                    dt = T.StructType(list(dt.fields)).add(k, _lit_type(v))
         elif op == "remove":
             col = jolt_remove(col, dt, spec)
             dt = _remove_out_type(dt, spec)
+        elif op == "cardinality":
+            col = jolt_cardinality(col, dt, spec)
+            dt = _cardinality_out_type(dt, spec)
+        elif op == "sort":
+            col = jolt_sort(col, dt)
+            dt = _sort_out_type(dt)
+        elif op in ("modify-default-beta", "modify-overwrite-beta"):
+            overwrite = op == "modify-overwrite-beta"
+            col = jolt_modify(col, dt, spec, overwrite=overwrite)
+            dt = _modify_out_type(dt, spec, overwrite=overwrite)
         else:
             raise ValueError(f"unsupported Jolt operation {op!r}")
     return df.withColumn(out_col or col_name, col)
@@ -204,4 +247,241 @@ def _remove_out_type(dt: T.DataType, spec: dict) -> T.StructType:
         elif isinstance(v, dict):
             out.add(f.name, _remove_out_type(fields[f.name], v))
         # else removed
+    return out
+
+
+def jolt_cardinality(col: Column, dt: T.DataType, spec: dict) -> Column:
+    """ONE: list → first element; MANY: single value → one-element list
+    (reference nifi-jolt-bundle JoltTransformJSON ``jolt-transform-card``)."""
+    fields = _field_types(dt)
+    for k, v in spec.items():
+        if k not in fields:
+            raise ValueError(f"cardinality key {k!r} not in input struct")
+        if isinstance(v, dict):
+            col = col.withField(k, jolt_cardinality(col[k], fields[k], v))
+        elif v == "ONE":
+            if isinstance(fields[k], T.ArrayType):
+                col = col.withField(k, F.element_at(col[k], 1))
+        elif v == "MANY":
+            if not isinstance(fields[k], T.ArrayType):
+                col = col.withField(k, F.array(col[k]))
+        else:
+            raise ValueError(f"cardinality value must be ONE/MANY, got {v!r}")
+    return col
+
+
+def _cardinality_out_type(dt: T.DataType, spec: dict) -> T.StructType:
+    out = T.StructType()
+    for f in dt.fields:
+        v = spec.get(f.name)
+        if v is None:
+            out.add(f)
+        elif isinstance(v, dict):
+            out.add(f.name, _cardinality_out_type(f.dataType, v))
+        elif v == "ONE":
+            out.add(
+                f.name,
+                f.dataType.elementType
+                if isinstance(f.dataType, T.ArrayType)
+                else f.dataType,
+            )
+        else:  # MANY
+            out.add(
+                f.name,
+                f.dataType
+                if isinstance(f.dataType, T.ArrayType)
+                else T.ArrayType(f.dataType),
+            )
+    return out
+
+
+def jolt_sort(col: Column, dt: T.DataType) -> Column:
+    """Recursively order struct fields by name (Jolt sortr)."""
+    if not isinstance(dt, T.StructType):
+        return col
+    parts = []
+    for f in sorted(dt.fields, key=lambda f: f.name):
+        c = col[f.name]
+        if isinstance(f.dataType, T.StructType):
+            c = jolt_sort(c, f.dataType)
+        parts.append(c.alias(f.name))
+    return F.struct(*parts)
+
+
+def _sort_out_type(dt: T.DataType) -> T.StructType:
+    out = T.StructType()
+    for f in sorted(dt.fields, key=lambda f: f.name):
+        out.add(
+            f.name,
+            _sort_out_type(f.dataType)
+            if isinstance(f.dataType, T.StructType)
+            else f.dataType,
+        )
+    return out
+
+
+# --- modify-default-beta / modify-overwrite-beta -------------------------
+
+_MODIFY_STR_FNS = {"toUpper": F.upper, "toLower": F.lower, "trim": F.trim}
+
+
+def _split_args(s: str) -> list[str]:
+    args, depth, cur = [], 0, ""
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            args.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        args.append(cur.strip())
+    return args
+
+
+_SIBLING_REF = re.compile(r"^@\(1,([A-Za-z_][A-Za-z0-9_]*)\)$")
+
+
+def _arg_col(a: str, col: Column, fields: dict) -> Column:
+    m = _SIBLING_REF.match(a)
+    if m:
+        name = m.group(1)
+        if name not in fields:
+            raise ValueError(f"modify ref @(1,{name}) not in input struct")
+        return col[name]
+    if len(a) >= 2 and a[0] == a[-1] and a[0] in "'\"":
+        return F.lit(a[1:-1])
+    try:
+        return F.lit(int(a))
+    except ValueError:
+        pass
+    try:
+        return F.lit(float(a))
+    except ValueError:
+        raise ValueError(f"unsupported modify argument {a!r}")
+
+
+def _modify_expr(k: str, v: str, col: Column, dt_k: T.DataType | None,
+                 fields: dict) -> tuple[Column, T.DataType]:
+    """Compile one '=fn' template leaf → (expression, result type)."""
+    body = v[1:]
+    if "(" in body:
+        fn, argstr = body.split("(", 1)
+        if not argstr.endswith(")"):
+            raise ValueError(f"malformed modify template {v!r}")
+        args = _split_args(argstr[:-1])
+    else:
+        fn, args = body, None
+
+    def self_col() -> Column:
+        if dt_k is None:
+            raise ValueError(
+                f"modify fn ={fn} on missing field {k!r} needs an argument"
+            )
+        return col[k]
+
+    if fn in _MODIFY_STR_FNS:
+        target = _arg_col(args[0], col, fields) if args else self_col()
+        return _MODIFY_STR_FNS[fn](target), T.StringType()
+    if fn == "size":
+        target_dt = dt_k
+        target = self_col() if args is None else _arg_col(args[0], col, fields)
+        if args:
+            m = _SIBLING_REF.match(args[0])
+            target_dt = fields.get(m.group(1)) if m else T.StringType()
+        if isinstance(target_dt, (T.ArrayType, T.MapType)):
+            return F.size(target), T.IntegerType()
+        return F.length(target.cast("string")), T.IntegerType()
+    if fn == "abs":
+        target = _arg_col(args[0], col, fields) if args else self_col()
+        return F.abs(target), (dt_k or T.DoubleType())
+    if fn == "toInteger":
+        target = _arg_col(args[0], col, fields) if args else self_col()
+        return target.cast("long"), T.LongType()
+    if fn == "toDouble":
+        target = _arg_col(args[0], col, fields) if args else self_col()
+        return target.cast("double"), T.DoubleType()
+    if fn == "toString":
+        target = _arg_col(args[0], col, fields) if args else self_col()
+        return target.cast("string"), T.StringType()
+    if fn == "concat":
+        if not args:
+            raise ValueError("=concat needs arguments")
+        cols = [_arg_col(a, col, fields).cast("string") for a in args]
+        return F.concat(*cols), T.StringType()
+    if fn == "join":
+        if not args or len(args) < 2:
+            raise ValueError("=join needs (separator, args...)")
+        sep = args[0]
+        if not (len(sep) >= 2 and sep[0] == sep[-1] and sep[0] in "'\""):
+            raise ValueError("=join separator must be a quoted literal")
+        cols = [_arg_col(a, col, fields).cast("string") for a in args[1:]]
+        return F.concat_ws(sep[1:-1], *cols), T.StringType()
+    raise ValueError(
+        f"unsupported modify fn {fn!r} (supported: toUpper toLower trim "
+        "size abs toInteger toDouble toString concat join)"
+    )
+
+
+def jolt_modify(col: Column, dt: T.DataType, spec: dict, *, overwrite: bool) -> Column:
+    """modify-default-beta / modify-overwrite-beta as Catalyst withField
+    chains (reference nifi-jolt-bundle ``jolt-transform-modify-default`` /
+    ``jolt-transform-modify-overwrite``)."""
+    fields = _field_types(dt)
+    for k, v in spec.items():
+        if isinstance(v, dict):
+            if k not in fields:
+                raise ValueError(f"modify into missing struct {k!r}")
+            col = col.withField(
+                k, jolt_modify(col[k], fields[k], v, overwrite=overwrite)
+            )
+            continue
+        if isinstance(v, str) and v.startswith("="):
+            expr, _ = _modify_expr(k, v, col, fields.get(k), fields)
+        else:
+            expr = F.lit(v)
+        if not overwrite and k in fields:
+            expr = F.coalesce(col[k], expr)
+        col = col.withField(k, expr)
+    return col
+
+
+def _modify_out_type(dt: T.DataType, spec: dict, *, overwrite: bool) -> T.StructType:
+    out_fields: dict[str, T.DataType] = {f.name: f.dataType for f in dt.fields}
+    order = list(out_fields)
+    existing = set(out_fields)
+    for k, v in spec.items():
+        if isinstance(v, dict):
+            out_fields[k] = _modify_out_type(out_fields[k], v, overwrite=overwrite)
+            continue
+        if isinstance(v, str) and v.startswith("="):
+            # result dtype mirrors _modify_expr's second return value
+            body = v[1:].split("(", 1)[0]
+            if body in ("toUpper", "toLower", "trim", "toString", "concat", "join"):
+                new_dt: T.DataType = T.StringType()
+            elif body == "size":
+                new_dt = T.IntegerType()
+            elif body == "toInteger":
+                new_dt = T.LongType()
+            elif body == "toDouble":
+                new_dt = T.DoubleType()
+            elif body == "abs":
+                new_dt = out_fields.get(k, T.DoubleType())
+            else:
+                raise ValueError(f"unsupported modify fn in {v!r}")
+        else:
+            new_dt = _lit_type(v)
+        if k not in existing:
+            order.append(k)
+            out_fields[k] = new_dt
+        elif overwrite:
+            out_fields[k] = new_dt
+        # modify-default keeps the existing field's dtype: the expression
+        # is coalesce(orig, fill) so the original type wins when present
+    out = T.StructType()
+    for name in order:
+        out.add(name, out_fields[name])
     return out

@@ -87,12 +87,17 @@ def stateful_bin_flush(
     .../standard/merge/RecordBinManager.java bin lifecycle + MergeRecord's
     MAX_BIN_AGE timer, MergeRecord.java:271,385).
 
-    State per key = (open-bin record count, packed content) — the bin's
-    accumulated payload, bounded by ``max_records`` entries. Count flushes
-    emit inside the batch; age flushes ride the state-timeout callback
-    (``GroupStateTimeout.ProcessingTimeTimeout``), which fires on the next
-    micro-batch after the deadline — exactly NiFi's timer-thread semantics
-    where an aged bin is flushed by the housekeeping pass, not mid-write.
+    State per key = (open-bin record count, packed content, bin-creation
+    time) — the bin's accumulated payload, bounded by ``max_records``
+    entries. Count flushes emit inside the batch; age flushes happen on
+    BOTH paths: the data path flushes an over-age bin before appending
+    (so a trickle-fed bin still honors MAX_BIN_AGE *since bin creation*,
+    not since last touch), and the state-timeout callback
+    (``GroupStateTimeout.ProcessingTimeTimeout``) catches bins whose key
+    goes quiet. The timeout deadline is anchored to the bin-creation time
+    (``bin_start + max_bin_age_ms - now``), never re-armed to a full
+    window by later appends — MergeRecord's MAX_BIN_AGE is absolute bin
+    age (reference RecordBinManager.java bin lifecycle).
     Output rows: correlation key, n_records, merged content, flush_reason
     ('count' | 'age').
     """
@@ -103,7 +108,7 @@ def stateful_bin_flush(
     out_schema = (
         f"{key_fields}, n_records int, merged string, flush_reason string"
     )
-    state_schema = "n long, packed string"
+    state_schema = "n long, packed string, bin_start long"
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -114,27 +119,38 @@ def stateful_bin_flush(
             return pd.DataFrame(vals)
 
         if state.hasTimedOut:
-            n, packed = state.get if state.exists else (0, "")
+            n, packed, _ = state.get if state.exists else (0, "", 0)
             state.remove()
             if n:
                 yield out_row(int(n), packed, "age")
             return
 
-        n, packed = state.get if state.exists else (0, "")
+        now = state.getCurrentProcessingTimeMs()
+        n, packed, bin_start = state.get if state.exists else (0, "", now)
         n = int(n)
         parts = packed.split(sep) if packed else []
+        if (
+            n
+            and max_bin_age_ms is not None
+            and now - int(bin_start) >= max_bin_age_ms
+        ):
+            yield out_row(n, sep.join(parts), "age")
+            n, parts = 0, []
         for pdf in pdfs:
             pdf = pdf.sort_values(order_col)
             for c in pdf[content_col].astype(str):
+                if not n:
+                    bin_start = now  # fresh bin opens at this batch
                 parts.append(c)
                 n += 1
                 if n >= max_records:
                     yield out_row(n, sep.join(parts), "count")
                     n, parts = 0, []
         if n:
-            state.update((n, sep.join(parts)))
+            state.update((n, sep.join(parts), int(bin_start)))
             if max_bin_age_ms is not None:
-                state.setTimeoutDuration(max_bin_age_ms)
+                remaining = int(bin_start) + max_bin_age_ms - now
+                state.setTimeoutDuration(max(1, remaining))
         elif state.exists:
             state.remove()
 
@@ -158,15 +174,19 @@ def stateful_rate_limit(
     window_ms: int,
 ) -> DataFrame:
     """Streaming ControlRate: admit at most ``max_per_window`` rows per
-    group per processing-time window (reference ControlRate.java:140-193
-    throttle ledger). State = (window-open flag via timeout, admitted
-    count); the window resets when the state times out. Excess rows are
-    dropped from the admitted stream (NiFi re-queues; a streaming source
-    replays from the checkpoint, so dropping here is the backpressure
-    signal).
+    group per *successive* processing-time window (reference
+    ControlRate.java:140-193 throttle ledger). State = (admitted count,
+    window-open time). The window rolls over on the DATA path — when
+    ``now - win_start >= window_ms`` the counter resets and a new window
+    opens — so sustained traffic keeps admitting N per window (NiFi's
+    semantics), not N total. The processing-time timeout only garbage-
+    collects state for keys that go quiet; it is never the thing that
+    re-opens the window. Excess rows are dropped from the admitted stream
+    (NiFi re-queues; a streaming source replays from the checkpoint, so
+    dropping here is the backpressure signal).
     """
     out_schema = df.schema
-    state_schema = "admitted long"
+    state_schema = "admitted long, win_start long"
 
     def fn(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -174,8 +194,11 @@ def stateful_rate_limit(
         if state.hasTimedOut:
             state.remove()
             return
-        (admitted,) = state.get if state.exists else (0,)
-        admitted = int(admitted)
+        now = state.getCurrentProcessingTimeMs()
+        admitted, win_start = state.get if state.exists else (0, now)
+        admitted, win_start = int(admitted), int(win_start)
+        if now - win_start >= window_ms:
+            admitted, win_start = 0, now
         for pdf in pdfs:
             if admitted >= max_per_window:
                 break
@@ -183,7 +206,7 @@ def stateful_rate_limit(
             if take:
                 yield pdf.head(take)
                 admitted += take
-        state.update((admitted,))
+        state.update((admitted, win_start))
         state.setTimeoutDuration(window_ms)
 
     return df.groupBy(*group_cols).applyInPandasWithState(

@@ -4,6 +4,7 @@ CHOICE parse, XML/YAML readers."""
 
 from __future__ import annotations
 
+import os
 import time
 
 import pytest
@@ -129,6 +130,91 @@ def test_stateful_bin_flush_count_and_age(spark, tmp_path):
         assert got[("a", "r2,r3")] == "count"
         assert got[("a", "r4")] == "age"
         assert got[("b", "lone")] == "age"
+    finally:
+        q.stop()
+
+
+def test_stateful_bin_age_flush_under_trickle(spark, tmp_path):
+    """A trickle-fed bin (every batch touches the key, count never reached)
+    must still flush at MAX_BIN_AGE since *bin creation* — the data path
+    rolls the bin over; the timeout is only a quiet-key GC (reference
+    RecordBinManager bin lifecycle: age is absolute, not idle time)."""
+    from nifi_spark.streaming.stateful import stateful_bin_flush
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+
+    def feed(i):
+        spark.createDataFrame(
+            [("t", i, f"r{i}")], "corr string, seq long, content string"
+        ).write.mode("append").json(src_dir)
+
+    feed(0)
+    stream = spark.readStream.schema(
+        "corr string, seq long, content string"
+    ).json(src_dir)
+    binned = stateful_bin_flush(
+        stream, ["corr"], "seq", "content", max_records=100, max_bin_age_ms=600
+    )
+    q = (
+        binned.writeStream.format("memory")
+        .queryName("trickle_bins")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        rows, i = [], 1
+        while time.time() < deadline:
+            feed(i)  # sustained trickle: every batch has data for the key
+            i += 1
+            rows = spark.sql("SELECT * FROM trickle_bins").collect()
+            if rows:
+                break
+            time.sleep(0.25)
+        assert rows, "trickle-fed bin never age-flushed"
+        assert rows[0].flush_reason == "age"
+        assert rows[0].n_records < 100  # count was never the trigger
+    finally:
+        q.stop()
+
+
+def test_stateful_rate_limit_successive_windows(spark, tmp_path):
+    """Sustained traffic must admit max_per_window per *successive* window
+    (NiFi ControlRate ledger), not max_per_window total: the data path
+    rolls the window, not the state timeout."""
+    from nifi_spark.streaming.stateful import stateful_rate_limit
+
+    src_dir = str(tmp_path / "src")
+    os.makedirs(src_dir)
+
+    def feed(lo, hi):
+        spark.createDataFrame(
+            [("g", i) for i in range(lo, hi)], "corr string, seq long"
+        ).write.mode("append").json(src_dir)
+
+    feed(0, 5)
+    stream = spark.readStream.schema("corr string, seq long").json(src_dir)
+    limited = stateful_rate_limit(stream, ["corr"], max_per_window=2, window_ms=400)
+    q = (
+        limited.writeStream.format("memory")
+        .queryName("limited_multi")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(processingTime="150 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        n, i = 0, 5
+        while time.time() < deadline:
+            feed(i, i + 3)  # sustained: every batch carries data for the key
+            i += 3
+            n = spark.sql("SELECT * FROM limited_multi").count()
+            if n >= 6:  # >= 3 windows' worth admitted
+                break
+            time.sleep(0.25)
+        assert n >= 6, f"only {n} admitted — window never rolled over"
     finally:
         q.stop()
 

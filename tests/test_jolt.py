@@ -58,8 +58,72 @@ def test_remove_then_shift_chain(spark):
 
 def test_unsupported_spec_raises(spark):
     with pytest.raises(ValueError, match="unsupported"):
-        jolt_chain(_src(spark), "doc", [("cardinality", {})])
+        jolt_chain(_src(spark), "doc", [("jslt", {})])
     with pytest.raises(ValueError, match="not in input"):
         jolt_chain(_src(spark), "doc", [("shift", {"nope": "x"})])
     with pytest.raises(ValueError, match="collision"):
         jolt_chain(_src(spark), "doc", [("shift", {"name": "x", "inner": {"x": "x"}})])
+    # indexed ampersand match refs in output paths are rejected, not mangled
+    with pytest.raises(ValueError, match="indexed Jolt match ref"):
+        jolt_chain(_src(spark), "doc", [("shift", {"inner": {"*": "out.&0"}})])
+
+
+def test_cardinality_one_many(spark):
+    df = spark.createDataFrame(
+        [(1, ([7, 8], "solo"))],
+        "id long, doc struct<xs array<long>, one string>",
+    )
+    out = jolt_chain(df, "doc", [("cardinality", {"xs": "ONE", "one": "MANY"})])
+    (r,) = out.collect()
+    assert r.doc.xs == 7 and r.doc.one == ["solo"]
+    # schema reflects the unwrap/wrap
+    dt = dict((f.name, f.dataType.simpleString()) for f in out.schema["doc"].dataType.fields)
+    assert dt["xs"] == "bigint" and dt["one"] == "array<string>"
+
+
+def test_sort_orders_fields_recursively(spark):
+    df = spark.createDataFrame(
+        [(1, (("z", 1), "b"))],
+        "id long, doc struct<m struct<zz string, aa long>, b string>",
+    )
+    out = jolt_chain(df, "doc", [("sort", None)])
+    names = [f.name for f in out.schema["doc"].dataType.fields]
+    inner = [f.name for f in out.schema["doc"].dataType["m"].dataType.fields]
+    assert names == ["b", "m"] and inner == ["aa", "zz"]
+    (r,) = out.collect()
+    assert r.doc.m.aa == 1 and r.doc.b == "b"
+
+
+def test_modify_default_and_overwrite(spark):
+    df = spark.createDataFrame(
+        [(1, ("ab", None, 3))],
+        "id long, doc struct<name string, note string, n long>",
+    )
+    out = jolt_chain(
+        df,
+        "doc",
+        [
+            ("modify-default-beta", {"note": "filled", "name": "ignored"}),
+            (
+                "modify-overwrite-beta",
+                {
+                    "upper": "=toUpper(@(1,name))",
+                    "sz": "=size(@(1,name))",
+                    "joined": "=join('-', @(1,name), @(1,n))",
+                },
+            ),
+        ],
+    )
+    (r,) = out.collect()
+    assert r.doc.note == "filled"       # default fills NULL
+    assert r.doc.name == "ab"           # default does not overwrite
+    assert r.doc.upper == "AB" and r.doc.sz == 2 and r.doc.joined == "ab-3"
+
+
+def test_default_does_not_mutate_source_schema(spark):
+    # StructType.add mutates the passed fields list in place; jolt_chain
+    # must copy so the source DataFrame's cached schema stays intact.
+    df = _src(spark)
+    n_before = len(df.schema["doc"].dataType.fields)
+    jolt_chain(df, "doc", [("default", {"added": 1}), ("default", {"more": 2})])
+    assert len(df.schema["doc"].dataType.fields) == n_before
