@@ -9,17 +9,26 @@ identical reason). A plain ``/path`` resolves to the local filesystem, a
 ``file:///`` URI likewise, ``hdfs://`` / ``s3a://`` to their schemes —
 no code change per store.
 
+Local paths take a pure-Python fast path (``os.*``): metadata IO runs on
+the driver's hot loop (one manifest read/write + a handful of exists/list
+calls per streaming micro-batch), and each py4j round trip costs ~1-5 ms —
+at thousands of micro-batches that's real fixed cost for zero benefit when
+the store is the local disk. The Hadoop path is the contract; the local
+path is the same contract executed without the JVM hop.
+
 Atomicity contract for :meth:`rename_no_overwrite`: Hadoop rename fails
 (returns false) when the destination exists — on HDFS this check-and-move
-is atomic at the NameNode; on the local filesystem there is a tiny
-check/act window (two same-host racers), which the LakeTable commit
-protocol tolerates because a losing writer re-reads the head and rebases
-(see laketable._commit). On S3A, rename is copy+delete (not atomic) —
+is atomic at the NameNode; on the local filesystem the fast path uses
+``os.link`` (hard-link-then-unlink), which the POSIX spec makes atomic
+and EEXIST-failing — strictly stronger than the JVM LocalFileSystem's
+check-then-rename window. On S3A, rename is copy+delete (not atomic) —
 single-writer or an external lock is required there, as for any
 S3-without-catalog table format.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import SparkSession
 
@@ -32,35 +41,77 @@ def join(*parts: str) -> str:
     return out
 
 
+def _local_path(path: str) -> str | None:
+    """The os-level path when ``path`` is a bare local path, else None.
+
+    ``file://`` URIs deliberately do NOT take the fast path: they route
+    through Hadoop so the JVM branch stays exercised by the test suite
+    (tests/test_laketable.py file:// case) — it's the branch a real
+    hdfs:// / s3a:// deployment runs.
+    """
+    return path if "://" not in path else None
+
+
 class FsIO:
-    """Thin py4j wrapper over ``FileSystem`` for small-metadata IO.
+    """Thin wrapper over ``FileSystem`` for small-metadata IO.
 
     Every method takes path strings (plain, file://, hdfs://, s3a://...).
+    Local paths short-circuit to ``os.*``; remote schemes go through py4j.
     Not for bulk data — data files are written/read by Spark itself.
     """
 
     def __init__(self, spark: SparkSession, base: str):
-        self._jvm = spark._jvm
-        self._Path = self._jvm.org.apache.hadoop.fs.Path
-        self._fs = self._Path(base).getFileSystem(spark._jsc.hadoopConfiguration())
+        self._local = _local_path(base) is not None
+        if not self._local:
+            self._jvm = spark._jvm
+            self._Path = self._jvm.org.apache.hadoop.fs.Path
+            self._fs = self._Path(base).getFileSystem(
+                spark._jsc.hadoopConfiguration()
+            )
 
     def exists(self, path: str) -> bool:
+        if self._local:
+            return os.path.exists(_local_path(path))
         return self._fs.exists(self._Path(path))
 
     def mkdirs(self, path: str) -> None:
+        if self._local:
+            os.makedirs(_local_path(path), exist_ok=True)
+            return
         self._fs.mkdirs(self._Path(path))
 
     def delete(self, path: str) -> None:
+        if self._local:
+            p = _local_path(path)
+            if os.path.isdir(p):
+                import shutil
+
+                shutil.rmtree(p, ignore_errors=True)
+            elif os.path.exists(p):
+                try:
+                    os.remove(p)
+                except FileNotFoundError:
+                    pass
+            return
         self._fs.delete(self._Path(path), True)
 
     def list_names(self, path: str) -> list[str]:
         """Basenames of a directory's children ([] when absent)."""
+        if self._local:
+            p = _local_path(path)
+            try:
+                return os.listdir(p)
+            except FileNotFoundError:
+                return []
         p = self._Path(path)
         if not self._fs.exists(p):
             return []
         return [st.getPath().getName() for st in self._fs.listStatus(p)]
 
     def read_text(self, path: str) -> str:
+        if self._local:
+            with open(_local_path(path), encoding="utf-8") as f:
+                return f.read()
         stream = self._fs.open(self._Path(path))
         try:
             reader = self._jvm.java.io.BufferedReader(
@@ -76,6 +127,12 @@ class FsIO:
             stream.close()
 
     def write_text(self, path: str, content: str, overwrite: bool = True) -> None:
+        if self._local:
+            p = _local_path(path)
+            # "x" mode is the atomic no-overwrite create (no check/act gap)
+            with open(p, "w" if overwrite else "x", encoding="utf-8") as f:
+                f.write(content)
+            return
         out = self._fs.create(self._Path(path), overwrite)
         try:
             out.write(bytearray(content.encode("utf-8")))
@@ -84,4 +141,12 @@ class FsIO:
 
     def rename_no_overwrite(self, src: str, dst: str) -> bool:
         """Move src→dst; False when dst already exists (commit race lost)."""
+        if self._local:
+            s, d = _local_path(src), _local_path(dst)
+            try:
+                os.link(s, d)  # atomic, EEXIST when dst present (POSIX)
+            except FileExistsError:
+                return False
+            os.unlink(s)
+            return True
         return bool(self._fs.rename(self._Path(src), self._Path(dst)))

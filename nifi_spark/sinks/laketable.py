@@ -10,6 +10,26 @@ table over parquet — the Iceberg model re-expressed, not a toy:
   live files at that version. Readers see the latest committed manifest
   only; writers never mutate files (copy-on-write ≙ Iceberg snapshots,
   reference nifi-docs nifi-in-depth.adoc:72-76 immutability rationale).
+- **Delta manifests (manifest-list indirection)**: an incremental merge's
+  manifest lists files for its TOUCHED buckets only plus a ``base`` pointer
+  to the previous snapshot for the rest — manifest size is O(touched
+  buckets) per commit, not O(table files), which is why Iceberg separates
+  manifest lists from manifests. Resolution walks the base chain; the
+  chain is bounded (``MAX_MANIFEST_DEPTH``): a commit that would exceed it
+  flattens into a full manifest, so a cold read costs at most that many
+  small JSON reads and a warm read (manifests are immutable → cached by
+  version) costs one.
+- **O(1) head discovery**: ``_commits/_latest`` holds the newest version as
+  a hint (≙ Delta's ``_last_checkpoint``); readers verify the hinted
+  manifest exists and probe forward, so finding the head never lists the
+  commit directory — at 10^4+ commits the list call is the classic
+  metadata bottleneck. The hint is best-effort: missing/corrupt falls back
+  to a listing.
+- **Snapshot expiry**: :meth:`expire_snapshots` keeps the newest ``keep_n``
+  snapshots plus the base-chain closure they need, deletes older manifests
+  and any data file no kept snapshot references (≙ Iceberg
+  ``expire_snapshots``) — metadata and orphaned data stop accumulating
+  forever.
 - **Atomic commit with optimistic rebase-retry**: manifests are staged to a
   temp name and moved into place with Hadoop ``rename`` (fails when the
   destination exists — atomic on HDFS, see fsio.py for the store-by-store
@@ -75,7 +95,13 @@ from ..fsio import FsIO, join as pjoin
 
 _COMMITS = "_commits"
 _DATA = "data"
+_LATEST = "_latest"
 INTERNAL_COLS = ["_seq", "_deleted", "_bucket"]
+# Delta-manifest chain bound: a commit whose chain would exceed this depth
+# flattens to a full manifest, so cold file-map resolution is at most this
+# many small JSON reads (warm = 0: manifests are immutable, cached by
+# version).
+MAX_MANIFEST_DEPTH = 16
 
 
 class CommitConflict(Exception):
@@ -88,30 +114,60 @@ class LakeTable:
         self.path = path.rstrip("/")
         self.n_buckets = n_buckets
         self._io = FsIO(spark, self.path)
+        # Immutable-by-version caches: manifest JSON and resolved file maps.
+        self._mcache: dict[int, dict] = {}
+        self._fcache: dict[int, dict[str, list[str]]] = {}
 
     # ---------- commit log ----------
 
     def _commits_dir(self) -> str:
         return pjoin(self.path, _COMMITS)
 
+    def _manifest_path(self, version: int) -> str:
+        return pjoin(self._commits_dir(), f"v{version:08d}.json")
+
     def _versions(self) -> list[int]:
+        """Full commit-dir listing — maintenance ops only; the hot path
+        discovers the head via the ``_latest`` hint (see
+        :meth:`current_version`)."""
         return sorted(
             int(f[1:-5])
             for f in self._io.list_names(self._commits_dir())
             if f.startswith("v") and f.endswith(".json")
         )
 
+    def _latest_hint(self) -> int | None:
+        p = pjoin(self._commits_dir(), _LATEST)
+        try:
+            if not self._io.exists(p):
+                return None
+            v = int(self._io.read_text(p).strip())
+            # a hint pointing at a missing manifest is corrupt — ignore it
+            return v if v > 0 and self._io.exists(self._manifest_path(v)) else None
+        except Exception:
+            return None
+
     def current_version(self) -> int:
-        vs = self._versions()
-        return vs[-1] if vs else 0
+        """Newest committed version — O(1) via the ``_latest`` hint plus a
+        forward probe (the hint may lag a just-committed racer by a few
+        versions); falls back to listing when the hint is absent/corrupt."""
+        v = self._latest_hint()
+        if v is None:
+            vs = self._versions()
+            v = vs[-1] if vs else 0
+        while self._io.exists(self._manifest_path(v + 1)):
+            v += 1
+        return v
 
     def _manifest(self, version: int | None = None) -> dict | None:
         version = version or self.current_version()
         if version == 0:
             return None
-        return json.loads(
-            self._io.read_text(pjoin(self._commits_dir(), f"v{version:08d}.json"))
-        )
+        m = self._mcache.get(version)
+        if m is None:
+            m = json.loads(self._io.read_text(self._manifest_path(version)))
+            self._mcache[version] = m
+        return m
 
     def exists(self) -> bool:
         return self.current_version() > 0
@@ -161,9 +217,15 @@ class LakeTable:
             manifest["version"] = version
             manifest["snapshot_id"] = version
             tmp = pjoin(self._commits_dir(), f".tmp-{uuid.uuid4().hex}.json")
-            final = pjoin(self._commits_dir(), f"v{version:08d}.json")
+            final = self._manifest_path(version)
             self._io.write_text(tmp, json.dumps(manifest))
             if self._io.rename_no_overwrite(tmp, final):
+                try:  # best-effort head hint — readers probe forward anyway
+                    self._io.write_text(
+                        pjoin(self._commits_dir(), _LATEST), str(version)
+                    )
+                except Exception:
+                    pass
                 return version
             self._io.delete(tmp)  # racer won this version — rebase and retry
             time.sleep(backoff)
@@ -172,9 +234,23 @@ class LakeTable:
 
     # ---------- reads ----------
 
+    def _resolve_files(self, version: int) -> dict[str, list[str]]:
+        """Full bucket→files map at ``version``, following delta-manifest
+        ``base`` pointers (bounded by MAX_MANIFEST_DEPTH; memoized —
+        manifests are immutable)."""
+        if version == 0:
+            return {}
+        cached = self._fcache.get(version)
+        if cached is None:
+            m = self._manifest(version)
+            base = m.get("base")
+            cached = dict(self._resolve_files(base)) if base else {}
+            cached.update(m["files"])
+            self._fcache[version] = cached
+        return cached
+
     def _bucket_files(self, version: int | None = None) -> dict[str, list[str]]:
-        m = self._manifest(version)
-        return m["files"] if m else {}
+        return self._resolve_files(version or self.current_version())
 
     def read_raw(
         self, buckets: list[int] | None = None, version: int | None = None
@@ -242,11 +318,78 @@ class LakeTable:
                 "schema": base_schema,
                 "n_buckets": self.n_buckets,
                 "files": files,
+                "depth": 0,  # compaction writes a full manifest: chain reset
                 "summary": {**base_summary, "compaction": True},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
 
         return self._commit(build)
+
+    def expire_snapshots(self, keep_n: int = 10) -> dict[str, int]:
+        """Delete manifests and data files no recent snapshot needs
+        (≙ Iceberg ``expire_snapshots`` — without it, metadata and
+        orphaned copy-on-write files accumulate forever).
+
+        Keeps the newest ``keep_n`` snapshots PLUS the base-chain closure
+        their delta manifests resolve through (every kept manifest stays
+        fully readable for time travel). A data file is deleted only when
+        no kept snapshot references it. Maintenance op: lists the commit
+        dir and the data dirs; run it from the single maintenance process
+        (like compaction, it assumes no concurrent expiry).
+        """
+        vs = self._versions()
+        if len(vs) <= keep_n:
+            return {"manifests_deleted": 0, "data_files_deleted": 0}
+        kept = set(vs[-keep_n:])
+        # Flatten the oldest kept manifest in place (content-equivalent:
+        # same resolved file map, base pointer removed) so the keep-closure
+        # does not chain back through every expired delta. Safe under the
+        # single-maintenance-process assumption this method states.
+        oldest = min(kept)
+        om = dict(self._manifest(oldest))
+        if om.get("base"):
+            om["files"] = dict(self._resolve_files(oldest))
+            om["base"] = None
+            om["depth"] = 0
+            self._io.write_text(self._manifest_path(oldest), json.dumps(om))
+            self._mcache[oldest] = om
+        frontier = list(kept)
+        while frontier:  # base-chain closure (bounded by MAX_MANIFEST_DEPTH)
+            base = (self._manifest(frontier.pop()) or {}).get("base")
+            if base and base not in kept:
+                kept.add(base)
+                frontier.append(base)
+        referenced: set[str] = set()
+        for v in kept:
+            for fl in self._resolve_files(v).values():
+                referenced.update(fl)
+        manifests_deleted = 0
+        for v in vs:
+            if v not in kept:
+                self._io.delete(self._manifest_path(v))
+                manifests_deleted += 1
+        data_deleted = 0
+        data_dir = pjoin(self.path, _DATA)
+        for tag in self._io.list_names(data_dir):
+            tdir = pjoin(data_dir, tag)
+            prefix = tdir + "/"
+            if not any(f.startswith(prefix) for f in referenced):
+                self._io.delete(tdir)  # whole commit's output orphaned
+                data_deleted += 1
+                continue
+            for part in self._io.list_names(tdir):
+                if not part.startswith("_pb="):
+                    continue
+                pdir = pjoin(tdir, part)
+                for fname in self._io.list_names(pdir):
+                    fp = pjoin(pdir, fname)
+                    if fname.endswith(".parquet") and fp not in referenced:
+                        self._io.delete(fp)
+                        data_deleted += 1
+        return {
+            "manifests_deleted": manifests_deleted,
+            "data_files_deleted": data_deleted,
+        }
 
     # ---------- writes ----------
 
@@ -307,6 +450,7 @@ class LakeTable:
                 "schema": schema_json,
                 "n_buckets": self.n_buckets,
                 "files": files,
+                "depth": 0,
                 "summary": summary or {},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
@@ -350,6 +494,7 @@ class LakeTable:
         extra_summary: dict | None = None,
         pre_folded: bool = False,
         fold_mode: str = "bucket",
+        touched: list[int] | None = None,
     ) -> int | None:
         """Fold a raw change batch to last-writer-wins per key and MERGE it —
         one physical shuffle for fold + join + write.
@@ -371,6 +516,13 @@ class LakeTable:
 
         Key columns must be non-null (null keys belong in the DLQ — the
         pipeline routes them there before this call).
+
+        ``touched``: the batch's distinct bucket ids, when the caller
+        already knows them (the streaming pipeline derives them in the
+        same aggregation that computes its batch metrics). Supplying it
+        removes the merge's own probe action AND the batch cache it
+        exists to amortize — one Spark job per incremental merge instead
+        of two, the difference that matters at thousands of micro-batches.
         """
         if events is None:
             return None
@@ -400,7 +552,12 @@ class LakeTable:
             return self._commit_initial(
                 folded, key_cols, seq_col, op_col, batch_id, extra_summary, payload_cols
             )
-        # Incremental: the touched-bucket probe and the merge join both read
+        if touched is not None:
+            return self._merge_incremental(
+                folded, key_cols, seq_col, op_col, batch_id, extra_summary,
+                payload_cols, touched=sorted(touched),
+            )
+        # Probe path: the touched-bucket probe and the merge join both read
         # the folded batch — cache it across the two actions.
         folded = folded.cache()
         try:
@@ -432,6 +589,7 @@ class LakeTable:
                 "schema": schema_json,
                 "n_buckets": self.n_buckets,
                 "files": files,
+                "depth": 0,
                 "summary": {**(extra_summary or {}), "batch_id": batch_id},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
@@ -439,7 +597,8 @@ class LakeTable:
         return self._commit(build)
 
     def _merge_incremental(
-        self, folded, key_cols, seq_col, op_col, batch_id, extra_summary, payload_cols
+        self, folded, key_cols, seq_col, op_col, batch_id, extra_summary,
+        payload_cols, touched: list[int] | None = None,
     ) -> int | None:
         base_version = self.current_version()
         if batch_id is not None:
@@ -464,7 +623,10 @@ class LakeTable:
         user_cols = [f.name for f in evolved.fields if f.name not in INTERNAL_COLS]
 
         # ---- bucket pruning: rewrite only touched buckets ----
-        touched = sorted(r[0] for r in folded.select("_bucket").distinct().collect())
+        if touched is None:
+            touched = sorted(
+                r[0] for r in folded.select("_bucket").distinct().collect()
+            )
         base_files = self._bucket_files(base_version)
         touched_files = [
             f for b, fl in base_files.items() if int(b) in touched for f in fl
@@ -534,21 +696,32 @@ class LakeTable:
                 last = self._batch_id_of(head)
                 if last is not None and batch_id <= last:
                     return None  # raced with our own replay — already applied
-            files = dict(head["files"])
             if head["version"] != base_version:
                 # Rebase: safe iff the concurrent commits did not touch the
                 # buckets we rewrote (our rewrite folded base-version data).
+                head_files = self._resolve_files(head["version"])
                 for b in touched:
-                    if files.get(str(b), []) != base_files.get(str(b), []):
+                    if head_files.get(str(b), []) != base_files.get(str(b), []):
                         raise CommitConflict(
                             f"concurrent commit rewrote bucket {b} — re-run merge"
                         )
-            for b in touched:
-                files[str(b)] = new_files.get(str(b), [])
+            delta = {str(b): new_files.get(str(b), []) for b in touched}
+            depth = int(head.get("depth", 0)) + 1
+            if depth > MAX_MANIFEST_DEPTH:
+                # flatten: full manifest, chain reset (bounded resolution)
+                files = dict(self._resolve_files(head["version"]))
+                files.update(delta)
+                base, depth = None, 0
+            else:
+                # delta manifest: O(touched buckets), untouched buckets
+                # resolve through the base pointer
+                files, base = delta, head["version"]
             return {
                 "schema": schema_json,
                 "n_buckets": self.n_buckets,
                 "files": files,
+                "base": base,
+                "depth": depth,
                 "summary": {**(extra_summary or {}), "batch_id": batch_id},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }

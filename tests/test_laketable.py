@@ -166,3 +166,90 @@ def test_compact_purges_old_tombstones_and_keeps_semantics(spark, tmp_path):
     )
     t.merge(b3, ["conv_id", "turn_idx"], batch_id=2)
     assert {r["conv_id"]: r["text"] for r in t.read().collect()}["c0"] == "reborn"
+
+
+# ----------------------------------------------------- metadata scaling
+
+
+def test_delta_manifests_bounded_and_flatten(spark, tmp_path):
+    """200 commits: every manifest lists only its touched buckets (O(touched),
+    not O(table files)), the base chain is depth-bounded with periodic
+    flattens, and head discovery uses the _latest hint instead of listing."""
+    import json
+
+    from nifi_spark.sinks.laketable import MAX_MANIFEST_DEPTH
+
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=64)
+    # one real merge to create the table with a real schema + real files
+    t.merge(_batch(spark, [(1, "I", "c1", 0, "user", "v1", None, TS)]), KEYS, batch_id=1)
+    head = t._manifest()
+    # 199 metadata-only commits (the manifest path is pure driver code —
+    # exercising it without 199 Spark jobs): each touches 2 of 64 buckets
+    all_files = dict(t._resolve_files(t.current_version()))
+    for i in range(2, 201):
+        b1, b2 = str(i % 64), str((i * 7) % 64)
+        fake = {b1: [f"mem://f{i}a.parquet"], b2: [f"mem://f{i}b.parquet"]}
+        all_files.update(fake)
+
+        def build(h, fake=fake):
+            depth = int(h.get("depth", 0)) + 1
+            if depth > MAX_MANIFEST_DEPTH:
+                files = dict(t._resolve_files(h["version"]))
+                files.update(fake)
+                return {"schema": h["schema"], "n_buckets": 64, "files": files,
+                        "base": None, "depth": 0, "summary": {"batch_id": None}}
+            return {"schema": h["schema"], "n_buckets": 64, "files": fake,
+                    "base": h["version"], "depth": depth, "summary": {"batch_id": None}}
+
+        t._commit(build)
+    assert t.current_version() == 200
+    # manifest size is O(touched): delta manifests list exactly 2 buckets
+    sizes = []
+    for v in (50, 120, 200):
+        m = json.loads(open(tmp_path / "t" / "_commits" / f"v{v:08d}.json").read())
+        sizes.append(len(m["files"]))
+        assert m.get("depth", 0) <= MAX_MANIFEST_DEPTH
+    assert all(s <= 66 for s in sizes)  # never the whole table re-listed
+    deltas = [s for s in sizes if s == 2]
+    assert deltas, "expected delta manifests among sampled versions"
+    # resolution equals the incrementally-tracked ground truth
+    assert t._resolve_files(200) == all_files
+    # cold read cost is bounded: a fresh instance resolves through at most
+    # MAX_MANIFEST_DEPTH manifest reads (chain flatten guarantees it)
+    t2 = LakeTable(spark, str(tmp_path / "t"), n_buckets=64)
+    reads = []
+    orig = t2._io.read_text
+    t2._io.read_text = lambda p: (reads.append(p), orig(p))[1]
+    t2._bucket_files()
+    manifest_reads = [p for p in reads if p.endswith(".json")]
+    assert len(manifest_reads) <= MAX_MANIFEST_DEPTH + 1
+    # _latest hint: head discovery did not list the commit dir
+    assert t2.current_version() == 200
+
+
+def test_expire_snapshots_bounds_metadata(spark, tmp_path):
+    """expire_snapshots keeps the newest keep_n (plus their base chains),
+    deletes older manifests and unreferenced data files; the head and
+    recent time travel stay intact."""
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    for i in range(1, 9):
+        t.merge(
+            _batch(spark, [(i, "I", f"c{i}", 0, "user", f"v{i}", None, TS)]),
+            KEYS, batch_id=i,
+        )
+    assert t.current_version() == 8
+    stats = t.expire_snapshots(keep_n=3)
+    assert stats["manifests_deleted"] >= 1
+    assert stats["data_files_deleted"] >= 1
+    # head still reads all 8 rows
+    assert len(_rows(t)) == 8
+    # recent snapshots still time-travel (fresh instance, no caches)
+    t2 = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    assert len(t2.read(version=7).collect()) == 7
+    assert len(_rows(t2)) == 8
+    # expired snapshot's manifest is gone
+    versions_left = t2._versions()
+    assert 8 in versions_left and len(versions_left) < 8
+    # a new merge after expiry still works
+    t2.merge(_batch(spark, [(99, "I", "c99", 0, "user", "v99", None, TS)]), KEYS, batch_id=99)
+    assert len(_rows(t2)) == 9
