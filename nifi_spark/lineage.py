@@ -61,6 +61,44 @@ def write_lineage(records: DataFrame, table_path: str) -> None:
     )
 
 
+def write_lineage_rows(spark: SparkSession, rows: list[dict], table_path: str) -> None:
+    """Append pre-aggregated lineage rows (a handful per batch, already on
+    the driver — the streaming pipeline derives them from the same
+    aggregation that computes its batch metrics).
+
+    Local table paths write directly via pyarrow — a per-batch lineage
+    record must not cost a Spark job (at thousands of micro-batches that
+    job IS the fixed cost); remote schemes fall back to a one-task Spark
+    write. Both produce files spark.read.parquet reads uniformly.
+    """
+    if not rows:
+        return
+    from .schema import LINEAGE
+
+    out_dir = os.path.join(table_path, "_lineage")
+    if "://" not in table_path:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pa_schema = pa.schema(
+            [
+                (f.name, pa.int64() if f.dataType.typeName() == "long" else pa.string())
+                for f in LINEAGE.fields
+            ]
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pylist(rows, schema=pa_schema),
+            os.path.join(out_dir, f"part-{uuid.uuid4().hex}.parquet"),
+        )
+    else:
+        spark.createDataFrame(rows, LINEAGE).coalesce(1).write.mode("append").parquet(
+            out_dir
+        )
+
+
 def read_lineage(spark: SparkSession, table_path: str) -> DataFrame:
     p = os.path.join(table_path, "_lineage")
     if not os.path.isdir(p):

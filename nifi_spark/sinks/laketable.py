@@ -268,13 +268,43 @@ class LakeTable:
         # explicit schema => additive evolution for free (old files null-fill)
         return self.spark.read.schema(schema).parquet(*files)
 
+    @staticmethod
+    def _lww_fold_read(df: DataFrame, key_cols: list[str]) -> DataFrame:
+        """Last-writer-wins per key over raw rows (internal cols intact) —
+        the merge-on-read reconciliation: one groupBy keyed shuffle picking
+        max(_seq) per key across delta generations."""
+        np = [c for c in df.columns if c not in key_cols]
+        return (
+            df.groupBy(*key_cols)
+            .agg(F.max_by(F.struct(*np), F.col("_seq")).alias("_w"))
+            .select(*key_cols, "_w.*")
+        )
+
     def read(self, version: int | None = None) -> DataFrame:
         """Live rows, user columns only (the queryable table).
 
         ``version`` reads an older snapshot (time travel — every commit's
         manifest is immutable, ≙ Iceberg `VERSION AS OF`).
+
+        Buckets with unfolded merge-on-read deltas (manifest
+        ``mor_buckets``, written by :meth:`append_events`) are LWW-folded
+        here; clean buckets stream through with no shuffle. The fold cost
+        is O(rows in MOR buckets), bounded by the compaction cadence.
         """
-        df = self.read_raw(version=version)
+        version = version or self.current_version()
+        m = self._manifest(version)
+        mor = sorted(int(b) for b in (m or {}).get("mor_buckets", []))
+        if mor:
+            clean = [
+                int(b) for b in self._bucket_files(version) if int(b) not in mor
+            ]
+            df = self.read_raw(buckets=clean, version=version).unionByName(
+                self._lww_fold_read(
+                    self.read_raw(buckets=mor, version=version), m["key_cols"]
+                )
+            )
+        else:
+            df = self.read_raw(version=version)
         if "_deleted" in df.columns:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
@@ -296,7 +326,12 @@ class LakeTable:
         concurrent merge's rows) — compaction is cheap to re-run.
         """
         base_version = self.current_version()
+        base_m = self._manifest(base_version) or {}
         df = self.read_raw(version=base_version)
+        if base_m.get("mor_buckets"):
+            # fold unfolded MOR deltas away — compaction is where
+            # merge-on-read debt is repaid (here: the whole table at once)
+            df = self._lww_fold_read(df, base_m["key_cols"])
         if purge_tombstones_below_seq is not None:
             df = df.filter(
                 ~(
@@ -317,9 +352,77 @@ class LakeTable:
             return {
                 "schema": base_schema,
                 "n_buckets": self.n_buckets,
+                "key_cols": base_m.get("key_cols"),
                 "files": files,
                 "depth": 0,  # compaction writes a full manifest: chain reset
+                "mor_buckets": [],
                 "summary": {**base_summary, "compaction": True},
+                "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+
+        return self._commit(build)
+
+    def compact_buckets(
+        self, buckets: list[int], purge_tombstones_below_seq: int | None = None
+    ) -> int | None:
+        """Fold the given buckets' delta generations back to one file each
+        (partial compaction — the streaming pipeline's MOR-debt cadence,
+        ≙ Paimon per-bucket compaction / Iceberg binpack with a filter).
+
+        Rewrites ONLY ``buckets``; commits a delta manifest, so cost and
+        manifest size are O(len(buckets)). Aborts with
+        :class:`CommitConflict` if a concurrent commit touched one of them
+        (appends included — their rows would be dropped by our rewrite);
+        cheap to re-run. Returns None when the buckets are empty.
+        """
+        base_version = self.current_version()
+        base_m = self._manifest(base_version) or {}
+        buckets = sorted(int(b) for b in buckets)
+        base_files = self._bucket_files(base_version)
+        if not any(base_files.get(str(b)) for b in buckets):
+            return None
+        df = self.read_raw(buckets=buckets, version=base_version)
+        if set(buckets) & {int(b) for b in base_m.get("mor_buckets", [])}:
+            df = self._lww_fold_read(df, base_m["key_cols"])
+        if purge_tombstones_below_seq is not None:
+            df = df.filter(
+                ~(
+                    F.coalesce(F.col("_deleted"), F.lit(False))
+                    & (F.col("_seq") < purge_tombstones_below_seq)
+                )
+            )
+        new_files = self._write_buckets(df, f"v{uuid.uuid4().hex[:12]}")
+
+        def build(head: dict | None) -> dict:
+            if head is None:
+                raise CommitConflict("table disappeared during compaction")
+            if head["version"] != base_version:
+                head_files = self._resolve_files(head["version"])
+                for b in buckets:
+                    if head_files.get(str(b), []) != base_files.get(str(b), []):
+                        raise CommitConflict(
+                            f"concurrent commit touched bucket {b} — re-run"
+                        )
+            delta = {str(b): new_files.get(str(b), []) for b in buckets}
+            depth = int(head.get("depth", 0)) + 1
+            if depth > MAX_MANIFEST_DEPTH:
+                files = dict(self._resolve_files(head["version"]))
+                files.update(delta)
+                base, depth2 = None, 0
+            else:
+                files, base, depth2 = delta, head["version"], depth
+            mor = sorted(
+                {int(x) for x in head.get("mor_buckets", [])} - set(buckets)
+            )
+            return {
+                "schema": head["schema"],
+                "n_buckets": self.n_buckets,
+                "key_cols": head.get("key_cols"),
+                "files": files,
+                "base": base,
+                "depth": depth2,
+                "mor_buckets": mor,
+                "summary": {**head.get("summary", {}), "compaction": True},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
 
@@ -449,8 +552,10 @@ class LakeTable:
             return {
                 "schema": schema_json,
                 "n_buckets": self.n_buckets,
+                "key_cols": key_cols,
                 "files": files,
                 "depth": 0,
+                "mor_buckets": [],
                 "summary": summary or {},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
@@ -529,24 +634,7 @@ class LakeTable:
         payload_cols = [
             c for c in events.columns if c not in (*key_cols, seq_col, op_col)
         ]
-        src = events.withColumn("_bucket", self._bucket_col(key_cols[0]))
-        np = [c for c in events.columns if c not in key_cols]  # non-key incl seq/op
-        if pre_folded:
-            folded = src.repartition(self.n_buckets, F.col("_bucket"))
-        elif fold_mode == "prefold":
-            folded = (
-                src.groupBy(*key_cols)
-                .agg(F.max_by(F.struct(*np, "_bucket"), F.col(seq_col)).alias("_w"))
-                .select(*key_cols, "_w.*")
-                .repartition(self.n_buckets, F.col("_bucket"))
-            )
-        else:
-            folded = (
-                src.repartition(self.n_buckets, F.col("_bucket"))
-                .groupBy("_bucket", *key_cols)
-                .agg(F.max_by(F.struct(*np), F.col(seq_col)).alias("_w"))
-                .select("_bucket", *key_cols, "_w.*")
-            )
+        folded = self._fold_events(events, key_cols, seq_col, pre_folded, fold_mode)
 
         if not self.exists():
             return self._commit_initial(
@@ -566,6 +654,136 @@ class LakeTable:
             )
         finally:
             folded.unpersist()
+
+    def _fold_events(self, events, key_cols, seq_col, pre_folded, fold_mode):
+        """Batch-local LWW fold, bucket-aligned (see merge_events docstring
+        for the fold_mode semantics)."""
+        src = events.withColumn("_bucket", self._bucket_col(key_cols[0]))
+        np = [c for c in events.columns if c not in key_cols]  # non-key incl seq/op
+        if pre_folded:
+            return src.repartition(self.n_buckets, F.col("_bucket"))
+        if fold_mode == "prefold":
+            return (
+                src.groupBy(*key_cols)
+                .agg(F.max_by(F.struct(*np, "_bucket"), F.col(seq_col)).alias("_w"))
+                .select(*key_cols, "_w.*")
+                .repartition(self.n_buckets, F.col("_bucket"))
+            )
+        return (
+            src.repartition(self.n_buckets, F.col("_bucket"))
+            .groupBy("_bucket", *key_cols)
+            .agg(F.max_by(F.struct(*np), F.col(seq_col)).alias("_w"))
+            .select("_bucket", *key_cols, "_w.*")
+        )
+
+    def append_events(
+        self,
+        events: DataFrame,
+        key_cols: list[str],
+        seq_col: str = "seq",
+        op_col: str = "op",
+        batch_id: int | None = None,
+        extra_summary: dict | None = None,
+        pre_folded: bool = False,
+        fold_mode: str = "bucket",
+        touched: list[int] | None = None,
+    ) -> int | None:
+        """Merge-on-read MERGE: fold the batch and APPEND it as per-bucket
+        delta files — never read or rewrite the base (≙ Iceberg/Hudi MOR,
+        Paimon's LSM buckets; contrast :meth:`merge_events`, which is
+        copy-on-write).
+
+        Per-batch cost is O(batch) instead of O(table): a thousand-batch
+        stream over a large table pays fold+write of its own rows only.
+        Readers reconcile: :meth:`read` LWW-folds buckets listed in the
+        manifest's ``mor_buckets`` (groupBy key → max_by(_seq)), so the
+        queryable state is identical to the COW path's. Read amplification
+        is bounded by compaction (:meth:`compact_buckets` /
+        :meth:`compact`), which folds delta generations back to one file
+        per bucket — the streaming pipeline runs it on a cadence.
+
+        Appends NEVER conflict: a rebase just re-targets the new head's
+        file lists (LWW-by-_seq makes concurrent appends and even a
+        concurrent COW rewrite of the same bucket commute). Exactly-once
+        replay via ``batch_id`` is identical to merge_events.
+        """
+        if events is None:
+            return None
+        payload_cols = [
+            c for c in events.columns if c not in (*key_cols, seq_col, op_col)
+        ]
+        folded = self._fold_events(events, key_cols, seq_col, pre_folded, fold_mode)
+        if not self.exists():
+            return self._commit_initial(
+                folded, key_cols, seq_col, op_col, batch_id, extra_summary, payload_cols
+            )
+        head0 = self._manifest()
+        if batch_id is not None:
+            last = self._batch_id_of(head0)
+            if last is not None and batch_id <= last:
+                return None  # already applied — exactly-once on replay
+
+        delta = folded.select(
+            *key_cols,
+            *payload_cols,
+            F.col(seq_col).cast("long").alias("_seq"),
+            (F.col(op_col) == "D").alias("_deleted"),
+            "_bucket",
+        )
+        src_types = {f.name: f.dataType for f in delta.schema.fields}
+        new_files = self._write_partitioned(delta, f"v{uuid.uuid4().hex[:12]}")
+        if touched is None:
+            touched = sorted(int(b) for b in new_files)
+        touched = [int(b) for b in touched]
+
+        def build(head: dict | None) -> dict | None:
+            if head is None:
+                raise CommitConflict("table disappeared during append")
+            if batch_id is not None:
+                last = self._batch_id_of(head)
+                if last is not None and batch_id <= last:
+                    return None
+            # additive schema evolution, derived from the CURRENT head so a
+            # rebase picks up a racer's evolution too (driver-only work)
+            head_schema = T.StructType.fromJson(json.loads(head["schema"]))
+            head_user = [f.name for f in head_schema.fields if f.name not in INTERNAL_COLS]
+            evolved = T.StructType(
+                [f for f in head_schema.fields if f.name not in INTERNAL_COLS]
+                + [
+                    T.StructField(c, src_types[c], True)
+                    for c in payload_cols
+                    if c not in head_user
+                ]
+                + [f for f in head_schema.fields if f.name in INTERNAL_COLS]
+            )
+            head_files = self._resolve_files(head["version"])
+            file_delta = {
+                str(b): head_files.get(str(b), []) + new_files.get(str(b), [])
+                for b in touched
+            }
+            mor = sorted(
+                {int(x) for x in head.get("mor_buckets", [])} | set(touched)
+            )
+            depth = int(head.get("depth", 0)) + 1
+            if depth > MAX_MANIFEST_DEPTH:
+                files = dict(head_files)
+                files.update(file_delta)
+                base, depth = None, 0
+            else:
+                files, base = file_delta, head["version"]
+            return {
+                "schema": json.dumps(evolved.jsonValue()),
+                "n_buckets": self.n_buckets,
+                "key_cols": key_cols,
+                "files": files,
+                "base": base,
+                "depth": depth,
+                "mor_buckets": mor,
+                "summary": {**(extra_summary or {}), "batch_id": batch_id},
+                "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+
+        return self._commit(build)
 
     def _commit_initial(
         self, folded, key_cols, seq_col, op_col, batch_id, extra_summary, payload_cols
@@ -588,8 +806,10 @@ class LakeTable:
             return {
                 "schema": schema_json,
                 "n_buckets": self.n_buckets,
+                "key_cols": key_cols,
                 "files": files,
                 "depth": 0,
+                "mor_buckets": [],
                 "summary": {**(extra_summary or {}), "batch_id": batch_id},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
@@ -636,6 +856,13 @@ class LakeTable:
             if touched_files
             else self.spark.createDataFrame([], evolved)
         )
+        base_mor = {
+            int(b) for b in (self._manifest(base_version) or {}).get("mor_buckets", [])
+        }
+        if base_mor & set(touched):
+            # MOR buckets carry multiple delta generations (duplicate keys
+            # across files) — fold to one row per key before the merge join
+            target = self._lww_fold_read(target, key_cols)
 
         # ---- bucket-aligned full-outer merge join (no added exchange:
         # both sides are hash-partitioned on the _bucket join key) ----
@@ -716,12 +943,18 @@ class LakeTable:
                 # delta manifest: O(touched buckets), untouched buckets
                 # resolve through the base pointer
                 files, base = delta, head["version"]
+            # a COW rewrite folds its touched buckets back to one generation
+            mor = sorted(
+                {int(x) for x in head.get("mor_buckets", [])} - set(touched)
+            )
             return {
                 "schema": schema_json,
                 "n_buckets": self.n_buckets,
+                "key_cols": key_cols,
                 "files": files,
                 "base": base,
                 "depth": depth,
+                "mor_buckets": mor,
                 "summary": {**(extra_summary or {}), "batch_id": batch_id},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -40,7 +41,7 @@ from ..normalize import normalize_json
 from ..operators.ordering import lww_fold_salted
 from ..schema import CHANGE_EVENTS, KEY_COLS
 from ..sinks.laketable import LakeTable
-from ..lineage import lineage_records, write_lineage
+from ..lineage import write_lineage_rows
 
 
 class CdcPipeline:
@@ -54,12 +55,31 @@ class CdcPipeline:
         watermark_delay_s: int | None = None,
         from_json_payload: bool = False,
         fold_mode: str = "bucket",
+        sink_mode: str = "merge",
+        compact_every: int = 16,
     ):
+        """``sink_mode``:
+
+        - ``"merge"`` (default): copy-on-write — every batch folds into the
+          touched base buckets (LakeTable.merge_events). Per-batch cost is
+          O(touched table data); reads are fold-free.
+        - ``"append"``: merge-on-read — every batch appends folded delta
+          files (LakeTable.append_events), per-batch cost O(batch) — the
+          shape a thousand-batch production stream needs; reads LWW-fold
+          the delta generations, bounded by inline partial compaction every
+          ``compact_every`` batches (bucket rewrite amortized 1/N per
+          batch, read amplification ≤ N generations).
+        """
+        if sink_mode not in ("merge", "append"):
+            raise ValueError(f"sink_mode must be 'merge' or 'append', got {sink_mode!r}")
         self.spark = spark
         self.table = LakeTable(spark, table_path, n_buckets=n_buckets)
         self.checkpoint_dir = checkpoint_dir
         self.salt_buckets = salt_buckets
         self.fold_mode = fold_mode
+        self.sink_mode = sink_mode
+        self.compact_every = compact_every
+        self._since_compact = 0
         self.watermark_delay_s = watermark_delay_s
         self.from_json_payload = from_json_payload
         self.table_path = table_path
@@ -92,11 +112,13 @@ class CdcPipeline:
         SURVEY.md §1.1 penalization row).
 
         Driver-action budget per micro-batch (the fixed cost that
-        serializes a thousands-of-batches stream): ONE cached metrics
-        aggregation (bad + late + good counts + max event time together),
-        an optional DLQ write that reads the cache, and the merge itself
-        — down from the 4+ separate count()/collect() actions of the
-        naive formulation.
+        serializes a thousands-of-batches stream): TWO Spark jobs — one
+        cached per-source-file aggregation that yields the batch metrics,
+        the lineage offset-range records, AND the touched-bucket set in a
+        single pass, then the merge/append itself (handed the touched set,
+        so it runs no probe of its own). Lineage rows are already on the
+        driver and append without a job; the optional DLQ write reads the
+        cache (pays only when bad rows exist).
         """
         metrics = {"batch_id": batch_id, "n_events": 0, "n_late": 0, "n_dlq": 0, "version": None}
         if self.from_json_payload:
@@ -125,17 +147,25 @@ class CdcPipeline:
         )
         flagged = flagged.cache()
         try:
-            agg = flagged.agg(
+            good = ~F.col("_bad") & ~F.col("_late")
+
+            def gw(col):  # aggregate over good rows only (nulls are skipped)
+                return F.when(good, col)
+
+            per_file = flagged.groupBy("source_file").agg(
                 F.count("*").alias("total"),
-                F.sum(F.col("_bad").cast("long")).alias("n_dlq"),
+                F.sum(F.col("_bad").cast("long")).alias("n_bad"),
                 F.sum(F.col("_late").cast("long")).alias("n_late"),
-                F.max(
-                    F.when(~F.col("_bad") & ~F.col("_late"), F.unix_timestamp("ts"))
-                ).alias("mx"),
-            ).collect()[0]
-            n_dlq = int(agg["n_dlq"] or 0)
-            n_late = int(agg["n_late"] or 0)
-            n_events = int(agg["total"] or 0) - n_dlq - n_late
+                F.max(gw(F.unix_timestamp("ts"))).alias("mx"),
+                F.min(gw(F.col("source_pos"))).alias("min_pos"),
+                F.max(gw(F.col("source_pos"))).alias("max_pos"),
+                F.min(gw(F.col("seq"))).alias("min_seq"),
+                F.max(gw(F.col("seq"))).alias("max_seq"),
+                F.collect_set(gw(self.table._bucket_col(KEY_COLS[0]))).alias("buckets"),
+            ).collect()
+            n_dlq = sum(int(r["n_bad"] or 0) for r in per_file)
+            n_late = sum(int(r["n_late"] or 0) for r in per_file)
+            n_events = sum(int(r["total"] or 0) for r in per_file) - n_dlq - n_late
             metrics.update(n_events=n_events, n_late=n_late, n_dlq=n_dlq)
             if n_dlq:
                 (
@@ -153,12 +183,15 @@ class CdcPipeline:
                 )
             if n_events == 0:
                 return metrics
+            touched = sorted({b for r in per_file for b in (r["buckets"] or [])})
+            mxs = [r["mx"] for r in per_file if r["mx"] is not None]
 
-            events = flagged.filter(~F.col("_bad") & ~F.col("_late"))
+            events = flagged.filter(good)
             payload = events.select(
                 "seq", "op", "ts", *KEY_COLS,
                 *[c for c in events.columns if c not in ("seq", "op", "ts", *KEY_COLS, "source_file", "source_pos", "payload_json", "_bad", "_late")],
             )
+            summary = {"n_events": n_events, "n_late": n_late}
             # Fold strategy (see laketable.merge_events + operators/ordering):
             # "salted" = explicit two-phase salted fold for extreme hot keys;
             # "prefold" = map-side partial LWW fold (shuffle O(keys));
@@ -168,26 +201,64 @@ class CdcPipeline:
                     payload, key_cols=KEY_COLS,
                     salt_buckets=self.salt_buckets, keep_deletes=True,
                 )
-                version = self.table.merge(
+                sink = (
+                    self.table.append_events
+                    if self.sink_mode == "append"
+                    else self.table.merge_events
+                )
+                version = sink(
                     folded, KEY_COLS, seq_col="seq", op_col="op",
-                    batch_id=batch_id,
-                    extra_summary={"n_events": n_events, "n_late": n_late},
+                    batch_id=batch_id, extra_summary=summary,
+                    pre_folded=True, touched=touched,
+                )
+            elif self.sink_mode == "append":
+                version = self.table.append_events(
+                    payload, KEY_COLS, seq_col="seq", op_col="op",
+                    batch_id=batch_id, extra_summary=summary,
+                    fold_mode=self.fold_mode, touched=touched,
                 )
             else:
                 version = self.table.merge_events(
                     payload, KEY_COLS, seq_col="seq", op_col="op",
-                    batch_id=batch_id,
-                    extra_summary={"n_events": n_events, "n_late": n_late},
-                    fold_mode=self.fold_mode,
+                    batch_id=batch_id, extra_summary=summary,
+                    fold_mode=self.fold_mode, touched=touched,
                 )
             metrics["version"] = version
             if version is not None:
-                write_lineage(
-                    lineage_records(events, batch_id, version, n_late=n_late),
+                committed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+                write_lineage_rows(
+                    self.spark,
+                    [
+                        {
+                            "batch_id": int(batch_id),
+                            "snapshot_id": int(version),
+                            "source_file": r["source_file"],
+                            "min_pos": r["min_pos"],
+                            "max_pos": r["max_pos"],
+                            "min_seq": r["min_seq"],
+                            "max_seq": r["max_seq"],
+                            "n_events": int(r["total"]) - int(r["n_bad"] or 0) - int(r["n_late"] or 0),
+                            "n_late": int(n_late),
+                            "committed_at": committed_at,
+                        }
+                        for r in per_file
+                        if int(r["total"]) - int(r["n_bad"] or 0) - int(r["n_late"] or 0) > 0
+                    ],
                     self.table_path,
                 )
-                if agg["mx"] is not None:
-                    self._store_watermark(int(agg["mx"]))
+                if mxs:
+                    self._store_watermark(int(max(mxs)))
+                if self.sink_mode == "append" and self.compact_every:
+                    # amortized MOR-debt repayment: rewrite the unfolded
+                    # buckets every compact_every batches (single-writer
+                    # loop, so no commit race)
+                    self._since_compact += 1
+                    if self._since_compact >= self.compact_every:
+                        mor = (self.table._manifest() or {}).get("mor_buckets", [])
+                        if mor:
+                            self.table.compact_buckets([int(b) for b in mor])
+                            metrics["compacted"] = len(mor)
+                        self._since_compact = 0
         finally:
             flagged.unpersist()
         return metrics
@@ -240,6 +311,10 @@ def _cli(argv: list[str] | None = None) -> None:
     p.add_argument("--salt-buckets", type=int, default=0)
     p.add_argument("--watermark-delay-s", type=int, default=None)
     p.add_argument("--from-json-payload", action="store_true")
+    p.add_argument("--sink-mode", choices=["merge", "append"], default="merge",
+                   help="copy-on-write merge per batch, or merge-on-read append + compaction cadence")
+    p.add_argument("--compact-every", type=int, default=16,
+                   help="append mode: fold MOR delta generations every N batches")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--available-now", action="store_true",
                    help="drain the feed and stop (batch replay); else run continuous")
@@ -256,6 +331,8 @@ def _cli(argv: list[str] | None = None) -> None:
         salt_buckets=args.salt_buckets,
         watermark_delay_s=args.watermark_delay_s,
         from_json_payload=args.from_json_payload,
+        sink_mode=args.sink_mode,
+        compact_every=args.compact_every,
     )
     pipe.run_to_completion(
         args.feed_dir,
