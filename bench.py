@@ -41,6 +41,7 @@ WORKER_TIMEOUT_S = int(os.environ.get("SPARK_GRAFT_BENCH_WORKER_TIMEOUT", "1200"
 # cdc_worker docstring). The in-worker budget stops trialing early in a badly
 # throttled window so the subprocess never hits the hard timeout.
 TRIALS_PER_LEVEL = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "3"))
+QUERY_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_PASSES", "3"))
 WORKER_TRIAL_BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_TRIAL_BUDGET", "600"))
 # Scaling levels: N vs 4N cores INSIDE the physical-core range. The host
 # exposes 32 SMT threads over ~16 physical cores; higher pairs conflate
@@ -309,10 +310,13 @@ def _scaling_runs(
     t0 = time.time()
     for i in range(max_rounds):
         if i > 0 and lo and hi:
-            # Early-exit only on a CREDIBLE pass: efficiency above ~1.0
-            # is impossible for real strong scaling — it means the lo
-            # minimum is still throttled (undersampled), so keep drawing.
-            if 0.8 <= _eff(lo, hi) <= 1.02:
+            # METRIC-BLIND stopping (r2 verdict: an efficiency-band exit is
+            # optional-stopping bias): stop only when each level's minimum
+            # wall is CORROBORATED — its two fastest trials agree within
+            # 10% — with >=3 lo / >=4 hi trials drawn. The volatile term is
+            # whichever level's min is still a throttled singleton; wall
+            # stability is observable without looking at the headline.
+            if _min_corroborated(lo, 3) and _min_corroborated(hi, 4):
                 break
             if (time.time() - t0) > budget_s:
                 break
@@ -322,6 +326,14 @@ def _scaling_runs(
         lo = _merge_worker_results(lo, _run_worker(CORES_LO, TRIALS_PER_LEVEL))
         hi = _merge_worker_results(hi, _run_worker(CORES_HI, 2 * TRIALS_PER_LEVEL))
     return lo, hi
+
+
+def _min_corroborated(level: dict | None, k_min: int) -> bool:
+    """True when the level's min wall is not a singleton: at least k_min
+    trials drawn AND the second-fastest wall is within 10% of the fastest
+    (two independent observations of the unthrottled window)."""
+    walls = sorted((level or {}).get("walls", []))
+    return len(walls) >= k_min and walls[1] <= 1.10 * walls[0]
 
 
 def _eff(lo: dict, hi: dict) -> float:
@@ -367,28 +379,41 @@ def stream_bench() -> dict:
             f.write(str(n))
     with open(marker) as f:
         n = int(f.read().strip())
-    work = tempfile.mkdtemp(prefix="bench_stream_")
-    try:
-        pipe = CdcPipeline(
-            spark,
-            os.path.join(work, "table"),
-            os.path.join(work, "ckpt"),
-            n_buckets=32,
-            from_json_payload=True,
-        )
-        t0 = time.time()
-        pipe.run_to_completion(STREAM_FEED_DIR, max_files_per_trigger=1)
-        wall = time.time() - t0
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return {
+    def drain(sink_mode: str) -> dict:
+        work = tempfile.mkdtemp(prefix=f"bench_stream_{sink_mode}_")
+        try:
+            pipe = CdcPipeline(
+                spark,
+                os.path.join(work, "table"),
+                os.path.join(work, "ckpt"),
+                n_buckets=32,
+                from_json_payload=True,
+                sink_mode=sink_mode,
+                compact_every=16,
+            )
+            t0 = time.time()
+            pipe.run_to_completion(STREAM_FEED_DIR, max_files_per_trigger=1)
+            wall = time.time() - t0
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        return {
+            "wall_sec": round(wall, 3),
+            "batches_per_sec": round(STREAM_BATCHES / wall, 3),
+            "events_per_sec": round(n / wall),
+            "sec_per_batch": round(wall / STREAM_BATCHES, 3),
+        }
+
+    # append (merge-on-read + compaction cadence) is the production
+    # steady-state shape — the headline; copy-on-write merge alongside
+    # shows the per-batch cost the MOR path removes.
+    out = {
         "n_batches": STREAM_BATCHES,
         "n_events": n,
-        "wall_sec": round(wall, 3),
-        "batches_per_sec": round(STREAM_BATCHES / wall, 3),
-        "events_per_sec": round(n / wall),
-        "sec_per_batch": round(wall / STREAM_BATCHES, 3),
+        "append": drain("append"),
+        "merge": drain("merge"),
     }
+    out.update(out["append"])  # headline numbers = append mode
+    return out
 
 
 def time_queries() -> dict[str, float]:
@@ -406,10 +431,18 @@ def time_queries() -> dict[str, float]:
     spark.range(1000).repartition(CPUS).mapInPandas(
         lambda it: it, schema="id long"
     ).write.mode("overwrite").format("noop").save()
-    for name in HEADLINE_QUERIES:
-        t0 = time.time()
-        qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
-        timings[name] = round(time.time() - t0, 3)
+    # min-of-k per query (r2 verdict item 7): a single pass under the
+    # host's ~10x throttle windows is unfalsifiable noise; throttle only
+    # inflates walls, so the min across passes is the engine number and
+    # restores r->r+1 comparability. Passes interleave across queries so
+    # one bad window doesn't poison all of a query's samples.
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE_QUERIES}
+    for _ in range(QUERY_PASSES):
+        for name in HEADLINE_QUERIES:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).write.mode("overwrite").format("noop").save()
+            samples[name].append(time.time() - t0)
+    timings = {name: round(min(w), 3) for name, w in samples.items()}
     spark.stop()
     return timings
 
@@ -455,16 +488,30 @@ def _stream_section(result: dict) -> str:
     s = result.get("stream")
     if not s:
         return ""
+    modes = ""
+    if "append" in s and "merge" in s:
+        modes = f"""
+| sink mode | wall s | s/batch | events/s |
+|---|---|---|---|
+| append (merge-on-read + compaction cadence) | {s['append']['wall_sec']} | {s['append']['sec_per_batch']} | {s['append']['events_per_sec']:,} |
+| merge (copy-on-write) | {s['merge']['wall_sec']} | {s['merge']['sec_per_batch']} | {s['merge']['events_per_sec']:,} |
+
+Append mode commits O(batch) delta files per micro-batch (never rewrites
+the base), LWW-folds on read, and repays merge-on-read debt via partial
+compaction every 16 batches — the per-batch shape a thousand-batch
+production stream needs. Headline numbers above are append mode.
+"""
     return f"""
 ## Streaming micro-batch drain ({s['n_batches']} batches, maxFilesPerTrigger=1)
 
 {s['n_events']:,} events drained availableNow as {s['n_batches']} foreachBatch
-invocations (normalize → single-pass flag/metrics → incremental merge →
-lineage) into one LakeTable: **{s['wall_sec']} s wall = {s['sec_per_batch']} s/batch,
-{s['events_per_sec']:,} events/s**. The per-batch fixed cost is the number that
-dominates thousand-batch streams; apply_batch holds it to ~2 driver
-actions per batch (one cached metrics aggregation + the merge).
-"""
+invocations (normalize → single-pass flag/metrics/lineage aggregation →
+incremental sink commit) into one LakeTable: **{s['wall_sec']} s wall =
+{s['sec_per_batch']} s/batch, {s['events_per_sec']:,} events/s**. The per-batch
+fixed cost is the number that dominates thousand-batch streams; apply_batch
+holds it to 2 Spark jobs per batch (one per-source-file aggregation that
+yields metrics + lineage + touched buckets, then the sink commit).
+{modes}"""
 
 
 def write_report(result: dict) -> None:

@@ -256,17 +256,42 @@ class LakeTable:
         self, buckets: list[int] | None = None, version: int | None = None
     ) -> DataFrame:
         """All rows incl. tombstones + internal cols, optionally bucket-pruned
-        and/or pinned to an older snapshot version."""
+        and/or pinned to an older snapshot version.
+
+        Includes the snapshot's flat merge-on-read delta files (manifest
+        ``delta_files``, written by :meth:`append_events`): whole-batch
+        files whose rows mix buckets. Their rows are surfaced ONLY for
+        buckets still in ``mor_buckets`` — once a bucket is compacted its
+        delta rows are stale copies — via a ``_bucket`` filter the parquet
+        reader can push down."""
+        version = version or self.current_version()
         schema = self.schema(version)
+        if schema is None:
+            return self.spark.createDataFrame([], T.StructType())
+        m = self._manifest(version) or {}
         files: list[str] = []
         for b, fl in self._bucket_files(version).items():
             if buckets is None or int(b) in buckets:
                 files.extend(fl)
-        if not files or schema is None:
-            sch = schema or T.StructType()
-            return self.spark.createDataFrame([], sch)
-        # explicit schema => additive evolution for free (old files null-fill)
-        return self.spark.read.schema(schema).parquet(*files)
+        mor = {int(b) for b in m.get("mor_buckets", [])}
+        want = mor if buckets is None else mor & {int(b) for b in buckets}
+        delta = m.get("delta_files", []) if want else []
+        parts: list[DataFrame] = []
+        if files:
+            # explicit schema => additive evolution for free (null-fill)
+            parts.append(self.spark.read.schema(schema).parquet(*files))
+        if delta:
+            parts.append(
+                self.spark.read.schema(schema)
+                .parquet(*delta)
+                .filter(F.col("_bucket").isin(sorted(want)))
+            )
+        if not parts:
+            return self.spark.createDataFrame([], schema)
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        return df
 
     @staticmethod
     def _lww_fold_read(df: DataFrame, key_cols: list[str]) -> DataFrame:
@@ -356,6 +381,7 @@ class LakeTable:
                 "files": files,
                 "depth": 0,  # compaction writes a full manifest: chain reset
                 "mor_buckets": [],
+                "delta_files": [],  # all deltas folded into bucket files
                 "summary": {**base_summary, "compaction": True},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
@@ -379,7 +405,13 @@ class LakeTable:
         base_m = self._manifest(base_version) or {}
         buckets = sorted(int(b) for b in buckets)
         base_files = self._bucket_files(base_version)
-        if not any(base_files.get(str(b)) for b in buckets):
+        base_mor = {int(b) for b in base_m.get("mor_buckets", [])}
+        has_delta_rows = bool(base_m.get("delta_files")) and bool(
+            base_mor & set(buckets)
+        )
+        if not has_delta_rows and not any(
+            base_files.get(str(b)) for b in buckets
+        ):
             return None
         df = self.read_raw(buckets=buckets, version=base_version)
         if set(buckets) & {int(b) for b in base_m.get("mor_buckets", [])}:
@@ -403,6 +435,12 @@ class LakeTable:
                         raise CommitConflict(
                             f"concurrent commit touched bucket {b} — re-run"
                         )
+                if head.get("delta_files", []) != base_m.get("delta_files", []):
+                    # a racer appended new delta rows (possibly for our
+                    # buckets) after our read — our rewrite would drop them
+                    raise CommitConflict(
+                        "concurrent append during bucket compaction — re-run"
+                    )
             delta = {str(b): new_files.get(str(b), []) for b in buckets}
             depth = int(head.get("depth", 0)) + 1
             if depth > MAX_MANIFEST_DEPTH:
@@ -422,6 +460,10 @@ class LakeTable:
                 "base": base,
                 "depth": depth2,
                 "mor_buckets": mor,
+                # flat delta files absorb into bucket files only when NO
+                # mor bucket still needs them (their remaining rows are
+                # stale copies, read-filtered by mor membership)
+                "delta_files": [] if not mor else head.get("delta_files", []),
                 "summary": {**head.get("summary", {}), "compaction": True},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
@@ -466,6 +508,7 @@ class LakeTable:
         for v in kept:
             for fl in self._resolve_files(v).values():
                 referenced.update(fl)
+            referenced.update((self._manifest(v) or {}).get("delta_files", []))
         manifests_deleted = 0
         for v in vs:
             if v not in kept:
@@ -481,6 +524,12 @@ class LakeTable:
                 data_deleted += 1
                 continue
             for part in self._io.list_names(tdir):
+                if part.endswith(".parquet"):  # flat MOR delta file
+                    fp = pjoin(tdir, part)
+                    if fp not in referenced:
+                        self._io.delete(fp)
+                        data_deleted += 1
+                    continue
                 if not part.startswith("_pb="):
                     continue
                 pdir = pjoin(tdir, part)
@@ -499,20 +548,26 @@ class LakeTable:
     def _bucket_col(self, key_col: str) -> F.Column:
         return F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets)).cast("int")
 
-    def _write_partitioned(self, df: DataFrame, version_tag: str) -> dict[str, list[str]]:
+    def _write_partitioned(
+        self, df: DataFrame, version_tag: str, codec: str = "zstd"
+    ) -> dict[str, list[str]]:
         """Write df (already carrying + partitioned by ``_bucket``) into
         per-bucket dirs; return bucket→files. No exchange is added: the
-        dynamic-partition writer only local-sorts each task by ``_pb``."""
+        dynamic-partition writer only local-sorts each task by ``_pb``.
+
+        ``codec``: zstd default — ~33% fewer bytes AND faster wall for
+        LARGE writes on this host (measured 13.9s vs 19.1s at 8 cores;
+        IO-bound → shrinking bytes converts the stage to CPU work that
+        scales with cores; matches Iceberg's common production codec).
+        Small merge-on-read delta appends pass snappy instead: per-file
+        codec init dominates tiny files (measured ~1 s/batch of pure zstd
+        setup across n_buckets files) and deltas are short-lived —
+        compaction rewrites them zstd."""
         out_dir = pjoin(self.path, _DATA, version_tag)
         (
             df.withColumn("_pb", F.col("_bucket"))
             .write.partitionBy("_pb")
-            # zstd over the snappy default: ~33% fewer bytes AND faster
-            # wall on this host (measured 13.9s vs 19.1s for the same
-            # write at 8 cores) — the write is IO-bound, so shrinking
-            # bytes converts it to CPU work that scales with cores;
-            # matches Iceberg's common production codec choice
-            .option("compression", "zstd")
+            .option("compression", codec)
             .mode("overwrite")
             .parquet(out_dir)
         )
@@ -533,6 +588,23 @@ class LakeTable:
         return self._write_partitioned(
             df.repartition(self.n_buckets, F.col("_bucket")), version_tag
         )
+
+    def _write_flat(
+        self, df: DataFrame, version_tag: str, codec: str = "snappy"
+    ) -> list[str]:
+        """Write whole-batch merge-on-read delta file(s) — no partitionBy,
+        no shuffle, no per-bucket split: the cheapest possible append (one
+        narrow stage, one file per input task). Rows for all buckets mix;
+        readers restrict them to live MOR buckets via the ``_bucket``
+        column (see :meth:`read_raw`). snappy, not zstd: per-file codec
+        init dominates tiny delta files, and compaction rewrites them zstd."""
+        out_dir = pjoin(self.path, _DATA, version_tag)
+        df.write.option("compression", codec).mode("overwrite").parquet(out_dir)
+        return [
+            pjoin(out_dir, f)
+            for f in self._io.list_names(out_dir)
+            if f.endswith(".parquet")
+        ]
 
     def create(
         self, df: DataFrame, key_cols: list[str], seq_col: str = "_seq", summary: dict | None = None
@@ -686,24 +758,32 @@ class LakeTable:
         extra_summary: dict | None = None,
         pre_folded: bool = False,
         fold_mode: str = "bucket",
-        touched: list[int] | None = None,
+        touched: list[int] | Callable[[], list[int]] | None = None,
     ) -> int | None:
-        """Merge-on-read MERGE: fold the batch and APPEND it as per-bucket
-        delta files — never read or rewrite the base (≙ Iceberg/Hudi MOR,
+        """Merge-on-read MERGE: APPEND the batch as flat whole-batch delta
+        file(s) — never read or rewrite the base (≙ Iceberg/Hudi MOR,
         Paimon's LSM buckets; contrast :meth:`merge_events`, which is
         copy-on-write).
 
-        Per-batch cost is O(batch) instead of O(table): a thousand-batch
-        stream over a large table pays fold+write of its own rows only.
-        Readers reconcile: :meth:`read` LWW-folds buckets listed in the
-        manifest's ``mor_buckets`` (groupBy key → max_by(_seq)), so the
-        queryable state is identical to the COW path's. Read amplification
-        is bounded by compaction (:meth:`compact_buckets` /
-        :meth:`compact`), which folds delta generations back to one file
-        per bucket — the streaming pipeline runs it on a cadence.
+        Per-batch cost is O(batch) instead of O(table), and with
+        ``fold_mode="raw"`` the write is a single NARROW Spark stage (no
+        shuffle, no per-bucket split — measured the cheapest possible
+        micro-batch shape): the read-side LWW fold reconciles in-batch
+        duplicates by seq exactly like cross-batch ones, so the batch-local
+        fold is optional. Readers reconcile via :meth:`read`, which
+        LWW-folds buckets listed in the manifest's ``mor_buckets`` over
+        bucket files + ``delta_files`` (groupBy key → max_by(_seq)), so
+        the queryable state is identical to the COW path's. Read
+        amplification is bounded by compaction (:meth:`compact_buckets` /
+        :meth:`compact`), which folds the deltas into per-bucket zstd
+        files — the streaming pipeline runs it on a cadence.
+
+        ``touched`` may be a list of bucket ids, a zero-arg callable
+        evaluated after the delta write (the pipeline's observe() hook),
+        or None (a tiny distinct probe over the written delta).
 
         Appends NEVER conflict: a rebase just re-targets the new head's
-        file lists (LWW-by-_seq makes concurrent appends and even a
+        delta list (LWW-by-_seq makes concurrent appends and even a
         concurrent COW rewrite of the same bucket commute). Exactly-once
         replay via ``batch_id`` is identical to merge_events.
         """
@@ -712,11 +792,24 @@ class LakeTable:
         payload_cols = [
             c for c in events.columns if c not in (*key_cols, seq_col, op_col)
         ]
-        folded = self._fold_events(events, key_cols, seq_col, pre_folded, fold_mode)
         if not self.exists():
+            # the initial commit is the BASE image (read() doesn't fold
+            # clean buckets) — always fold it, even in raw mode
+            folded = self._fold_events(
+                events, key_cols, seq_col, pre_folded,
+                "bucket" if fold_mode == "raw" else fold_mode,
+            )
             return self._commit_initial(
                 folded, key_cols, seq_col, op_col, batch_id, extra_summary, payload_cols
             )
+        if fold_mode == "raw" or pre_folded:
+            # raw mode: no batch-local fold, no shuffle — the delta write
+            # is one narrow stage (scan → flat files). Delta volume is
+            # O(events) instead of O(keys); the compaction cadence repays
+            # it. (pre_folded batches are already one row per key.)
+            folded = events.withColumn("_bucket", self._bucket_col(key_cols[0]))
+        else:
+            folded = self._fold_events(events, key_cols, seq_col, pre_folded, fold_mode)
         head0 = self._manifest()
         if batch_id is not None:
             last = self._batch_id_of(head0)
@@ -731,10 +824,25 @@ class LakeTable:
             "_bucket",
         )
         src_types = {f.name: f.dataType for f in delta.schema.fields}
-        new_files = self._write_partitioned(delta, f"v{uuid.uuid4().hex[:12]}")
+        new_paths = self._write_flat(delta, f"v{uuid.uuid4().hex[:12]}")
+        if not new_paths:
+            return None  # nothing survived the filter (all-late/bad batch)
+        if callable(touched):
+            # the streaming pipeline derives the touched set from an
+            # observe() on the write job above — evaluated here, after
+            # that job ran, so it costs nothing extra
+            touched = touched()
         if touched is None:
-            touched = sorted(int(b) for b in new_files)
-        touched = [int(b) for b in touched]
+            # tiny probe over the just-written delta (bounded by batch
+            # size; direct-API callers only — the pipeline passes touched)
+            touched = [
+                r["_bucket"]
+                for r in self.spark.read.parquet(*new_paths)
+                .select("_bucket").distinct().collect()
+            ]
+        touched = sorted(int(b) for b in touched)
+        if not touched:
+            return None  # zero-row delta (files carried no events)
 
         def build(head: dict | None) -> dict | None:
             if head is None:
@@ -756,21 +864,20 @@ class LakeTable:
                 ]
                 + [f for f in head_schema.fields if f.name in INTERNAL_COLS]
             )
-            head_files = self._resolve_files(head["version"])
-            file_delta = {
-                str(b): head_files.get(str(b), []) + new_files.get(str(b), [])
-                for b in touched
-            }
             mor = sorted(
                 {int(x) for x in head.get("mor_buckets", [])} | set(touched)
             )
+            # the new delta file(s) join the manifest's flat delta list —
+            # bucket file lists are untouched (that's the whole point);
+            # the list is stored in full (bounded by the compaction
+            # cadence, which clears it)
+            delta_files = list(head.get("delta_files", [])) + new_paths
             depth = int(head.get("depth", 0)) + 1
             if depth > MAX_MANIFEST_DEPTH:
-                files = dict(head_files)
-                files.update(file_delta)
+                files: dict = dict(self._resolve_files(head["version"]))
                 base, depth = None, 0
             else:
-                files, base = file_delta, head["version"]
+                files, base = {}, head["version"]
             return {
                 "schema": json.dumps(evolved.jsonValue()),
                 "n_buckets": self.n_buckets,
@@ -779,6 +886,7 @@ class LakeTable:
                 "base": base,
                 "depth": depth,
                 "mor_buckets": mor,
+                "delta_files": delta_files,
                 "summary": {**(extra_summary or {}), "batch_id": batch_id},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
@@ -797,6 +905,8 @@ class LakeTable:
         )
         schema_json = json.dumps(merged.schema.jsonValue())
         files = self._write_partitioned(merged, f"v{uuid.uuid4().hex[:12]}")
+        if not files:
+            return None  # empty first batch — don't commit an empty table
 
         def build(head: dict | None) -> dict | None:
             if head is not None:
@@ -856,10 +966,19 @@ class LakeTable:
             if touched_files
             else self.spark.createDataFrame([], evolved)
         )
-        base_mor = {
-            int(b) for b in (self._manifest(base_version) or {}).get("mor_buckets", [])
-        }
-        if base_mor & set(touched):
+        base_manifest = self._manifest(base_version) or {}
+        base_mor = {int(b) for b in base_manifest.get("mor_buckets", [])}
+        base_delta_files = base_manifest.get("delta_files", [])
+        mor_touched = base_mor & set(touched)
+        if base_delta_files and mor_touched:
+            # flat MOR delta rows for our buckets live outside the bucket
+            # file lists — surface them (evolved schema null-fills)
+            target = target.unionByName(
+                self.spark.read.schema(evolved)
+                .parquet(*base_delta_files)
+                .filter(F.col("_bucket").isin(sorted(mor_touched)))
+            )
+        if mor_touched:
             # MOR buckets carry multiple delta generations (duplicate keys
             # across files) — fold to one row per key before the merge join
             target = self._lww_fold_read(target, key_cols)
@@ -932,6 +1051,12 @@ class LakeTable:
                         raise CommitConflict(
                             f"concurrent commit rewrote bucket {b} — re-run merge"
                         )
+                if head.get("delta_files", []) != base_delta_files:
+                    # concurrent MOR append — its rows (possibly for our
+                    # buckets) postdate our target read
+                    raise CommitConflict(
+                        "concurrent append during merge — re-run merge"
+                    )
             delta = {str(b): new_files.get(str(b), []) for b in touched}
             depth = int(head.get("depth", 0)) + 1
             if depth > MAX_MANIFEST_DEPTH:
@@ -955,6 +1080,7 @@ class LakeTable:
                 "base": base,
                 "depth": depth,
                 "mor_buckets": mor,
+                "delta_files": [] if not mor else head.get("delta_files", []),
                 "summary": {**(extra_summary or {}), "batch_id": batch_id},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }

@@ -121,6 +121,14 @@ class CdcPipeline:
         cache (pays only when bad rows exist).
         """
         metrics = {"batch_id": batch_id, "n_events": 0, "n_late": 0, "n_dlq": 0, "version": None}
+        # Replay pre-check, driver-only (manifest head read): the fused
+        # append path must know before launching its single job — its
+        # observation is populated by that job, so short-circuiting later
+        # (as merge_events does internally) would leave nothing to await.
+        if batch_id is not None and self.table.exists():
+            last = self.table._batch_id_of(self.table._manifest())
+            if last is not None and batch_id <= last:
+                return metrics
         if self.from_json_payload:
             parsed = normalize_json(
                 batch_df, keep_cols=["source_file", "source_pos", "payload_json"]
@@ -145,6 +153,8 @@ class CdcPipeline:
         flagged = parsed.withColumn("_bad", bad_cond).withColumn(
             "_late", ~F.col("_bad") & late_cond
         )
+        if self.sink_mode == "append":
+            return self._apply_batch_fused(flagged, batch_id, metrics)
         flagged = flagged.cache()
         try:
             good = ~F.col("_bad") & ~F.col("_late")
@@ -201,21 +211,10 @@ class CdcPipeline:
                     payload, key_cols=KEY_COLS,
                     salt_buckets=self.salt_buckets, keep_deletes=True,
                 )
-                sink = (
-                    self.table.append_events
-                    if self.sink_mode == "append"
-                    else self.table.merge_events
-                )
-                version = sink(
+                version = self.table.merge_events(
                     folded, KEY_COLS, seq_col="seq", op_col="op",
                     batch_id=batch_id, extra_summary=summary,
                     pre_folded=True, touched=touched,
-                )
-            elif self.sink_mode == "append":
-                version = self.table.append_events(
-                    payload, KEY_COLS, seq_col="seq", op_col="op",
-                    batch_id=batch_id, extra_summary=summary,
-                    fold_mode=self.fold_mode, touched=touched,
                 )
             else:
                 version = self.table.merge_events(
@@ -248,19 +247,132 @@ class CdcPipeline:
                 )
                 if mxs:
                     self._store_watermark(int(max(mxs)))
-                if self.sink_mode == "append" and self.compact_every:
-                    # amortized MOR-debt repayment: rewrite the unfolded
-                    # buckets every compact_every batches (single-writer
-                    # loop, so no commit race)
-                    self._since_compact += 1
-                    if self._since_compact >= self.compact_every:
-                        mor = (self.table._manifest() or {}).get("mor_buckets", [])
-                        if mor:
-                            self.table.compact_buckets([int(b) for b in mor])
-                            metrics["compacted"] = len(mor)
-                        self._since_compact = 0
         finally:
             flagged.unpersist()
+        return metrics
+
+    def _apply_batch_fused(self, flagged, batch_id: int, metrics: dict) -> dict:
+        """Merge-on-read micro-batch with ONE Spark job: the delta-file
+        write. Batch metrics, lineage offset ranges, the touched-bucket
+        set, and the watermark all ride that job via ``observe()`` (a
+        CollectMetrics node in the same physical plan), so the per-batch
+        fixed cost is one job + one manifest commit — the shape that
+        bounds a thousand-batch stream. Multi-file batches pay one extra
+        tiny aggregation for exact per-source-file lineage; the DLQ write
+        runs only when bad rows exist."""
+        from pyspark.sql import Observation
+
+        good = ~F.col("_bad") & ~F.col("_late")
+
+        def gw(col):  # observe over good rows only (when() nulls are skipped)
+            return F.when(good, col)
+
+        obs = Observation()
+        flagged = flagged.observe(
+            obs,
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.col("_bad").cast("long")).alias("n_bad"),
+            F.sum(F.col("_late").cast("long")).alias("n_late"),
+            F.max(gw(F.unix_timestamp("ts"))).alias("mx"),
+            F.min(gw(F.col("source_pos"))).alias("min_pos"),
+            F.max(gw(F.col("source_pos"))).alias("max_pos"),
+            F.min(gw(F.col("seq"))).alias("min_seq"),
+            F.max(gw(F.col("seq"))).alias("max_seq"),
+            F.collect_set(gw(F.col("source_file"))).alias("files"),
+            F.collect_set(gw(self.table._bucket_col(KEY_COLS[0]))).alias("buckets"),
+        )
+        # evaluated by append_events AFTER its write job populates obs —
+        # the touched-bucket set costs nothing extra
+        touched_fn = lambda: [int(b) for b in (obs.get["buckets"] or [])]  # noqa: E731
+        events = flagged.filter(good)
+        payload = events.select(
+            "seq", "op", "ts", *KEY_COLS,
+            *[c for c in events.columns if c not in ("seq", "op", "ts", *KEY_COLS, "source_file", "source_pos", "payload_json", "_bad", "_late")],
+        )
+        if self.salt_buckets and self.salt_buckets > 1:
+            payload = lww_fold_salted(
+                payload, key_cols=KEY_COLS,
+                salt_buckets=self.salt_buckets, keep_deletes=True,
+            )
+            version = self.table.append_events(
+                payload, KEY_COLS, seq_col="seq", op_col="op",
+                batch_id=batch_id, pre_folded=True, touched=touched_fn,
+            )
+        else:
+            # raw delta append: no batch-local fold — the read-side LWW
+            # fold / compaction reconciles duplicates, so the write is a
+            # single narrow stage (no shuffle at all per micro-batch)
+            version = self.table.append_events(
+                payload, KEY_COLS, seq_col="seq", op_col="op",
+                batch_id=batch_id, fold_mode="raw", touched=touched_fn,
+            )
+        # append_events always ran its write job (the replay short-circuit
+        # was pre-checked in apply_batch), so the observation is populated.
+        row = obs.get
+        n_dlq = int(row["n_bad"] or 0)
+        n_late = int(row["n_late"] or 0)
+        n_events = int(row["total"] or 0) - n_dlq - n_late
+        metrics.update(n_events=n_events, n_late=n_late, n_dlq=n_dlq, version=version)
+        if n_dlq:
+            (
+                flagged.filter(F.col("_bad"))
+                .select(
+                    F.lit(batch_id).cast("long").alias("batch_id"),
+                    "payload_json",
+                    "source_file",
+                    "source_pos",
+                    F.lit("unparseable-or-missing-key").alias("reason"),
+                )
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(os.path.join(self.table_path, "_dlq"))
+            )
+        if version is None:
+            return metrics
+        committed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+        files = sorted(row["files"] or [])
+        if len(files) == 1:
+            lineage = [{
+                "batch_id": int(batch_id), "snapshot_id": int(version),
+                "source_file": files[0],
+                "min_pos": int(row["min_pos"]), "max_pos": int(row["max_pos"]),
+                "min_seq": int(row["min_seq"]), "max_seq": int(row["max_seq"]),
+                "n_events": n_events, "n_late": n_late,
+                "committed_at": committed_at,
+            }]
+        else:
+            # multi-file batch (e.g. full-backlog availableNow drain):
+            # per-source-file ranges need one extra aggregation
+            lineage = [
+                {
+                    "batch_id": int(batch_id), "snapshot_id": int(version),
+                    "source_file": r["source_file"],
+                    "min_pos": r["min_pos"], "max_pos": r["max_pos"],
+                    "min_seq": r["min_seq"], "max_seq": r["max_seq"],
+                    "n_events": int(r["n_events"]), "n_late": n_late,
+                    "committed_at": committed_at,
+                }
+                for r in events.groupBy("source_file").agg(
+                    F.count("*").alias("n_events"),
+                    F.min("source_pos").alias("min_pos"),
+                    F.max("source_pos").alias("max_pos"),
+                    F.min("seq").alias("min_seq"),
+                    F.max("seq").alias("max_seq"),
+                ).collect()
+            ]
+        write_lineage_rows(self.spark, lineage, self.table_path)
+        if row["mx"] is not None:
+            self._store_watermark(int(row["mx"]))
+        if self.compact_every:
+            # amortized MOR-debt repayment: rewrite the unfolded buckets
+            # every compact_every batches (single-writer loop, no race)
+            self._since_compact += 1
+            if self._since_compact >= self.compact_every:
+                mor = (self.table._manifest() or {}).get("mor_buckets", [])
+                if mor:
+                    self.table.compact_buckets([int(b) for b in mor])
+                    metrics["compacted"] = len(mor)
+                self._since_compact = 0
         return metrics
 
     # ---------- streaming wiring ----------

@@ -60,3 +60,15 @@ def test_entry_smoke(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert len(df.columns) == 4
+
+
+def test_no_driver_collect_in_query_bodies():
+    """VERDICT r2 item 6: every queries() entry must return a lazy plan —
+    a toPandas/collect inside a query body is a driver-side materialization
+    that breaks at scale (the one flagged instance detached a temp-dir
+    cache table; state now builds under a process-lifetime work dir)."""
+    import inspect
+
+    src = inspect.getsource(entry_mod)
+    assert ".toPandas(" not in src
+    assert ".collect(" not in src
