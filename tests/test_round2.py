@@ -381,15 +381,54 @@ def test_json_path_mutate_contract(spark):
     assert rows[1].add_b == '{"a":{"b":[1,2,9]},"c":"x"}'
     assert rows[1].put_k == '{"a":{"b":[1,2],"k":5},"c":"x"}'
     assert rows[1].del_b == '{"a":{"b":[2]},"c":"x"}'
-    # unparseable subject -> empty string (JsonPathUpdateEvaluator EMPTY)
+    # unparseable subject -> '' (deliberate softening; the reference throws)
     assert rows[2].set_c == "" and rows[2].del_b == ""
-    # path not found -> subject unchanged
+    # path not found -> subject unchanged (ref PathNotFoundException branch)
     assert rows[3].set_c == '{"a":{}}' and rows[3].add_b == '{"a":{}}'
     assert rows[4].set_c is None
+    # mutation-type mismatch -> EMPTY (ref catch-all branch :62-66):
+    # add to a non-array, put on a non-map
+    (tm,) = df.filter("id = 1").select(
+        el("jsonPathAdd", F.col("j"), "$.c", 9).alias("add_on_scalar"),
+        el("jsonPathPut", F.col("j"), "$.a.b", "k", 5).alias("put_on_array"),
+    ).collect()
+    assert tm.add_on_scalar == "" and tm.put_on_array == ""
     with _pt.raises(ValueError):
         _compile_json_path("a.b")  # must start with $
     with _pt.raises(ValueError):
         _compile_json_path("$.a[*]")  # wildcards unsupported
+
+
+def test_json_path_mutate_typed_matches_udf(spark):
+    """The Catalyst fast path and the schema-free UDF agree on well-formed
+    documents (the fast path's domain)."""
+    from nifi_spark.functions.el import json_path_mutate, json_path_mutate_typed
+
+    df = spark.createDataFrame(
+        [(1, '{"a":{"b":[1,2]},"c":"x"}'), (2, '{"a":{"b":[]},"c":"y"}')],
+        "id long, j string",
+    )
+    sch = "a struct<b: array<bigint>>, c string"
+    cases = [
+        ("set", "$.c", "z", None),
+        ("add", "$.a.b", 9, None),
+        ("put", "$.a", 5, "k"),
+        ("delete", "$.a.b[0]", None, None),
+        ("set", "$.a.b[1]", 42, None),
+    ]
+    for mode, path, value, key in cases:
+        got = df.select(
+            "j",
+            json_path_mutate(F.col("j"), mode, path, value, key).alias("u"),
+            json_path_mutate_typed(F.col("j"), sch, mode, path, value, key).alias("t"),
+        ).collect()
+        for r in got:
+            if r.u == r.j and "[" in path:
+                # UDF treats an out-of-range index as PathNotFound
+                # (unchanged); the typed splice has no miss concept —
+                # documented domain difference, not compared
+                continue
+            assert r.u == r.t, (mode, path, r.u, r.t)
 
 
 def test_get_uri_forms(spark):
@@ -397,12 +436,13 @@ def test_get_uri_forms(spark):
     import pytest as _pt
 
     (r,) = spark.range(1).select(
-        el("getUri", "https", "host.io", "/p").alias("u3"),
         el("getUri", "https", "me", "host.io", 8443, "/p", "q=1", "f").alias("u7"),
         el("getUri", "https", None, "host.io", -1, "/p", None, None).alias("u7n"),
     ).collect()
-    assert r.u3 == "https://host.io/p"
     assert r.u7 == "https://me@host.io:8443/p?q=1#f"
     assert r.u7n == "https://host.io/p"
+    # the reference accepts EXACTLY 7 args (GetUriEvaluator.java:46-57)
     with _pt.raises(ValueError):
         get_uri("https", "host.io")
+    with _pt.raises(ValueError):
+        get_uri("https", "host.io", "/p")
