@@ -65,6 +65,16 @@ table over parquet — the Iceberg model re-expressed, not a toy:
   all reuse that single exchange (subset-key co-partitioning —
   ``spark.sql.requireAllClusterKeysForCoPartition=false``, set in
   session.py). Verified by plan assertion in tests/test_laketable.py.
+- **Merge-on-read mode**: :meth:`append_events` commits a change batch as
+  flat whole-batch delta file(s) (manifest ``delta_files``) without ever
+  reading the base — O(batch) per commit, one narrow Spark stage in raw
+  mode — and records the touched buckets in ``mor_buckets``; readers
+  LWW-fold those buckets (bucket files + delta rows) so queryable state
+  matches copy-on-write exactly (≙ Iceberg/Hudi MOR, Paimon LSM buckets).
+  :meth:`compact_buckets` repays the read debt on a cadence, folding
+  deltas into per-bucket zstd files via a delta manifest. This is the
+  per-batch shape a thousand-micro-batch production stream needs; the
+  COW :meth:`merge_events` remains for batch-sized merges.
 - **Tombstones**: deletes persist as ``_deleted=true`` rows retaining
   ``_seq`` so a *stale* pre-delete update arriving in a later batch cannot
   resurrect the row, while a genuinely newer re-insert wins (risk register

@@ -13,9 +13,10 @@ Reference mapping (SURVEY.md §2.1):
   (`partitionColumn`/`lowerBound`/`upperBound`/`numPartitions`) does the
   same natively; :func:`read_incremental` passes those options through.
 
-No JDBC driver ships in this sandbox, so the connection path is exercised
-by unit tests only up to plan construction; the state logic
-(:class:`MaxValueState`) is fully tested.
+The full read path is exercised end-to-end against Apache Derby embedded
+(an in-process JDBC engine that ships in Spark's jars) in
+tests/test_jdbc.py: poll → watermark commit → only-new rows → partitioned
+fetch. On a cluster, point ``url``/``driver`` at the real database.
 """
 
 from __future__ import annotations
@@ -103,7 +104,8 @@ def read_incremental(
     at-least-once source + idempotent sink = exactly-once, same contract
     as the streaming path)."""
     pred = incremental_predicate(state, table, max_value_column)
-    dbtable = f"(SELECT * FROM {table}{' WHERE ' + pred if pred else ''}) AS _inc"
+    # alias must not start with '_' (Derby and other engines reject it)
+    dbtable = f"(SELECT * FROM {table}{' WHERE ' + pred if pred else ''}) AS incq"
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", dbtable)
     if partition_column:
         reader = (

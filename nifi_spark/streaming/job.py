@@ -382,8 +382,12 @@ class CdcPipeline:
         feed_dir: str,
         max_files_per_trigger: int | None = None,
         available_now: bool = True,
+        processing_time: str | None = None,
     ):
-        """readStream over the feed dir; availableNow drains and stops (tests/bench)."""
+        """readStream over the feed dir; availableNow drains and stops
+        (tests/bench), ``processing_time`` (e.g. ``"1 second"``) runs the
+        NiFi steady-state shape: a long-lived timer-driven flow
+        (≙ TimerDrivenSchedulingAgent.java:35)."""
         reader = (
             self.spark.readStream.schema(CHANGE_EVENTS)
             .format("parquet")
@@ -400,6 +404,8 @@ class CdcPipeline:
         )
         if available_now:
             writer = writer.trigger(availableNow=True)
+        elif processing_time:
+            writer = writer.trigger(processingTime=processing_time)
         return writer.start()
 
     def run_to_completion(self, feed_dir: str, **kw) -> None:

@@ -1,0 +1,159 @@
+"""Continuous-trigger soak (r2 verdict item 9): a long-lived
+processing-time-triggered flow over a trickling feed — NiFi's steady state
+(TimerDrivenSchedulingAgent.java:35) rather than the availableNow drain
+every other test uses. Asserts, over 200+ micro-batches: per-batch wall
+stays flat (no manifest/lineage/state growth regressions), the watermark
+advances, MonitorActivity flags the feed stall and the restore, lineage
+stays gap-free, and the final table equals the LWW oracle."""
+
+import datetime as dt
+import os
+import threading
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from nifi_spark.lineage import read_lineage
+from nifi_spark.streaming.job import CdcPipeline
+from nifi_spark.streaming.monitor import ActivityMonitor
+
+EVENTS_PER_FILE = 50
+N_FILES = 210
+BASE_TS = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+
+def _write_feed_file(feed_dir: str, i: int) -> None:
+    base = i * EVENTS_PER_FILE
+    seqs = list(range(base, base + EVENTS_PER_FILE))
+    tbl = pa.table(
+        {
+            "seq": pa.array(seqs, pa.int64()),
+            "op": pa.array(["U"] * len(seqs), pa.string()),
+            "ts": pa.array(
+                [BASE_TS + dt.timedelta(seconds=s) for s in seqs],
+                pa.timestamp("us", tz="UTC"),
+            ),
+            "conv_id": pa.array([f"c{s % 40}" for s in seqs], pa.string()),
+            "turn_idx": pa.array([s % 6 for s in seqs], pa.int32()),
+            "role": pa.array(["user"] * len(seqs), pa.string()),
+            "text": pa.array([f"t{s}" for s in seqs], pa.string()),
+            "tool": pa.array([None] * len(seqs), pa.string()),
+            "source_file": pa.array([f"f{i:05d}"] * len(seqs), pa.string()),
+            "source_pos": pa.array(list(range(len(seqs))), pa.int64()),
+            "payload_json": pa.array([None] * len(seqs), pa.string()),
+        }
+    )
+    tmp = os.path.join(feed_dir, f".tmp-{i:05d}.parquet")
+    pq.write_table(tbl, tmp)
+    os.rename(tmp, os.path.join(feed_dir, f"part-{i:05d}.parquet"))
+
+
+@pytest.mark.slow
+def test_continuous_trigger_soak(spark, tmp_path):
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    for i in range(3):
+        _write_feed_file(feed_dir, i)
+
+    p = CdcPipeline(
+        spark, str(tmp_path / "table"), str(tmp_path / "ckpt"),
+        n_buckets=8, sink_mode="append", compact_every=16,
+        watermark_delay_s=7 * 24 * 3600,
+    )
+    walls: list[float] = []
+    orig_apply = p.apply_batch
+
+    def timed_apply(df, bid):
+        t0 = time.perf_counter()
+        m = orig_apply(df, bid)
+        if m.get("n_events"):
+            walls.append(time.perf_counter() - t0)
+        return m
+
+    p.apply_batch = timed_apply
+
+    monitor = ActivityMonitor(threshold_s=5.0)
+    spark.streams.addListener(monitor)
+    q = p.start(
+        feed_dir, max_files_per_trigger=1,
+        available_now=False, processing_time="100 milliseconds",
+    )
+    try:
+        stop = threading.Event()
+
+        def trickle():
+            for i in range(3, N_FILES):
+                if stop.is_set():
+                    return
+                _write_feed_file(feed_dir, i)
+                time.sleep(0.05)
+
+        feeder = threading.Thread(target=trickle, daemon=True)
+        feeder.start()
+        deadline = time.time() + 540
+        while len(walls) < N_FILES and time.time() < deadline:
+            time.sleep(1.0)
+        feeder.join(timeout=30)
+        assert len(walls) >= 200, f"only {len(walls)} batches in the window"
+
+        # ---- flat per-batch cost: min-of-window is throttle-resistant ----
+        early = min(walls[5:55])
+        late = min(walls[-50:])
+        assert late <= 2.0 * early, (
+            f"per-batch fixed cost grew: early min {early:.3f}s -> late min {late:.3f}s"
+        )
+
+        # ---- feed stalled: MonitorActivity flags inactivity ----
+        stall_deadline = time.time() + 60
+        while monitor.status(str(q.id)) != "inactive" and time.time() < stall_deadline:
+            time.sleep(0.5)
+        assert monitor.status(str(q.id)) == "inactive"
+
+        # ---- feed resumes: batch applies, status restores ----
+        n_before = len(walls)
+        _write_feed_file(feed_dir, N_FILES)
+        resume_deadline = time.time() + 120
+        while len(walls) <= n_before and time.time() < resume_deadline:
+            time.sleep(0.5)
+        assert len(walls) > n_before, "resume batch never applied"
+        # the listener sees the progress event asynchronously — poll
+        restore_deadline = time.time() + 60
+        while monitor.status(str(q.id)) != "active" and time.time() < restore_deadline:
+            time.sleep(0.5)
+        assert monitor.status(str(q.id)) == "active"
+    finally:
+        q.stop()
+        spark.streams.removeListener(monitor)
+
+    n_files_applied = len(walls)
+    total_events = n_files_applied * EVENTS_PER_FILE
+
+    # ---- watermark advanced to the feed's frontier ----
+    wm = p._load_watermark()
+    assert wm is not None
+    assert wm >= int((BASE_TS + dt.timedelta(seconds=(200 * EVENTS_PER_FILE) - 1)).timestamp())
+
+    # ---- lineage gap-free: every applied event exactly once ----
+    lin = read_lineage(spark, str(tmp_path / "table")).toPandas()
+    assert lin["n_events"].sum() == total_events
+    assert lin["source_file"].nunique() == n_files_applied
+
+    # ---- metadata stayed bounded: MOR debt repaid on cadence, flat
+    # delta list capped by it; expiry then bounds the commit log ----
+    m = p.table._manifest()
+    assert len(m.get("delta_files", [])) <= 2 * p.compact_every
+    expired = p.table.expire_snapshots(keep_n=10)
+    assert expired["manifests_deleted"] > 0
+    assert len(p.table._versions()) <= 10 + 2
+
+    # ---- final state equals the LWW oracle over everything applied ----
+    winners: dict[tuple[str, int], int] = {}
+    for s in range(total_events):
+        winners[(f"c{s % 40}", s % 6)] = s
+    got = {
+        (r.conv_id, r.turn_idx): r.text
+        for r in p.table.read().select("conv_id", "turn_idx", "text").collect()
+    }
+    assert got == {k: f"t{s}" for k, s in winners.items()}
