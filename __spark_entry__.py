@@ -1128,6 +1128,43 @@ def q_jolt_transform(spark, sf_dir):
     )
 
 
+def q_jslt_transform(spark, sf_dir):
+    """JSLT program (nifi-jslt-bundle JSLTTransformJSON.java, the last
+    SURVEY §2 partial row) compiled to ONE Catalyst projection: let
+    binding, object constructor, dot paths, if/else, uppercase/size, and
+    arithmetic — no per-row JSON walking (operators/jslt.py)."""
+    from nifi_spark.operators.jslt import jslt_transform
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        F.struct(
+            F.struct(F.col("value").alias("value")).alias("rating"),
+            F.col("event_type").alias("kind"),
+            F.array(F.lit("a"), F.col("event_type")).alias("tags"),
+        ).alias("doc"),
+    )
+    out = jslt_transform(
+        src, "doc",
+        'let v = .rating.value '
+        '{"Rating": $v, '
+        '"band": if ($v >= 10.0) "high" else "low", '
+        '"label": uppercase(.kind), '
+        '"n": size(.tags), '
+        '"half": $v / 2.0, '
+        '"missing": .not.there}',
+    )
+    return out.select(
+        "event_id",
+        F.col("doc")["Rating"].alias("rating"),
+        F.col("doc")["band"].alias("band"),
+        F.col("doc")["label"].alias("label"),
+        F.col("doc")["n"].cast("int").alias("n"),
+        F.col("doc")["half"].alias("half"),
+        F.col("doc")["missing"].cast("string").alias("missing"),
+    )
+
+
 def q_jolt_transform_v2(spark, sf_dir):
     """Jolt round-out (r2 verdict item 5): cardinality ONE/MANY, the
     modify-overwrite-beta =fn templates (trim/concat/size/abs with
@@ -1250,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "yaml_tree": q_yaml_tree,
         "jolt_transform": q_jolt_transform,
         "jolt_transform_v2": q_jolt_transform_v2,
+        "jslt_transform": q_jslt_transform,
         "windows_event_xml": q_windows_event_xml,
         "el_json_mutation": q_el_json_mutation,
         "recordpath_advanced": q_recordpath_advanced,
@@ -1938,6 +1976,16 @@ def oracle_sql() -> dict[str, str]:
         "jolt_transform": """
             SELECT event_id, event_id AS oid, event_type AS kind,
                    'filled' AS note, value AS v
+            FROM events
+        """,
+        "jslt_transform": """
+            SELECT event_id,
+                   value AS rating,
+                   CASE WHEN value >= 10.0 THEN 'high' ELSE 'low' END AS band,
+                   upper(event_type) AS label,
+                   2::INT AS n,
+                   value / 2.0 AS half,
+                   NULL AS missing
             FROM events
         """,
         "jolt_transform_v2": """

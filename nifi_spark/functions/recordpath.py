@@ -20,11 +20,15 @@ so an UpdateRecord flow with nested RecordPath targets ports directly:
                     transform; operand ``.`` or a child field, ops
                     ``= != > >= < <=``, literal string/number)
 - ``//name``        descendant (DescendantFieldPath — schema-resolved to
-                    every nested field of that name, walking structs AND
-                    arrays-of-struct via an implicit ``[*]`` step, like
-                    the reference's isRecord/isRecordArray recursion;
-                    maps and scalar arrays stop the walk — address those
-                    with explicit ``['k']``/``[*]`` steps)
+                    every nested field of that name, walking structs,
+                    arrays-of-struct via an implicit ``[*]`` step, AND
+                    maps with struct values via an implicit ``['*']``
+                    wildcard-map-key step, like the reference's
+                    isRecord/isRecordArray/map-value recursion; scalar
+                    arrays and scalar-valued maps stop the walk — address
+                    those with explicit ``['k']``/``[*]`` steps)
+- ``/m['*']/b``     wildcard map key (every map value — transform_values
+                    on update, map_values on read)
 - ``//*``           wildcard descendant (WildcardDescendantPath.java
                     findDescendants — every field at every depth,
                     parent-first, so a child update applied after its
@@ -40,8 +44,9 @@ so an UpdateRecord flow with nested RecordPath targets ports directly:
                     record as a struct)
 
 All 16 RecordPathCompiler.java node types are covered; descendant
-resolution stays schema-side (struct nesting only, not through
-array/map elements — those take explicit ``[*]``/``['k']`` steps).
+resolution stays schema-side and walks struct, array-of-struct, and
+struct-valued-map nesting (scalar arrays/maps take explicit
+``[*]``/``['k']`` steps).
 
 Semantics note for ``[i]``/predicates: the update function must preserve
 the element type (untouched elements keep theirs); ``[*]`` may change it
@@ -83,7 +88,12 @@ def _parse_step(s: str):
     if re.fullmatch(r"\d+(\s*,\s*\d+)+", s):
         return ("idx", [int(x) for x in s.split(",")])
     if _KEYS.match(s):
-        return ("key", re.findall(r"'([^']*)'", s))
+        keys = re.findall(r"'([^']*)'", s)
+        if keys == ["*"]:
+            # wildcard map key — every value of the map (transform_values
+            # on update, map_values on read)
+            return ("mapstar",)
+        return ("key", keys)
     m = _PRED.match(s)
     if m:
         operand, op, lit = m.group(1), m.group(2), m.group(3)
@@ -213,6 +223,10 @@ def _apply_steps(col: Column, steps: list, rest: list[Seg], fn) -> Column:
                 i.isin(*idxs), _apply_steps(e, tail, rest, fn)
             ).otherwise(e),
         )
+    if kind == "mapstar":
+        return F.transform_values(
+            col, lambda k, v: _apply_steps(v, tail, rest, fn)
+        )
     if kind == "key":
         return _rebuild_map(
             col, head[1], lambda v: _apply_steps(v, tail, rest, fn)
@@ -246,10 +260,8 @@ def _resolve_struct_fields(df: DataFrame, segs: list[Seg]) -> list[str]:
     for name, steps in segs:
         dt = dict((f.name, f.dataType) for f in dt.fields)[name]
         for s in steps:
-            if isinstance(s, tuple) and s[0] == "key":
+            if isinstance(s, tuple) and s[0] in ("key", "mapstar"):
                 dt = dt.valueType
-            elif isinstance(s, tuple) and s[0] == "pred":
-                dt = dt.elementType
             else:
                 dt = dt.elementType
     return [f.name for f in dt.fields]
@@ -265,6 +277,11 @@ def _descend_type(dt: T.DataType) -> tuple[T.DataType, list] | None:
         return dt, []
     if isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType):
         return dt.elementType, ["*"]
+    if isinstance(dt, T.MapType) and isinstance(dt.valueType, T.StructType):
+        # the reference's DescendantFieldPath also walks map VALUES that
+        # are records (Filters.isRecord on MapRecord values) — implicit
+        # wildcard-map-key step; scalar-valued maps stop the walk
+        return dt.valueType, [("mapstar",)]
     return None
 
 
@@ -314,7 +331,7 @@ def _datatype_at(schema: T.StructType, segs: list[Seg]) -> T.DataType:
     for name, steps in segs:
         dt = dict((f.name, f.dataType) for f in dt.fields)[name]
         for s in steps:
-            if isinstance(s, tuple) and s[0] == "key":
+            if isinstance(s, tuple) and s[0] in ("key", "mapstar"):
                 dt = dt.valueType
             elif isinstance(s, int) or s == "*" or (
                 isinstance(s, tuple) and s[0] in ("idx", "pred")
@@ -431,6 +448,10 @@ def _get_steps(col: Column, steps: list, rest: list[Seg]) -> Column:
     if kind == "idx":
         picked = F.array(*[F.element_at(col, i + 1) for i in head[1]])
         return F.transform(picked, lambda e: _get_steps(e, tail, rest))
+    if kind == "mapstar":
+        return F.transform(
+            F.map_values(col), lambda v: _get_steps(v, tail, rest)
+        )
     if kind == "key":
         keys = head[1]
         if len(keys) == 1:
@@ -470,6 +491,8 @@ def _unparse(segs: list[Seg]) -> list[str]:
             return f"[{s}]"
         if s[0] == "idx":
             return "[" + ",".join(str(i) for i in s[1]) + "]"
+        if s[0] == "mapstar":
+            return "['*']"
         if s[0] == "key":
             return "[" + ",".join(f"'{k}'" for k in s[1]) + "]"
         _, operand, op, val = s

@@ -33,8 +33,9 @@ Supported spec subset (the operations NiFi flows use most):
   missing; *overwrite* always writes.
 
 Unsupported Jolt features (``@`` value refs in shift, multi-level
-``&N``, JSLT) raise ValueError — their flows need the imperative escape
-hatch (`functions/recordpath.py` + expressions).
+``&N``) raise ValueError — their flows need the imperative escape
+hatch (`functions/recordpath.py` + expressions). JSLT programs are a
+separate language with their own compiler: see ``operators/jslt.py``.
 """
 
 from __future__ import annotations

@@ -227,6 +227,42 @@ def test_recordpath_map_key(spark):
     assert both.vs == ["v1", "v2"]
 
 
+def test_recordpath_wildcard_map_key(spark):
+    """['*'] = every map value (transform_values / map_values)."""
+    df = spark.createDataFrame(
+        [(1, {"k1": "v1", "k2": "v2"})], "id int, m map<string, string>"
+    )
+    out = update_at_path(df, "/m['*']", F.upper).collect()[0]
+    assert out.m == {"k1": "V1", "k2": "V2"}
+    got = get_at_path(df, "/m['*']", "vs").collect()[0]
+    assert sorted(got.vs) == ["v1", "v2"]
+    # nested: every map value's struct field
+    df2 = spark.createDataFrame(
+        [(1, {"a": {"t": "x"}, "b": {"t": "y"}})],
+        "id int, m map<string, struct<t: string>>",
+    )
+    out2 = update_at_path(df2, "/m['*']/t", F.upper).collect()[0]
+    assert {k: v.t for k, v in out2.m.items()} == {"a": "X", "b": "Y"}
+
+
+def test_recordpath_descendant_through_map_values(spark):
+    """//name walks struct-valued maps via an implicit ['*'] step
+    (DescendantFieldPath also recurses into record map values)."""
+    df = spark.createDataFrame(
+        [(1, {"b": {"x": {"c": "m1"}}, "c": "top"})],
+        "id int, a struct<b: map<string, struct<c: string>>, c: string>",
+    )
+    out = update_at_path(df, "//c", F.upper).collect()[0]
+    assert out.a.c == "TOP"
+    assert {k: v.c for k, v in out.a.b.items()} == {"x": "M1"}
+    # scalar-valued maps still stop the walk (values aren't records)
+    df2 = spark.createDataFrame(
+        [(1, {"c": "scalar"}, "y")], "id int, m map<string,string>, c string"
+    )
+    out2 = update_at_path(df2, "//c", F.upper).collect()[0]
+    assert out2.m == {"c": "scalar"} and out2.c == "Y"
+
+
 def test_recordpath_descendant(spark):
     df = spark.createDataFrame(
         [(1, {"b": {"c": "x"}, "c": "y"})],
