@@ -227,3 +227,54 @@ def test_write_lineage_rows_roundtrip(spark, tmp_path):
     assert got["n_events"].tolist() == [10, 10]
     assert got["source_file"].tolist() == ["f0", "f1"]
     assert got["max_seq"].tolist() == [10, 20]
+
+
+def test_append_mode_dlq_and_late_skip(spark, tmp_path):
+    """The fused single-job path still routes unparseable rows to the DLQ
+    and skips late events (counted, never merged) — behavior parity with
+    the two-job merge path, derived from the same observe() pass."""
+    import os
+
+    feed = generate_change_feed(spark, n_conversations=20, max_turns=4, max_edits=3).cache()
+    table_path = str(tmp_path / "table")
+    p = CdcPipeline(
+        spark, table_path, str(tmp_path / "ckpt"),
+        n_buckets=4, sink_mode="append", from_json_payload=True,
+        watermark_delay_s=60,
+    )
+    src = feed.select(
+        F.when(F.pmod(F.col("seq"), F.lit(17)) == 0, F.lit("{not json"))
+        .otherwise(F.col("payload_json")).alias("payload_json"),
+        "source_file", "source_pos",
+    )
+    n_bad = feed.filter(F.pmod(F.col("seq"), F.lit(17)) == 0).count()
+    assert n_bad > 0
+    m = p.apply_batch(src, batch_id=0)
+    assert m["n_dlq"] == n_bad
+    assert m["n_events"] == feed.count() - n_bad
+    dlq = spark.read.parquet(os.path.join(table_path, "_dlq"))
+    assert dlq.count() == n_bad
+    assert dlq.filter(F.col("reason").isNull()).count() == 0
+
+    # an all-late second batch: counted, skipped, no new version
+    max_ts = feed.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    late = feed.filter(F.unix_timestamp("ts") < max_ts - 120).select(
+        "payload_json", "source_file", "source_pos"
+    )
+    n_late = late.count()
+    assert n_late > 0
+    v_before = p.table.current_version()
+    m2 = p.apply_batch(late, batch_id=1)
+    assert m2["n_late"] == n_late and m2["n_events"] == 0
+    assert m2["version"] is None
+    assert p.table.current_version() == v_before
+
+    # final state: fold of the good (non-corrupted) events only
+    good = feed.filter(F.pmod(F.col("seq"), F.lit(17)) != 0)
+    got = (
+        p.table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .toPandas()
+    )
+    assert_final_state_equal(got, pandas_fold(good.toPandas()))
+    feed.unpersist()
