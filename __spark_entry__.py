@@ -346,6 +346,19 @@ def q_dedup_exact(spark, sf_dir):
     )
 
 
+def q_dedup_bloom(spark, sf_dir):
+    """DeduplicateRecord BloomFilter arm: flag documents whose text is
+    possibly in the even-doc_id 'seen' stream. Bloom positions are
+    md5-derived (h1 + i*h2 mod m), so even the false-positive decisions
+    hash-match the oracle bit-for-bit."""
+    from nifi_spark.operators.aggregate import bloom_seen
+
+    docs = _t(spark, sf_dir, "documents")
+    seen = docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0).select("text")
+    out = bloom_seen(docs, "text", seen, n_bits=1 << 22, n_hashes=5)
+    return out.select("doc_id", F.col("bloom_seen").alias("seen"))
+
+
 def q_detect_duplicate(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return detect_duplicate(docs, F.md5(F.col("text")), order_col="doc_id").select(
@@ -1245,6 +1258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_interval": q_sample_interval,
         "sample_hash_rank": q_sample_hash_rank,
         "dedup_exact": q_dedup_exact,
+        "dedup_bloom": q_dedup_bloom,
         "detect_duplicate": q_detect_duplicate,
         "top_k_per_group": q_top_k_per_group,
         "set_ops": q_set_ops,
@@ -1445,6 +1459,26 @@ def oracle_sql() -> dict[str, str]:
                    min(event_id) AS first_seq,
                    arg_min(value, event_id) AS first_value
             FROM events GROUP BY user_id, event_type
+        """,
+        "dedup_bloom": """
+            WITH probe AS (
+                SELECT doc_id, text,
+                       ('0x' || substr(md5(text), 1, 15))::BIGINT AS h1,
+                       ('0x' || substr(md5('b2|' || text), 1, 15))::BIGINT AS h2
+                FROM documents
+            ),
+            bits AS (
+                SELECT DISTINCT (h1 + t.i * h2) % 4194304 AS p
+                FROM probe, range(5) t(i) WHERE doc_id % 2 = 0
+            ),
+            hits AS (
+                SELECT e.doc_id, count(b.p) AS n_hit
+                FROM (SELECT doc_id, (h1 + t.i * h2) % 4194304 AS p
+                      FROM probe, range(5) t(i)) e
+                LEFT JOIN bits b ON e.p = b.p
+                GROUP BY e.doc_id
+            )
+            SELECT doc_id, (n_hit = 5) AS seen FROM hits
         """,
         "detect_duplicate": """
             SELECT doc_id,

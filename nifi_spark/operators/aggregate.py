@@ -12,9 +12,10 @@ Mappings (reference file → function):
   probabilistic / reservoir) → :func:`sample_interval`,
   :func:`sample_probabilistic`, :func:`sample_reservoir`
 - DeduplicateRecord (.../standard/DeduplicateRecord.java:119-132) →
-  :func:`dedup_exact` (the Bloom-filter variant is unnecessary in Spark:
-  a hash aggregation at 10^10 rows distributes where NiFi's single-node
-  HashSet cannot)
+  :func:`dedup_exact` (exact HashSet arm) and :func:`bloom_seen` (the
+  BloomFilter arm: approximate cross-stream membership — false positives
+  drop non-duplicates, never false negatives, exactly the reference's
+  tradeoff)
 - queue prioritizers + ORDER BY inside QueryRecord → :func:`top_k`
 - funnels / set ops (§2.6 "Set operations") → plain `union`,
   `intersect`, `exceptAll` (no wrapper needed)
@@ -163,6 +164,57 @@ def dedup_exact(
         .agg(F.min_by(F.struct(*payload), F.col(order_col)).alias("_w"))
         .select(*key_cols, "_w.*")
     )
+
+
+def _bloom_positions(col: Column, n_bits: int, n_hashes: int) -> Column:
+    """The key's ``n_hashes`` Bloom bit positions — double hashing
+    ``h1 + i·h2 (mod m)`` (Kirsch–Mitzenmacher), both hashes md5-derived
+    (dedup_fuzzy.md5_long) so ANY engine reproduces the exact positions:
+    oracle form ``('0x' || substr(md5(x), 1, 15))::BIGINT``."""
+    from .dedup_fuzzy import md5_long
+
+    h1 = md5_long(col)
+    h2 = md5_long(F.concat(F.lit("b2|"), col))
+    return F.array(*[F.pmod(h1 + F.lit(i) * h2, F.lit(n_bits)) for i in range(n_hashes)])
+
+
+def bloom_seen(
+    df: DataFrame,
+    key_col: str,
+    seen: DataFrame,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 5,
+    out_col: str = "bloom_seen",
+) -> DataFrame:
+    """DeduplicateRecord's BloomFilter arm (reference
+    DeduplicateRecord.java:129-132 FILTER_TYPE bloom-filter + google
+    BloomFilter usage): flag rows of ``df`` whose ``key_col`` is *possibly*
+    in ``seen[key_col]`` — the approximate cross-stream dedup membership
+    test. False-positive rate ≈ (1 − e^(−kn/m))^k; never false negatives.
+    Positions are md5-deterministic, so the FP decisions themselves are
+    bit-reproducible across engines (the oracle reproduces them).
+
+    100-TB shape: the filter is materialized as the DISTINCT set of set
+    bit positions (≤ n_hashes·|seen|, hard-capped by n_bits) — built with
+    one hash aggregation and BROADCAST to the probe side; the probe is an
+    explode(k)+broadcast-join+count per key, shuffling only df's distinct
+    keys, never the payload.
+    """
+    bits = (
+        seen.select(
+            F.explode(_bloom_positions(F.col(key_col), n_bits, n_hashes)).alias("_p")
+        )
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probed = (
+        df.select(F.col(key_col).alias("_k")).distinct()
+        .select("_k", F.explode(_bloom_positions(F.col("_k"), n_bits, n_hashes)).alias("_p"))
+        .join(F.broadcast(bits), "_p", "left")
+        .groupBy("_k")
+        .agg((F.count("_hit") == n_hashes).alias(out_col))
+    )
+    return df.join(probed, df[key_col] == probed["_k"], "left").drop("_k")
 
 
 def top_k(df: DataFrame, group_cols: list[str], order_col: str, k: int, desc: bool = True) -> DataFrame:
