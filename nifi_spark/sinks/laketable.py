@@ -1147,3 +1147,40 @@ class IcebergMergeSink:
             """
         )
         return True
+
+
+def _cli(argv: list[str] | None = None) -> None:
+    """Maintenance entry point (≙ Iceberg's rewrite_data_files /
+    expire_snapshots procedures, run from the single maintenance process):
+
+        python -m nifi_spark.sinks.laketable compact --table <path> [--purge-below-seq N]
+        python -m nifi_spark.sinks.laketable compact-mor --table <path>
+        python -m nifi_spark.sinks.laketable expire --table <path> [--keep 10]
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="LakeTable maintenance")
+    p.add_argument("action", choices=["compact", "compact-mor", "expire"])
+    p.add_argument("--table", required=True)
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--keep", type=int, default=10)
+    p.add_argument("--purge-below-seq", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from ..session import get_spark
+
+    t = LakeTable(get_spark("laketable_maintenance"), args.table, n_buckets=args.n_buckets)
+    if args.action == "compact":
+        v = t.compact(purge_tombstones_below_seq=args.purge_below_seq)
+        print(json.dumps({"action": "compact", "version": v}))
+    elif args.action == "compact-mor":
+        mor = [int(b) for b in (t._manifest() or {}).get("mor_buckets", [])]
+        v = t.compact_buckets(mor, purge_tombstones_below_seq=args.purge_below_seq) if mor else None
+        print(json.dumps({"action": "compact-mor", "buckets": mor, "version": v}))
+    else:
+        out = t.expire_snapshots(keep_n=args.keep)
+        print(json.dumps({"action": "expire", **out}))
+
+
+if __name__ == "__main__":
+    _cli()
