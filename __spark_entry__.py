@@ -498,6 +498,24 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return minhash_dedup_pairs(docs, "doc_id", "text", n_hashes=16, shingle_n=3, n_bands=4, threshold=0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup canonicalization: MinHash-LSH pairs → connected components
+    (operators/graph.py min-label propagation, one keyed shuffle per
+    round) → every document mapped to its duplicate cluster's min doc_id;
+    documents in no pair are their own canonical. The closure step is
+    what makes pairwise dedup safe: a~b, b~c collapse to one keeper."""
+    from nifi_spark.operators.graph import connected_components
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", n_hashes=16, shingle_n=3, n_bands=4, threshold=0.5
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    return docs.join(cc, docs["doc_id"] == cc["node"], "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("canonical_id")
+    )
+
+
 def q_dedup_simhash(spark, sf_dir):
     docs = _t_wide(spark, sf_dir, "documents")
     return simhash(docs, "text", n_bits=32).select("doc_id", "simhash")
@@ -1271,6 +1289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
         "simhash_pairs": q_simhash_pairs,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
@@ -1611,6 +1630,58 @@ def oracle_sql() -> dict[str, str]:
             JOIN sh b ON b.doc_id = p.id_b
             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
                   / len(list_distinct(a.sh || b.sh)) >= 0.5
+        """,
+        "dedup_clusters": f"""
+            WITH RECURSIVE sh AS (
+                SELECT doc_id, {_DD_SH} AS sh FROM documents
+            ),
+            hs AS (
+                SELECT doc_id, sh,
+                       list_transform(sh, s -> {_DD_H.format(x='s')}) AS hs
+                FROM sh
+            ),
+            sig AS (
+                SELECT doc_id, sh, [{_mh_sig_exprs()}] AS sig FROM hs
+            ),
+            bands AS (
+                SELECT doc_id, b,
+                       md5(array_to_string(list_transform(sig[b*4+1 : b*4+4],
+                           x -> x::VARCHAR), ',')) AS bhash
+                FROM sig, unnest([0, 1, 2, 3]) AS t(b)
+            ),
+            buckets AS (
+                SELECT b, bhash, list_sort(list(doc_id)) AS ids
+                FROM bands GROUP BY b, bhash
+                HAVING count(*) > 1 AND count(*) <= 64
+            ),
+            cand AS (
+                SELECT DISTINCT x.ia AS id_a, y.ib AS id_b
+                FROM buckets, unnest(ids) AS x(ia), unnest(ids) AS y(ib)
+                WHERE x.ia < y.ib
+            ),
+            pairs AS (
+                SELECT p.id_a, p.id_b
+                FROM cand p
+                JOIN sh a ON a.doc_id = p.id_a
+                JOIN sh b ON b.doc_id = p.id_b
+                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(a.sh || b.sh)) >= 0.5
+            ),
+            sym AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            comp AS (
+                SELECT a AS node, least(a, min(b)) AS component
+                FROM reach GROUP BY a
+            )
+            SELECT d.doc_id, coalesce(c.component, d.doc_id) AS canonical_id
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
         """,
         "dedup_simhash": f"""
             SELECT doc_id,

@@ -173,3 +173,20 @@ def test_ann_ivf_lloyd_refinement(spark):
     ap = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
     bs = set(map(tuple, base[["query_id", "neighbor_id"]].values))
     assert len(ex & ap) >= len(ex & bs) - 2  # refinement must not tank recall
+
+
+def test_connected_components_chains_and_islands(spark):
+    """Min-label propagation: a 4-node chain (needs multiple rounds), a
+    2-node island, and a star all collapse to their min node id."""
+    from nifi_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (23, 22), (22, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    cc = {r.node: r.component for r in connected_components(edges).collect()}
+    assert cc == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20, 23: 20,
+    }
