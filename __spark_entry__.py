@@ -472,6 +472,15 @@ def q_token_count(spark, sf_dir):
     return token_count(docs).select("doc_id", "n_tokens")
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Training-data chunking: 16-token windows sliding by 12 (overlap 4),
+    one row per chunk, shuffle-free JVM plan (operators/text.py)."""
+    from nifi_spark.operators.text import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, max_tokens=16, overlap=4)
+
+
 def q_language_id(spark, sf_dir):
     docs = _t_wide(spark, sf_dir, "documents")
     return language_id(docs).select("doc_id", "lang_pred")
@@ -1285,6 +1294,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": q_tpch_q3,
         "tpch_q5": q_tpch_q5,
         "token_count": q_token_count,
+        "chunk_documents": q_chunk_documents,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1552,6 +1562,17 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
             FROM documents
+        """,
+        "chunk_documents": """
+            WITH d AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+                FROM documents
+            )
+            SELECT doc_id,
+                   (s / 12)::INT AS chunk_idx,
+                   array_to_string(tk[s+1 : s+16], ' ') AS chunk_text,
+                   least(16, len(tk) - s)::INT AS chunk_tokens
+            FROM d, unnest(range(0, greatest(len(tk), 1), 12)) AS t(s)
         """,
         "language_id": f"""
             SELECT doc_id,

@@ -121,3 +121,46 @@ def fingerprint(
         lambda acc, t: (acc * 31 + F.length(t) * 131 + F.ascii(t)) % mod,
     )
     return df.withColumn(out_col, fp)
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 256,
+    overlap: int = 0,
+) -> DataFrame:
+    """Split each document into token-window chunks with overlap — the
+    training-data chunking stage (context-window packing / RAG splitting).
+
+    Windows of ``max_tokens`` whitespace tokens slide by
+    ``max_tokens − overlap``; the final window may be shorter. Pure JVM:
+    split → sequence of window starts → transform(slice + array_join) →
+    posexplode — shuffle-free, one row per chunk. Output columns:
+    ``{id_col}, chunk_idx, chunk_text, chunk_tokens``.
+
+    Oracle-exact: every step is ANSI-expressible (DuckDB mirrors it with
+    range + list slicing term for term).
+    """
+    if overlap >= max_tokens:
+        raise ValueError("overlap must be smaller than max_tokens")
+    step = max_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(step))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            F.array_join(F.slice(toks, s + 1, max_tokens), " ").alias("t"),
+            F.least(F.lit(max_tokens), n - s).cast("int").alias("k"),
+        ),
+    )
+    keep = [c for c in df.columns if c == id_col]
+    return df.select(
+        *keep, F.posexplode(chunks).alias("chunk_idx", "_c")
+    ).select(
+        *keep,
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("_c.t").alias("chunk_text"),
+        F.col("_c.k").alias("chunk_tokens"),
+    )

@@ -278,3 +278,45 @@ def test_append_mode_dlq_and_late_skip(spark, tmp_path):
     )
     assert_final_state_equal(got, pandas_fold(good.toPandas()))
     feed.unpersist()
+
+
+def test_randomized_cow_mor_interleaving_matches_oracle(spark, tmp_path):
+    """Seeded fuzz over the riskiest surface: random change batches applied
+    through randomly interleaved COW merges and MOR appends (folded and
+    raw), with random partial/full compactions — after every step the
+    queryable state must equal the Python LWW oracle (max-seq winner per
+    key, tombstone wins absent a newer re-insert)."""
+    import random
+
+    for seed in (7, 21):
+        rng = random.Random(seed)
+        t = LakeTable(spark, str(tmp_path / f"t{seed}"), n_buckets=4)
+        state: dict[tuple[str, int], tuple[int, str | None]] = {}
+        seq = 0
+        for step in range(10):
+            rows = []
+            for _ in range(rng.randint(1, 6)):
+                seq += 1
+                c, ti = f"c{rng.randint(0, 5)}", rng.randint(0, 2)
+                op = rng.choice(["I", "U", "D"])
+                rows.append((seq, op, c, ti, "user", f"x{seq}", None, TS))
+            rng.shuffle(rows)  # in-batch disorder exercises the batch fold
+            for s, op, c, ti, *_ in rows:
+                k = (c, ti)
+                if k not in state or s > state[k][0]:
+                    state[k] = (s, None if op == "D" else f"x{s}")
+            if rng.random() < 0.5:
+                t.merge_events(_batch(spark, rows), KEYS, batch_id=step)
+            else:
+                t.append_events(
+                    _batch(spark, rows), KEYS, batch_id=step,
+                    fold_mode=rng.choice(["bucket", "raw"]),
+                )
+            if rng.random() < 0.3:
+                mor = [int(b) for b in (t._manifest() or {}).get("mor_buckets", [])]
+                if mor and rng.random() < 0.5:
+                    t.compact_buckets(mor)
+                else:
+                    t.compact()
+            expected = {k: v for k, (_, v) in state.items() if v is not None}
+            assert _rows(t) == expected, f"seed={seed} step={step}"
