@@ -106,3 +106,54 @@ def read_lineage(spark: SparkSession, table_path: str) -> DataFrame:
                                          "min_pos long, max_pos long, min_seq long, max_seq long, "
                                          "n_events long, n_late long, committed_at string")
     return spark.read.parquet(p)
+
+
+def lineage_audit(spark: SparkSession, table_path: str) -> DataFrame:
+    """Audit the lineage log for the north star's resume guarantee: no
+    duplicates, no gaps (≙ querying NiFi's provenance repository for
+    missing/duplicated event ranges).
+
+    Returns violation rows (empty = clean):
+
+    - ``pos_gap``     — within a source file, a batch's ``min_pos`` skips
+      past the previous batch's ``max_pos`` + 1 (events lost);
+    - ``pos_overlap`` — it starts at or before the previous ``max_pos``
+      (events applied twice);
+    - ``dup_batch_file`` — the same (batch_id, source_file) recorded more
+      than once (a replay that reapplied instead of short-circuiting).
+
+    Event-time/seq disorder ACROSS files is legitimate (the LWW fold
+    absorbs it), so no cross-file seq monotonicity is asserted. One
+    window/aggregation pass per check — scales as a sort within
+    source_file partitions.
+    """
+    from pyspark.sql import Window as W
+
+    lin = read_lineage(spark, table_path)
+    by_file = W.partitionBy("source_file").orderBy("min_pos", "batch_id")
+    pos = (
+        lin.withColumn("_prev_max", F.lag("max_pos").over(by_file))
+        .withColumn(
+            "violation",
+            F.when(F.col("_prev_max").isNull(), None)
+            .when(F.col("min_pos") > F.col("_prev_max") + 1, F.lit("pos_gap"))
+            .when(F.col("min_pos") <= F.col("_prev_max"), F.lit("pos_overlap")),
+        )
+        .filter(F.col("violation").isNotNull())
+    )
+    dups = (
+        lin.groupBy("batch_id", "source_file")
+        .agg(
+            F.count("*").alias("_n"),
+            F.min("min_pos").alias("min_pos"),
+            F.max("max_pos").alias("max_pos"),
+        )
+        .filter(F.col("_n") > 1)
+        .select(
+            "batch_id", "source_file", "min_pos", "max_pos",
+            F.lit("dup_batch_file").alias("violation"),
+        )
+    )
+    return pos.select(
+        "batch_id", "source_file", "min_pos", "max_pos", "violation"
+    ).unionByName(dups)

@@ -171,3 +171,39 @@ def test_json_feed_pipeline(spark, tmp_path):
     p.apply_batch(feed.select("payload_json", "source_file", "source_pos"), batch_id=0)
     got = _table_pd(p)
     assert_final_state_equal(got, pandas_fold(feed.toPandas()))
+
+
+def test_lineage_audit_clean_and_detects_corruption(spark, tmp_path):
+    """lineage_audit: a drained stream is gap/dup-free; synthetic gap,
+    overlap, and duplicate-replay records are each detected."""
+    from nifi_spark.lineage import lineage_audit, write_lineage_rows
+
+    feed = generate_change_feed(spark, n_conversations=20, max_turns=4, max_edits=3)
+    feed_dir = str(tmp_path / "feed")
+    materialize_feed(feed, feed_dir, n_segments=3)
+    table_path = str(tmp_path / "table")
+    p = CdcPipeline(spark, table_path, str(tmp_path / "ckpt"), n_buckets=4,
+                    sink_mode="append")
+    _run_stream(p, feed_dir)
+    assert lineage_audit(spark, table_path).count() == 0
+
+    # corrupt: a gap, an overlap, and a duplicated (batch, file) row
+    write_lineage_rows(spark, [
+        {"batch_id": 90, "snapshot_id": 90, "source_file": "gapfile",
+         "min_pos": 0, "max_pos": 9, "min_seq": 1, "max_seq": 9,
+         "n_events": 10, "n_late": 0, "committed_at": "x"},
+        {"batch_id": 91, "snapshot_id": 91, "source_file": "gapfile",
+         "min_pos": 20, "max_pos": 29, "min_seq": 20, "max_seq": 29,
+         "n_events": 10, "n_late": 0, "committed_at": "x"},
+        {"batch_id": 92, "snapshot_id": 92, "source_file": "gapfile",
+         "min_pos": 25, "max_pos": 40, "min_seq": 25, "max_seq": 40,
+         "n_events": 16, "n_late": 0, "committed_at": "x"},
+        {"batch_id": 93, "snapshot_id": 93, "source_file": "dupfile",
+         "min_pos": 0, "max_pos": 5, "min_seq": 0, "max_seq": 5,
+         "n_events": 6, "n_late": 0, "committed_at": "x"},
+        {"batch_id": 93, "snapshot_id": 93, "source_file": "dupfile",
+         "min_pos": 0, "max_pos": 5, "min_seq": 0, "max_seq": 5,
+         "n_events": 6, "n_late": 0, "committed_at": "x"},
+    ], table_path)
+    v = {r.violation for r in lineage_audit(spark, table_path).collect()}
+    assert v == {"pos_gap", "pos_overlap", "dup_batch_file"}
