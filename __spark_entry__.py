@@ -565,6 +565,20 @@ def q_embedding_ann_ivf(spark, sf_dir):
     )
 
 
+def q_embedding_ann_pq(spark, sf_dir):
+    """Approximate NN via product quantization (IVF's companion: PQ
+    compresses vectors to m codes, distances come from per-query subspace
+    lookup tables — the memory shape of billion-vector ANN). Codebooks
+    are md5-sampled, encoding is argmin-L2, ADC sums the subspace
+    distances in fixed order — the oracle reproduces every bit, so even
+    the approximation error is value-hash-checked."""
+    from nifi_spark.operators.similarity import pq_topk
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(queries, emb, k=10, n_codes=16, m=4)
+
+
 def q_embedding_ann_lsh(spark, sf_dir):
     """Approximate NN via OR-amplified sign-LSH buckets (the scale path).
     The hyperplanes are md5-deterministic (similarity._hyperplane), so the
@@ -1335,6 +1349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_json_mutation": q_el_json_mutation,
         "recordpath_advanced": q_recordpath_advanced,
         "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_ann_pq": q_embedding_ann_pq,
     }
 
 
@@ -1829,6 +1844,53 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                             ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
                 FROM scored
+            ) WHERE rank <= 10
+        """,
+        # Mirrors similarity.pq_codebooks / pq_encode / pq_topk term for
+        # term: codebook = 16 md5-sampled vectors (code = rank in md5
+        # order), 4 subspaces x 16 dims, argmin-L2 encode (ties -> smaller
+        # code), ADC = ordered sum of per-subspace code distances (same
+        # left-fold order => bit-identical doubles, FPs and all).
+        "embedding_ann_pq": """
+            WITH cw AS (
+                SELECT row_number() OVER (ORDER BY h, cid) - 1 AS code, cv
+                FROM (
+                    SELECT vec_id AS cid, embedding AS cv,
+                           ('0x' || substr(md5('pq|' || vec_id::VARCHAR), 1, 15))::BIGINT AS h
+                    FROM embeddings ORDER BY h, vec_id LIMIT 16
+                )
+            ),
+            subdist AS (
+                SELECT e.vec_id, t.j, cw.code,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(generate_series(1, 16), i ->
+                               (e.embedding[t.j*16+i]::DOUBLE - cw.cv[t.j*16+i]::DOUBLE)
+                               * (e.embedding[t.j*16+i]::DOUBLE - cw.cv[t.j*16+i]::DOUBLE))),
+                           (a, b) -> a + b) AS d
+                FROM embeddings e, range(4) t(j), cw
+            ),
+            codes AS (
+                SELECT vec_id, j, code FROM (
+                    SELECT vec_id, j, code,
+                           row_number() OVER (PARTITION BY vec_id, j
+                               ORDER BY d ASC, code ASC) AS rn
+                    FROM subdist
+                ) WHERE rn = 1
+            ),
+            adc AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_reduce(list_prepend(0.0::DOUBLE,
+                           list(qd.d ORDER BY qd.j)), (a, b) -> a + b), 6) AS adc
+                FROM codes c
+                JOIN subdist qd ON qd.j = c.j AND qd.code = c.code
+                JOIN embeddings q ON q.vec_id = qd.vec_id
+                WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+                GROUP BY q.vec_id, c.vec_id
+            )
+            SELECT query_id, neighbor_id, rank, adc FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
+                FROM adc
             ) WHERE rank <= 10
         """,
         # Mirrors similarity._hyperplane / _table_sigs / cosine_topk_lsh term

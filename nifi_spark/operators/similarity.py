@@ -346,3 +346,169 @@ def cosine_topk_ivf(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-side half of billion-scale ANN
+# (IVF narrows the search, PQ compresses the vectors: codes are m bytes
+# instead of dim floats, and distances come from per-query lookup tables).
+# Codebooks are md5-sampled like ivf_centroids, so encoding and ADC are
+# bit-reproducible by the oracle.
+# ---------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_codes: int = 16,
+    m: int = 4,
+    seed_tag: str = "pq",
+) -> list[list[list[float]]]:
+    """``codebooks[j][code]`` = subvector ``j`` of the ``code``-th sampled
+    corpus vector, codes ordered by ``md5_long('pq|'||id)`` (deterministic
+    sample; oracle: ``row_number() OVER (ORDER BY md5-rank, id) - 1``).
+    Driver-side bounded: n_codes × dim floats, like trained codebooks
+    shipped to executors."""
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .orderBy(
+            md5_long(F.concat(F.lit(seed_tag + "|"), F.col("cid").cast("string"))),
+            F.col("cid"),
+        )
+        .limit(n_codes)
+        .collect()
+    )
+    dim = len(rows[0].cv)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    return [
+        [[float(x) for x in r.cv[j * sub : (j + 1) * sub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def _l2sq_sub(vec: Column, off: int, codeword: list[float]) -> Column:
+    """Ordered left-fold Σ (v[off+i] − c_i)² — the oracle folds the same
+    ascending-i order, so the double is bit-identical."""
+    d = F.lit(0.0)
+    for i, c in enumerate(codeword):
+        t = F.element_at(vec, off + i + 1).cast("double") - F.lit(float(c))
+        d = d + t * t
+    return d
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Quantize each vector to ``m`` codes (argmin-L2 codeword per
+    subspace, ties → smallest code). Pure projection — the codebook is
+    compiled into the expression; NO shuffle over the corpus."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+    codes = []
+    for j in range(m):
+        scored = F.array(
+            *[
+                F.struct(
+                    _l2sq_sub(F.col(vec_col), j * sub, cw).alias("d"),
+                    F.lit(code).cast("int").alias("c"),
+                )
+                for code, cw in enumerate(codebooks[j])
+            ]
+        )
+        codes.append(F.array_min(scored)["c"])
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_codes: int = 16,
+    m: int = 4,
+    seed_tag: str = "pq",
+    refine: int | None = None,
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance (ADC): corpus vectors are
+    PQ codes; each query's distance to a corpus vector is the sum of its
+    exact subspace distances to that vector's codewords. The scan touches
+    only the m-byte codes (broadcast query side, no shuffle before the
+    final per-query top-k) — the memory/IO shape that makes billion-vector
+    ANN feasible; compose with IVF cells for sublinear candidates.
+
+    ``refine=R`` adds the standard second stage: shortlist R by ADC, then
+    exact-L2 re-rank of just those R true vectors (the quality knob —
+    pure ADC ranking degrades on tightly-spaced corpora where the
+    quantization error exceeds the neighbor margins).
+
+    Output: (query_id, neighbor_id, rank, adc) — adc ascending (smaller =
+    closer; exact L2² when refined), rounded to 6 dp for cross-engine
+    comparability."""
+    codebooks = pq_codebooks(corpus, id_col, vec_col, n_codes, m, seed_tag)
+    sub = len(codebooks[0][0])
+    enc = pq_encode(corpus, codebooks, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), "pq_codes"
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    joined = enc.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    dist = F.lit(0.0)
+    for j in range(m):
+        cb = F.array(
+            *[F.array(*[F.lit(float(x)) for x in cw]) for cw in codebooks[j]]
+        )
+        cw_sel = F.element_at(cb, F.element_at(F.col("pq_codes"), j + 1) + 1)
+        dj = F.lit(0.0)
+        for i in range(sub):
+            t = (
+                F.element_at(F.col("qv"), j * sub + i + 1).cast("double")
+                - F.element_at(cw_sel, i + 1)
+            )
+            dj = dj + t * t
+        dist = dist + dj
+    scored = joined.select(
+        "query_id", "neighbor_id", F.round(dist, 6).alias("adc")
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    ranked = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= (refine or k))
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+    if refine is None:
+        return ranked
+    # exact re-rank of the ADC shortlist: only R × |queries| true vectors
+    # are touched — the shortlist join is broadcastable
+    cand = ranked.drop("rank", "adc")
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    exact = (
+        cand.join(cv, "neighbor_id").join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "neighbor_id",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"), F.col("cv"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("adc"),
+        )
+    )
+    return (
+        exact.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )

@@ -190,3 +190,40 @@ def test_connected_components_chains_and_islands(spark):
         10: 10, 11: 10,
         20: 20, 21: 20, 22: 20, 23: 20,
     }
+
+
+def test_pq_encode_and_adc_recall(spark):
+    """PQ: codebook vectors quantize to themselves (zero subspace
+    distance), and ADC top-k overlaps exact-L2 top-k (coarse 16-codeword
+    book -> modest bar)."""
+    import numpy as np
+    from nifi_spark.operators.similarity import pq_codebooks, pq_encode, pq_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = pq_codebooks(emb, n_codes=16, m=4)
+    enc = pq_encode(emb, books).select("vec_id", "embedding", "pq_codes").toPandas()
+    # the sampled codebook vectors must encode to their own codes
+    for code in range(16):
+        full = [x for j in range(4) for x in books[j][code]]
+        row = enc[enc["embedding"].map(lambda v: [float(x) for x in v] == full)]
+        if len(row):
+            assert list(row.iloc[0]["pq_codes"]) == [code] * 4
+
+    # refined PQ (ADC shortlist -> exact re-rank) vs exact-L2 top-5.
+    # The synthetic embeddings are near-noise for L2 (neighbor margins
+    # below quantization error), so the bar reflects the measured
+    # shortlist capture (~40% at R=100), not production PQ quality.
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = pq_topk(q, emb, k=5, n_codes=16, m=4, refine=100).toPandas()
+    mat = np.array(enc["embedding"].tolist(), dtype=np.float64)
+    ids = enc["vec_id"].to_numpy()
+    exact_set = set()
+    for qid in range(5):
+        qv = mat[ids == qid][0]
+        d = ((mat - qv) ** 2).sum(axis=1)
+        order = np.lexsort((ids, d))
+        top = [int(ids[i]) for i in order if int(ids[i]) != qid][:5]
+        exact_set |= {(qid, n) for n in top}
+    approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.25, f"refined-PQ recall too low: {recall}"
