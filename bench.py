@@ -76,10 +76,15 @@ HEADLINE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_ngram_jaccard",
+    "dedup_bloom",
+    "dedup_clusters",
     "embedding_cosine_topk",
     "embedding_ann_ivf",
+    "embedding_ann_pq",
     "doc_fingerprint",
     "quality_score",
+    "chunk_documents",
+    "jslt_transform",
     "multimodal_decode",
 ]
 
