@@ -498,6 +498,81 @@ def q_doc_fingerprint(spark, sf_dir):
     return fingerprint(docs).select("doc_id", "fp")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition filters: duplicate-token fraction plus
+    top-2-gram / top-3-gram coverage per document (operators/text.py
+    repetition_stats — explode → count → per-doc max, the distributed
+    word-count shape, never a per-doc collect)."""
+    from nifi_spark.operators.text import repetition_stats
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return repetition_stats(docs).select(
+        "doc_id", "n_tokens_r", "dup_token_frac", "top2_frac", "top3_frac"
+    )
+
+
+def _docs_with_pii(spark, sf_dir):
+    """Deterministically splice synthetic PII spans into the documents
+    table (the corpus itself is PII-free); the oracle builds the identical
+    text so the redaction is hash-checked end to end."""
+    docs = _t_wide(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    suffix = (
+        F.when(d % 5 == 0, F.concat(F.lit(" contact user"), ds, F.lit("@example.com now")))
+        .when(d % 5 == 1, F.concat(F.lit(" node 10.0."), (d % 250).cast("string"), F.lit(".7 up")))
+        .when(d % 5 == 2, F.concat(F.lit(" call +1 555-01"), (d % 10).cast("string"), F.lit("-4242")))
+        .otherwise(F.lit(""))
+    )
+    return docs.withColumn("text", F.concat(F.col("text"), suffix))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub stage: count + redact email/IP/phone spans
+    (operators/text.py pii_redact, pure JVM regexp projection)."""
+    from nifi_spark.operators.text import pii_redact
+
+    docs = _docs_with_pii(spark, sf_dir)
+    return pii_redact(docs).select(
+        "doc_id", "n_email", "n_ip", "n_phone", "text_redacted"
+    )
+
+
+def q_text_normalize(spark, sf_dir):
+    """Canonical normalization (lowercase, unicode-class strip, whitespace
+    collapse) + md5 of the normalized form for exact dedup
+    (operators/text.py normalize_text)."""
+    from nifi_spark.operators.text import normalize_text
+
+    docs = _docs_with_pii(spark, sf_dir)  # punctuation-bearing variant
+    return normalize_text(docs).select("doc_id", "norm_text", "norm_text_hash")
+
+
+def q_url_extract(spark, sf_dir):
+    """Link extraction: splice deterministic URLs into the corpus, extract
+    them with host/path parsing (operators/text.py extract_urls), and
+    aggregate per-host url/document counts — the URL-dedup feedstock."""
+    from nifi_spark.operators.text import extract_urls
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    docs = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://site"), (d % 7).cast("string"),
+            F.lit(".example.org/p/"), d.cast("string"),
+            F.when(d % 3 == 0, F.lit("?ref=x")).otherwise(F.lit("")),
+        ),
+    )
+    urls = extract_urls(docs)
+    return urls.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("path").alias("n_paths"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Fuzzy dedup family (training-data ops)
 # --------------------------------------------------------------------------
@@ -1312,6 +1387,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "doc_fingerprint": q_doc_fingerprint,
+        "repetition_stats": q_repetition_stats,
+        "pii_redact": q_pii_redact,
+        "text_normalize": q_text_normalize,
+        "url_extract": q_url_extract,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_clusters": q_dedup_clusters,
         "dedup_simhash": q_dedup_simhash,
@@ -1629,6 +1708,94 @@ def oracle_sql() -> dict[str, str]:
                                           t -> (len(t) * 131 + ascii(t))::BIGINT)),
                        (a, b) -> (a * 31 + b) % 1000000007) AS fp
             FROM documents
+        """,
+        "repetition_stats": r"""
+            WITH t AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS tk
+                FROM documents
+            ),
+            base AS (
+                SELECT doc_id, len(tk) AS n_tokens_r,
+                       round(1.0 - len(list_distinct(tk))::DOUBLE / len(tk), 4)
+                           AS dup_token_frac
+                FROM t
+            ),
+            g AS (
+                SELECT doc_id, n,
+                       unnest(list_transform(generate_series(1, len(tk) - n + 1),
+                              i -> array_to_string(tk[i:i+n-1], ' '))) AS gram
+                FROM t, (SELECT unnest([2, 3]) AS n) ns
+                WHERE len(tk) >= n
+            ),
+            cnt AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY doc_id, n, gram),
+            mx AS (SELECT doc_id, n, max(c) AS mc FROM cnt GROUP BY doc_id, n)
+            SELECT b.doc_id, b.n_tokens_r, b.dup_token_frac,
+                   round(coalesce(m2.mc * 2.0 / b.n_tokens_r, 0), 4) AS top2_frac,
+                   round(coalesce(m3.mc * 3.0 / b.n_tokens_r, 0), 4) AS top3_frac
+            FROM base b
+            LEFT JOIN mx m2 ON m2.doc_id = b.doc_id AND m2.n = 2
+            LEFT JOIN mx m3 ON m3.doc_id = b.doc_id AND m3.n = 3
+        """,
+        "pii_redact": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       text || CASE
+                         WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                         WHEN doc_id % 5 = 1 THEN ' node 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7 up'
+                         WHEN doc_id % 5 = 2 THEN ' call +1 555-01' || CAST(doc_id % 10 AS VARCHAR) || '-4242'
+                         ELSE '' END AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+                   len(regexp_extract_all(text, '\+\d{1,2} \d{3}-\d{3}-\d{4}')) AS n_phone,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+                       '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                       '\+\d{1,2} \d{3}-\d{3}-\d{4}', '[PHONE]', 'g') AS text_redacted
+            FROM p
+        """,
+        "text_normalize": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       text || CASE
+                         WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                         WHEN doc_id % 5 = 1 THEN ' node 10.0.' || CAST(doc_id % 250 AS VARCHAR) || '.7 up'
+                         WHEN doc_id % 5 = 2 THEN ' call +1 555-01' || CAST(doc_id % 10 AS VARCHAR) || '-4242'
+                         ELSE '' END AS text
+                FROM documents
+            ),
+            n AS (
+                SELECT doc_id,
+                       trim(regexp_replace(regexp_replace(lower(text),
+                           '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm_text
+                FROM p
+            )
+            SELECT doc_id, norm_text, md5(norm_text) AS norm_text_hash FROM n
+        """,
+        "url_extract": r"""
+            WITH p AS (
+                SELECT doc_id,
+                       text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) ||
+                       '.example.org/p/' || CAST(doc_id AS VARCHAR) ||
+                       CASE WHEN doc_id % 3 = 0 THEN '?ref=x' ELSE '' END AS text
+                FROM documents
+            ),
+            u AS (
+                SELECT doc_id, unnest(regexpextractall) AS url
+                FROM (SELECT doc_id, regexp_extract_all(text, 'https?://[^\s]+') AS regexpextractall FROM p)
+            ),
+            parsed AS (
+                SELECT doc_id, url,
+                       regexp_extract(url, '^https?://([^/?#\s]+)', 1) AS host,
+                       regexp_extract(url, '^https?://[^/?#\s]+([^?#\s]*)', 1) AS path
+                FROM u
+            )
+            SELECT host, count(*) AS n_urls,
+                   count(DISTINCT doc_id) AS n_docs,
+                   count(DISTINCT path) AS n_paths
+            FROM parsed GROUP BY host
         """,
         "dedup_minhash_lsh": f"""
             WITH sh AS (

@@ -164,3 +164,140 @@ def chunk_documents(
         F.col("_c.t").alias("chunk_text"),
         F.col("_c.k").alias("chunk_tokens"),
     )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gram_ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1
+    repetition filters — the training-data analog of NiFi's content-quality
+    routing).
+
+    Columns: ``n_tokens_r``, ``dup_token_frac`` (1 − distinct/total tokens,
+    shuffle-free array op), and ``top{n}_frac`` for each n in ``gram_ns`` —
+    the fraction of tokens covered by the single most frequent n-gram
+    (max-count × n / n_tokens).
+
+    Scale shape: the n-gram leg is explode → count → per-doc max — two
+    keyed shuffles over grams, the standard distributed word-count shape;
+    grams never collect to one node. Documents shorter than n contribute
+    no grams and get 0.0.
+    """
+    toks = tokens(F.col(text_col))
+    base = (
+        df.select(F.col(id_col), toks.alias("_tk"))
+        .withColumn("n_tokens_r", F.size("_tk"))
+        .withColumn(
+            "dup_token_frac",
+            F.round(F.lit(1.0) - F.size(F.array_distinct("_tk")) / F.size("_tk"), 4),
+        )
+    )
+    # NB: the per-n lambda must take exactly ONE argument — a two-arg
+    # signature (e.g. the `lambda i, n=n` closure idiom) makes F.transform
+    # pass (element, index) and silently binds n to the array index.
+    def _gram_at(n: int):
+        return lambda i: F.struct(
+            F.lit(n).alias("n"),
+            F.array_join(F.slice(F.col("_tk"), i, n), " ").alias("gram"),
+        )
+
+    gram_arrays = []
+    for n in gram_ns:
+        starts = F.when(
+            F.size("_tk") >= n, F.sequence(F.lit(1), F.size("_tk") - n + 1)
+        ).otherwise(F.array().cast("array<int>"))
+        gram_arrays.append(F.transform(starts, _gram_at(n)))
+    grams = base.select(
+        id_col, "n_tokens_r", F.explode(F.flatten(F.array(*gram_arrays))).alias("_g")
+    ).select(id_col, "n_tokens_r", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
+    top = (
+        grams.groupBy(id_col, "n_tokens_r", "n", "gram")
+        .count()
+        .groupBy(id_col, "n_tokens_r")
+        .pivot("n", list(gram_ns))
+        .agg(F.max("count"))
+    )
+    out = base.select(id_col, "n_tokens_r", "dup_token_frac").join(
+        top.select(
+            id_col,
+            *[F.col(str(n)).alias(f"_top{n}") for n in gram_ns],
+        ),
+        on=id_col,
+        how="left",
+    )
+    for n in gram_ns:
+        out = out.withColumn(
+            f"top{n}_frac",
+            F.round(
+                F.coalesce(F.col(f"_top{n}") * n / F.col("n_tokens_r"), F.lit(0.0)), 4
+            ),
+        ).drop(f"_top{n}")
+    return out
+
+
+# PII patterns — alternation-free so Java (Spark) and RE2 (DuckDB oracle)
+# regex engines agree on every match span; replacement order matters
+# (emails contain dots and digits, so they redact before IP/phone).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("phone", r"\+\d{1,2} \d{3}-\d{3}-\d{4}", "[PHONE]"),
+]
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact PII spans and count them per document — the pretraining-
+    pipeline scrub stage (and the engine analog of NiFi ReplaceText with
+    sensitive-pattern dictionaries).
+
+    Adds ``n_{kind}`` counts (matches BEFORE redaction) and
+    ``{text_col}_redacted`` with every match replaced by its placeholder.
+    Pure JVM regexp — one codegen'd projection, shuffle-free.
+    """
+    c = F.col(text_col)
+    out = df
+    for kind, pat, _ in PII_PATTERNS:
+        out = out.withColumn(
+            f"n_{kind}", F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0)))
+        )
+    red = c
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl.replace("$", r"\$"))
+    return out.withColumn(f"{text_col}_redacted", red)
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "norm_text"
+) -> DataFrame:
+    """Canonical text normalization: lowercase, strip everything but
+    letters/digits/whitespace (unicode classes), collapse whitespace, trim.
+    Adds ``{out_col}`` and ``{out_col}_hash`` (md5) for downstream exact
+    dedup on the normalized form. One codegen'd projection.
+    """
+    c = F.lower(F.col(text_col))
+    c = F.regexp_replace(c, r"[^\p{L}\p{N}\s]", " ")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c).withColumn(f"{out_col}_hash", F.md5(c))
+
+
+_URL_RE = r"https?://[^\s]+"
+_URL_HOST_RE = r"^https?://([^/?#\s]+)"
+_URL_PATH_RE = r"^https?://[^/?#\s]+([^?#\s]*)"
+
+
+def extract_urls(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Extract every URL with parsed host and path — link-graph /
+    URL-dedup feedstock. One row per (doc, url occurrence); JVM
+    regexp_extract_all → posexplode, shuffle-free.
+    """
+    urls = F.regexp_extract_all(F.col(text_col), F.lit(_URL_RE), F.lit(0))
+    return (
+        df.select(F.col(id_col), F.posexplode(urls).alias("url_idx", "url"))
+        .withColumn("host", F.regexp_extract("url", _URL_HOST_RE, 1))
+        .withColumn("path", F.regexp_extract("url", _URL_PATH_RE, 1))
+    )
