@@ -171,6 +171,54 @@ def q_cdc_replay_transcripts(spark, sf_dir):
     )
 
 
+def q_cdc_scd2_history(spark, sf_dir):
+    """Type-2 history fold of the change feed (operators/history.py
+    scd2_history — one key-window shuffle): every event becomes a version
+    row with half-open [valid_from_seq, valid_to_seq) validity and
+    current/deleted flags. The Debezium→SCD2 landing shape the reference's
+    CDC users build downstream of CaptureChangeMySQL."""
+    from nifi_spark.operators.history import scd2_history
+
+    feed = _events_as_feed(spark, sf_dir)
+    out = scd2_history(feed, key_cols=["user_id"], seq_col="seq", op_col="op")
+    return out.select(
+        "user_id",
+        "seq",
+        "op",
+        "event_type",
+        "value",
+        "valid_from_seq",
+        "valid_to_seq",
+        F.col("is_current").cast("int").alias("is_current"),
+        F.col("is_deleted").cast("int").alias("is_deleted"),
+    )
+
+
+def q_cdc_before_after(spark, sf_dir):
+    """Debezium-style change envelope (operators/history.py change_images):
+    before/after images per event via per-key lag, classified
+    INSERT/UPDATE/DELETE; delete after-images are NULLed."""
+    from nifi_spark.operators.history import change_images
+
+    feed = _events_as_feed(spark, sf_dir)
+    out = change_images(
+        feed,
+        key_cols=["user_id"],
+        value_cols=["event_type", "value"],
+        seq_col="seq",
+        op_col="op",
+    )
+    return out.select(
+        "user_id",
+        "seq",
+        "change_kind",
+        "before_event_type",
+        "before_value",
+        "event_type",
+        "value",
+    )
+
+
 # --------------------------------------------------------------------------
 # Routing family (RouteOnAttribute / RouteText — SURVEY.md §2.4)
 # --------------------------------------------------------------------------
@@ -666,6 +714,42 @@ def q_embedding_ann_lsh(spark, sf_dir):
     out = cosine_topk_lsh(queries, emb, k=10, n_planes=4, dim=64)
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim"
+    )
+
+
+def _emb_with_clones(spark, sf_dir):
+    """Embeddings plus deterministic near-duplicate plants: vec_id < 50
+    cloned as vec_id+100000 with per-component perturbation
+    x * (1 + ((i%7)-3)/64) — cosine ≈ 0.999 to the original while the
+    base table's random vectors top out near 0.5, so threshold 0.9 cleanly
+    recovers exactly the planted pairs. 1/64 is binary-exact, so the
+    oracle's clone construction matches bit-for-bit regardless of how the
+    SQL engine types its numeric literals."""
+    emb = _t_wide(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    clones = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform(
+            "embedding",
+            lambda x, i: x * (F.lit(1.0) + ((i % 7) - 3).cast("double") * F.lit(0.015625)),
+        ).alias("embedding"),
+    )
+    return emb.unionByName(clones)
+
+
+def q_dedup_embedding_cosine(spark, sf_dir):
+    """Semantic near-dup arm of the dedup family: sign-LSH self-buckets →
+    exact cosine ≥ 0.9 over embeddings (similarity.cosine_neardup_pairs).
+    Recovers the 50 planted clone pairs; the md5-deterministic hyperplanes
+    make the DuckDB oracle replicate candidate generation exactly, so this
+    approximate operator is value-hash-checked like the exact ones."""
+    from nifi_spark.operators.similarity import cosine_neardup_pairs
+
+    corpus = _emb_with_clones(spark, sf_dir)
+    return cosine_neardup_pairs(
+        corpus, id_col="vec_id", vec_col="embedding",
+        threshold=0.9, n_tables=8, planes_per_table=8, dim=64,
     )
 
 
@@ -1357,6 +1441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_lww_fold_salted": q_cdc_lww_fold_salted,
         "cdc_replay_transcripts": q_cdc_replay_transcripts,
+        "cdc_scd2_history": q_cdc_scd2_history,
+        "cdc_before_after": q_cdc_before_after,
         "route_on_attribute": q_route_on_attribute,
         "route_text": q_route_text,
         "update_record": q_update_record,
@@ -1398,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "multimodal_decode": q_multimodal_decode,
         "normalize_arrow": q_normalize_arrow,
         "fork_record": q_fork_record,
@@ -1483,6 +1570,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             HAVING arg_max(event_type, event_id) <> 'error'
+        """,
+        "cdc_scd2_history": """
+            SELECT user_id, event_id AS seq,
+                   CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                   event_type, value,
+                   event_id AS valid_from_seq,
+                   lead(event_id) OVER w AS valid_to_seq,
+                   CASE WHEN lead(event_id) OVER w IS NULL
+                             AND event_type <> 'error' THEN 1 ELSE 0 END AS is_current,
+                   CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_deleted
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        """,
+        "cdc_before_after": """
+            SELECT user_id, event_id AS seq,
+                   CASE WHEN event_type = 'error' THEN 'DELETE'
+                        WHEN lag(event_id) OVER w IS NULL THEN 'INSERT'
+                        ELSE 'UPDATE' END AS change_kind,
+                   lag(event_type) OVER w AS before_event_type,
+                   lag(value) OVER w AS before_value,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS event_type,
+                   CASE WHEN event_type = 'error' THEN NULL ELSE value END AS value
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
         """,
         "route_on_attribute": """
             SELECT event_id,
@@ -2109,6 +2220,60 @@ def oracle_sql() -> dict[str, str]:
                             ORDER BY cos_sim DESC, neighbor_id ASC) AS INTEGER) AS rank
                 FROM scored
             ) WHERE rank <= 10
+        """,
+        "dedup_embedding_cosine": """
+            WITH corpus AS (
+                SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v
+                FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000,
+                       list_transform(embedding, (x, i) -> x::DOUBLE *
+                           (1.0::DOUBLE + ((i - 1) % 7 - 3)::DOUBLE * 0.015625::DOUBLE))
+                FROM embeddings WHERE vec_id < 50
+            ),
+            planes AS (
+                SELECT p, list_transform(generate_series(1, 64),
+                       d -> ('0x' || substr(md5('hp|' || p::VARCHAR || '|' || (d-1)::VARCHAR), 1, 15))::BIGINT
+                            / 576460752303423488.0 - 1.0) AS hp
+                FROM (SELECT unnest(generate_series(0, 63)) AS p)
+            ),
+            dots AS (
+                SELECT c.vec_id, pl.p,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(generate_series(1, 64), i -> c.v[i] * pl.hp[i])),
+                           (a, b) -> a + b) AS d
+                FROM corpus c, planes pl
+            ),
+            sigs AS (
+                SELECT vec_id, p // 8 AS tbl,
+                       sum(CASE WHEN d > 0 THEN 1 << (p % 8) ELSE 0 END) AS sig
+                FROM dots GROUP BY vec_id, p // 8
+            ),
+            bsz AS (SELECT tbl, sig, count(*) AS n FROM sigs GROUP BY tbl, sig),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+                FROM sigs a
+                JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.vec_id < b.vec_id
+                JOIN bsz ON bsz.tbl = a.tbl AND bsz.sig = a.sig
+                WHERE bsz.n <= 256
+            ),
+            scored AS (
+                SELECT cand.id_a, cand.id_b,
+                       round(
+                           list_reduce(list_prepend(0.0::DOUBLE,
+                               list_transform(generate_series(1, 64), i -> va.v[i] * vb.v[i])),
+                               (a, b) -> a + b)
+                           / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                                  list_transform(generate_series(1, 64), i -> va.v[i] * va.v[i])),
+                                  (a, b) -> a + b))
+                              * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                                  list_transform(generate_series(1, 64), i -> vb.v[i] * vb.v[i])),
+                                  (a, b) -> a + b))), 6) AS cos_sim
+                FROM cand
+                JOIN corpus va ON va.vec_id = cand.id_a
+                JOIN corpus vb ON vb.vec_id = cand.id_b
+            )
+            SELECT id_a, id_b, cos_sim FROM scored WHERE cos_sim >= 0.9
         """,
         "multimodal_decode": """
             SELECT doc_id AS media_id,

@@ -512,3 +512,57 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "adc")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-space near-duplicate detection: the semantic arm of the dedup
+# family (dedup_fuzzy covers lexical minhash/simhash/jaccard). Same LSH
+# machinery as cosine_topk_lsh, but a SELF-join shape with the dedup
+# guards of dedup_fuzzy.lsh_pairs.
+# ---------------------------------------------------------------------------
+
+
+def cosine_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_tables: int = 8,
+    planes_per_table: int = 8,
+    dim: int = 64,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine: candidates from
+    OR-amplified sign-LSH self-buckets, exact cosine filter >= threshold.
+
+    Returns ``(id_a, id_b, cos_sim)`` with id_a < id_b, cos rounded to 6.
+
+    Scale shape: explode to (table, signature) rows — O(n·L) — group to
+    buckets, pair only within buckets. Buckets larger than ``max_bucket``
+    are dropped (the lsh_pairs quadratic-bomb guard: with b planes a
+    degenerate bucket means the region is dense; those pairs belong to a
+    coarser clustering pass, not a pairwise join). Candidate pairs then
+    join the vectors back by id — two hash joins, no O(n²) stage anywhere.
+    """
+    base = df.select(F.col(id_col), F.col(vec_col))
+    sigs = _table_sigs(base.select(id_col, vec_col), vec_col, n_tables, planes_per_table, dim)
+    buckets = (
+        sigs.groupBy("tbl", "sig")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+    )
+    pairs = (
+        buckets.select(F.explode("ids").alias("id_a"), F.col("ids"))
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    scored = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("cos_sim", F.round(cosine(F.col("_va"), F.col("_vb")), 6))
+        .filter(F.col("cos_sim") >= threshold)
+    )
+    return scored.select("id_a", "id_b", "cos_sim")
