@@ -118,6 +118,83 @@ class CommitConflict(Exception):
     pass
 
 
+class SchemaEvolutionError(ValueError):
+    """An incoming column's type cannot legally evolve the table schema."""
+
+
+# Iceberg-spec primitive widenings (spec §Schema Evolution: int→long,
+# float→double, decimal precision growth at fixed scale). Spark 4's
+# parquet reader performs these promotions natively on read, so old data
+# files never need rewriting — verified in tests/test_laketable.py.
+_INT_RANK = {T.ByteType(): 0, T.ShortType(): 1, T.IntegerType(): 2, T.LongType(): 3}
+_FLOAT_RANK = {T.FloatType(): 0, T.DoubleType(): 1}
+
+
+def _widen_type(old: T.DataType, new: T.DataType, col: str) -> T.DataType:
+    """The evolved type for a column seen as ``old`` in the table and
+    ``new`` in an incoming batch: the wider of the two along a legal
+    Iceberg promotion chain. Raises :class:`SchemaEvolutionError` for
+    type changes no promotion covers (string→int, double→long, ...).
+
+    A narrower incoming type is fine with NO cast anywhere: data files
+    keep their written type and the reader widens (the manifest schema is
+    always the widest seen)."""
+    if old == new:
+        return old
+    if old in _INT_RANK and new in _INT_RANK:
+        return old if _INT_RANK[old] >= _INT_RANK[new] else new
+    if old in _FLOAT_RANK and new in _FLOAT_RANK:
+        return old if _FLOAT_RANK[old] >= _FLOAT_RANK[new] else new
+    if isinstance(old, T.DecimalType) and isinstance(new, T.DecimalType):
+        if old.scale == new.scale:
+            return old if old.precision >= new.precision else new
+    raise SchemaEvolutionError(
+        f"column {col!r}: cannot evolve {old.simpleString()} -> "
+        f"{new.simpleString()} (legal: byte/short/int->long, float->double, "
+        "decimal precision growth at fixed scale, or adding new columns)"
+    )
+
+
+def _evolve_schema(
+    head_schema: T.StructType,
+    payload_cols: list[str],
+    src_types: dict[str, T.DataType],
+    key_cols: list[str],
+) -> T.StructType:
+    """Table schema after an incoming batch: existing payload columns
+    widened where the batch's type is legally wider, new payload columns
+    appended nullable, internal columns kept last. Key columns must not
+    change type (a key-type change is a new table, not evolution)."""
+    for k in key_cols:
+        f = next((f for f in head_schema.fields if f.name == k), None)
+        if f is not None and k in src_types and src_types[k] != f.dataType:
+            raise SchemaEvolutionError(
+                f"key column {k!r} type changed "
+                f"({f.dataType.simpleString()} -> {src_types[k].simpleString()})"
+            )
+    user, existing = [], set()
+    for f in head_schema.fields:
+        if f.name in INTERNAL_COLS:
+            continue
+        existing.add(f.name)
+        if f.name in src_types and f.name not in key_cols:
+            user.append(
+                T.StructField(
+                    f.name, _widen_type(f.dataType, src_types[f.name], f.name), True
+                )
+            )
+        else:
+            user.append(f)
+    user += [
+        T.StructField(c, src_types[c], True)
+        for c in payload_cols
+        if c not in existing
+    ]
+    return T.StructType(
+        user + [f for f in head_schema.fields if f.name in INTERNAL_COLS]
+    )
+
+
 class LakeTable:
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16):
         self.spark = spark
@@ -861,18 +938,14 @@ class LakeTable:
                 last = self._batch_id_of(head)
                 if last is not None and batch_id <= last:
                     return None
-            # additive schema evolution, derived from the CURRENT head so a
-            # rebase picks up a racer's evolution too (driver-only work)
-            head_schema = T.StructType.fromJson(json.loads(head["schema"]))
-            head_user = [f.name for f in head_schema.fields if f.name not in INTERNAL_COLS]
-            evolved = T.StructType(
-                [f for f in head_schema.fields if f.name not in INTERNAL_COLS]
-                + [
-                    T.StructField(c, src_types[c], True)
-                    for c in payload_cols
-                    if c not in head_user
-                ]
-                + [f for f in head_schema.fields if f.name in INTERNAL_COLS]
+            # schema evolution (additive + Iceberg type widening), derived
+            # from the CURRENT head so a rebase picks up a racer's
+            # evolution too (driver-only work)
+            evolved = _evolve_schema(
+                T.StructType.fromJson(json.loads(head["schema"])),
+                payload_cols,
+                src_types,
+                key_cols,
             )
             mor = sorted(
                 {int(x) for x in head.get("mor_buckets", [])} | set(touched)
@@ -946,20 +1019,11 @@ class LakeTable:
             if last is not None and batch_id <= last:
                 return None  # already applied — exactly-once on replay
 
-        # ---- schema evolution: append new payload columns (nullable) ----
+        # ---- schema evolution: append new payload columns (nullable),
+        # widen existing ones along Iceberg promotion chains ----
         table_schema = self.schema(base_version)
-        table_user_cols = [f.name for f in table_schema.fields if f.name not in INTERNAL_COLS]
-        src_types = dict(zip(folded.schema.names, folded.schema.fields))
-        new_fields = [
-            T.StructField(c, src_types[c].dataType, True)
-            for c in payload_cols
-            if c not in table_user_cols
-        ]
-        evolved = T.StructType(
-            [f for f in table_schema.fields if f.name not in INTERNAL_COLS]
-            + new_fields
-            + [f for f in table_schema.fields if f.name in INTERNAL_COLS]
-        )
+        src_types = {f.name: f.dataType for f in folded.schema.fields}
+        evolved = _evolve_schema(table_schema, payload_cols, src_types, key_cols)
         user_cols = [f.name for f in evolved.fields if f.name not in INTERNAL_COLS]
 
         # ---- bucket pruning: rewrite only touched buckets ----
@@ -1002,7 +1066,13 @@ class LakeTable:
             *[F.col(k).alias(f"_s_{k}") for k in key_cols],
             F.struct(
                 *[
-                    (F.col(c) if c in folded.columns else F.lit(None).cast(evolved_types[c])).alias(c)
+                    # cast-up so src/target struct types agree after a
+                    # widening evolution (no-op when types already match)
+                    (
+                        F.col(c).cast(evolved_types[c])
+                        if c in folded.columns
+                        else F.lit(None).cast(evolved_types[c])
+                    ).alias(c)
                     for c in val_cols
                 ],
                 F.col(seq_col).cast("long").alias("_seq"),
@@ -1031,19 +1101,9 @@ class LakeTable:
         ).select(*key_cols, "_w.*")
 
         new_files = self._write_partitioned(merged, f"v{uuid.uuid4().hex[:12]}")
-        schema_json = json.dumps(
-            T.StructType(
-                [
-                    T.StructField(c, evolved_types[c], True)
-                    for c in user_cols
-                ]
-                + [
-                    T.StructField("_seq", T.LongType(), True),
-                    T.StructField("_deleted", T.BooleanType(), True),
-                    T.StructField("_bucket", T.IntegerType(), True),
-                ]
-            ).jsonValue()
-        )
+        our_user_types = {
+            f.name: f.dataType for f in evolved.fields if f.name not in INTERNAL_COLS
+        }
 
         def build(head: dict | None) -> dict | None:
             if head is None:
@@ -1052,6 +1112,17 @@ class LakeTable:
                 last = self._batch_id_of(head)
                 if last is not None and batch_id <= last:
                     return None  # raced with our own replay — already applied
+            # re-derive the schema against the CURRENT head so a rebase
+            # keeps a racer's evolution (their added/widened columns and
+            # ours both survive; the widening reader reconciles files)
+            schema_json = json.dumps(
+                _evolve_schema(
+                    T.StructType.fromJson(json.loads(head["schema"])),
+                    val_cols,
+                    our_user_types,
+                    key_cols,
+                ).jsonValue()
+            )
             if head["version"] != base_version:
                 # Rebase: safe iff the concurrent commits did not touch the
                 # buckets we rewrote (our rewrite folded base-version data).

@@ -253,3 +253,73 @@ def test_expire_snapshots_bounds_metadata(spark, tmp_path):
     # a new merge after expiry still works
     t2.merge(_batch(spark, [(99, "I", "c99", 0, "user", "v99", None, TS)]), KEYS, batch_id=99)
     assert len(_rows(t2)) == 9
+
+
+def test_type_widening_cow_and_mor(spark, tmp_path):
+    """Iceberg-style widening: int payload evolves to long / float to
+    double mid-stream; old (narrow) data files are read through the
+    widened schema without rewriting."""
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    b1 = spark.createDataFrame(
+        [(1, "I", "c1", 10, 1.5)], "seq long, op string, k string, n int, x float"
+    )
+    t.merge(b1, ["k"], batch_id=1)
+    assert dict(t.read().dtypes)["n"] == "int"
+
+    # COW merge with widened types
+    b2 = spark.createDataFrame(
+        [(2, "I", "c2", 5_000_000_000, 2.5)],
+        "seq long, op string, k string, n long, x double",
+    )
+    t.merge(b2, ["k"], batch_id=2)
+    got = {r.k: (r.n, r.x) for r in t.read().collect()}
+    assert dict(t.read().dtypes) == {"k": "string", "n": "bigint", "x": "double"}
+    assert got["c1"] == (10, 1.5) and got["c2"] == (5_000_000_000, 2.5)
+
+    # MOR append with a narrower batch: files stay narrow, reader widens
+    b3 = spark.createDataFrame(
+        [(3, "I", "c3", 7, 3.5)], "seq long, op string, k string, n int, x float"
+    )
+    t.append_events(b3, ["k"], batch_id=3)
+    got = {r.k: (r.n, r.x) for r in t.read().collect()}
+    assert got["c3"] == (7, 3.5) and got["c2"] == (5_000_000_000, 2.5)
+    assert dict(t.read().dtypes)["n"] == "bigint"
+
+    # MOR append that widens further is also legal schema-wise
+    b4 = spark.createDataFrame(
+        [(4, "U", "c1", 11, 9.25)], "seq long, op string, k string, n long, x double"
+    )
+    t.append_events(b4, ["k"], batch_id=4)
+    assert {r.k: r.n for r in t.read().collect()}["c1"] == 11
+
+    # compaction folds all generations under the widened schema
+    t.compact()
+    assert dict(t.read().dtypes)["n"] == "bigint"
+    assert {r.k: (r.n, r.x) for r in t.read().collect()}["c2"] == (5_000_000_000, 2.5)
+
+
+def test_illegal_type_evolution_raises(spark, tmp_path):
+    from nifi_spark.sinks.laketable import SchemaEvolutionError
+
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=2)
+    t.merge(
+        spark.createDataFrame([(1, "I", "c1", 1.0)], "seq long, op string, k string, x double"),
+        ["k"], batch_id=1,
+    )
+    # double -> long is a narrowing: refused
+    with pytest.raises(SchemaEvolutionError):
+        t.merge(
+            spark.createDataFrame([(2, "U", "c1", 2)], "seq long, op string, k string, x long"),
+            ["k"], batch_id=2,
+        )
+    # string -> int on a payload col: refused
+    t2 = LakeTable(spark, str(tmp_path / "t2"), n_buckets=2)
+    t2.merge(
+        spark.createDataFrame([(1, "I", "c1", "s")], "seq long, op string, k string, x string"),
+        ["k"], batch_id=1,
+    )
+    with pytest.raises(SchemaEvolutionError):
+        t2.merge(
+            spark.createDataFrame([(2, "U", "c1", 3)], "seq long, op string, k string, x int"),
+            ["k"], batch_id=2,
+        )
