@@ -207,3 +207,47 @@ def test_lineage_audit_clean_and_detects_corruption(spark, tmp_path):
     ], table_path)
     v = {r.violation for r in lineage_audit(spark, table_path).collect()}
     assert v == {"pos_gap", "pos_overlap", "dup_batch_file"}
+
+
+def test_stream_json_watermark_late_skip(spark, tmp_path):
+    """start() with from_json_payload + engine watermark: the parse/_bad
+    prefix is baked into the streaming plan, while the file-state-dependent
+    ``_late`` cutoff stays per-batch — late rows arriving in a later
+    micro-batch are skipped, on-time rows applied."""
+    feed = generate_change_feed(spark, n_conversations=20, max_turns=4, max_edits=3).cache()
+    feed_dir = str(tmp_path / "feed")
+    materialize_feed(feed, feed_dir, n_segments=2)
+    table_path = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def pipe():
+        return CdcPipeline(
+            spark, table_path, ckpt, n_buckets=4,
+            from_json_payload=True, watermark_delay_s=60, sink_mode="append",
+        )
+
+    _run_stream(pipe(), feed_dir)
+    assert_final_state_equal(_table_pd(pipe()), pandas_fold(feed.toPandas()))
+
+    # append a segment file that is entirely older than (max_ts - delay);
+    # its payload_json carries a marker that must never reach the table
+    max_ts = feed.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
+    late = (
+        feed.filter(F.unix_timestamp("ts") < max_ts - 120)
+        .withColumn("text", F.lit("SHOULD NOT APPEAR"))
+        .withColumn(
+            "payload_json",
+            F.to_json(F.struct(
+                F.col("op").alias("type"), F.col("ts").alias("timestamp"),
+                F.col("seq"), F.col("conv_id"), F.col("turn_idx"),
+                F.col("role"), F.col("text"), F.col("tool"),
+            )),
+        )
+    )
+    assert late.count() > 0
+    late.write.mode("append").parquet(feed_dir)
+    _run_stream(pipe(), feed_dir)
+    got = _table_pd(pipe())
+    assert not (got["text"] == "SHOULD NOT APPEAR").any()
+    assert_final_state_equal(got, pandas_fold(feed.toPandas()))
+    feed.unpersist()
