@@ -219,6 +219,73 @@ def q_cdc_before_after(spark, sf_dir):
     )
 
 
+def _txn_feed(spark, sf_dir, with_free: bool):
+    """Derive a transactional change feed from the events table: 20-event
+    transactions (txn_id = event_id div 20); txns with txn_id%10==7 never
+    commit (a dangling writer); with_free additionally makes txns with
+    txn_id%13==3 non-transactional (NULL txn_id — MyISAM-style rows
+    outside BEGIN/COMMIT). Commit-marker rows (op='C', one per committed
+    txn) are unioned into the same frame — the shape
+    operators/txn.txn_complete_filter consumes."""
+    ev = _t(spark, sf_dir, "events")
+    tid = F.expr("event_id div 20")
+    txn_col = (
+        F.when(F.pmod(tid, F.lit(13)) == 3, F.lit(None).cast("long")).otherwise(tid)
+        if with_free
+        else tid
+    )
+    data = ev.select(
+        F.col("event_id").alias("seq"),
+        F.lit("U").alias("op"),
+        txn_col.alias("txn_id"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    commits = (
+        data.filter(F.col("txn_id").isNotNull() & (F.pmod("txn_id", F.lit(10)) != 7))
+        .select("txn_id")
+        .distinct()
+        .select(
+            (-F.col("txn_id") - 1).alias("seq"),
+            F.lit("C").alias("op"),
+            "txn_id",
+            F.lit(None).cast("long").alias("user_id"),
+            F.lit(None).cast("string").alias("event_type"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    return data.unionByName(commits)
+
+
+def q_txn_filter(spark, sf_dir):
+    """Transaction-consistent admission (operators/txn.txn_complete_filter
+    ≙ CaptureChangeMySQL BEGIN→COMMIT delimiting, CaptureChangeMySQL.java:
+    947-1024): only events whose transaction committed are applied;
+    dangling transactions are withheld; non-transactional rows admit
+    immediately. One keyed semi-join shuffle against the distinct commit
+    set (one row per txn — AQE-broadcastable)."""
+    from nifi_spark.operators.txn import txn_complete_filter
+
+    committed, _pending = txn_complete_filter(_txn_feed(spark, sf_dir, with_free=True))
+    return committed.select("seq", "txn_id", "user_id", "event_type", "value")
+
+
+def q_txn_group(spark, sf_dir):
+    """ONE_TRANSACTION_PER_FLOWFILE grouping (operators/txn.txn_group ≙
+    nifi-cdc-api FlowFileEventWriteStrategy; CaptureChangeMySQL.java:140
+    "grouped as a full transaction"): one row per committed transaction
+    with ordered concatenated content — collect_list + array_sort, all
+    JVM-side, group size bounded by transaction size."""
+    from nifi_spark.operators.txn import txn_group
+
+    return txn_group(
+        _txn_feed(spark, sf_dir, with_free=False),
+        order_col="seq",
+        content_col="event_type",
+    )
+
+
 # --------------------------------------------------------------------------
 # Routing family (RouteOnAttribute / RouteText — SURVEY.md §2.4)
 # --------------------------------------------------------------------------
@@ -1443,6 +1510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_transcripts": q_cdc_replay_transcripts,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_before_after": q_cdc_before_after,
+        "txn_filter": q_txn_filter,
+        "txn_group": q_txn_group,
         "route_on_attribute": q_route_on_attribute,
         "route_text": q_route_text,
         "update_record": q_update_record,
@@ -1570,6 +1639,30 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             HAVING arg_max(event_type, event_id) <> 'error'
+        """,
+        # committed = txn has a commit marker (txn_id%10<>7); NULL-txn rows
+        # (tid%13=3) are non-transactional and always admitted
+        "txn_filter": """
+            WITH t AS (
+                SELECT event_id AS seq, event_id // 20 AS tid,
+                       user_id, event_type, value
+                FROM events
+            )
+            SELECT seq,
+                   CASE WHEN tid % 13 = 3 THEN NULL ELSE tid END AS txn_id,
+                   user_id, event_type, value
+            FROM t
+            WHERE tid % 13 = 3 OR tid % 10 <> 7
+        """,
+        "txn_group": """
+            SELECT event_id // 20 AS txn_id,
+                   count(*) AS n_events,
+                   min(event_id) AS min_seq,
+                   max(event_id) AS max_seq,
+                   string_agg(event_type, ',' ORDER BY event_id) AS merged
+            FROM events
+            WHERE (event_id // 20) % 10 <> 7
+            GROUP BY 1
         """,
         "cdc_scd2_history": """
             SELECT user_id, event_id AS seq,

@@ -1,0 +1,131 @@
+"""Tests: transaction-boundary semantics (batch operators + streaming buffer).
+
+Reference semantics under test: CaptureChangeMySQL's BEGIN→COMMIT
+transaction delimiting (CaptureChangeMySQL.java:947-1024) — a
+transaction's events reach the sink only once its COMMIT is seen, and a
+dangling (uncommitted) transaction never does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+from nifi_spark.operators.txn import txn_complete_filter, txn_group
+from nifi_spark.streaming.stateful import stateful_txn_buffer
+
+TXN_SCHEMA = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("txn_id", T.LongType(), True),
+        T.StructField("conv_id", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, TXN_SCHEMA)
+
+
+def test_txn_complete_filter_splits_committed_and_pending(spark):
+    rows = [
+        (1, "B", 10, None, None),
+        (2, "U", 10, "c1", "a"),
+        (3, "U", 10, "c1", "b"),
+        (4, "C", 10, None, None),
+        (5, "B", 11, None, None),
+        (6, "U", 11, "c2", "dangling"),  # no COMMIT for txn 11
+        (7, "U", None, "c3", "free"),  # non-transactional
+    ]
+    committed, pending = txn_complete_filter(_frame(spark, rows))
+    got = {(r.seq, r.text) for r in committed.collect()}
+    assert got == {(2, "a"), (3, "b"), (7, "free")}
+    assert [(r.seq, r.text) for r in pending.collect()] == [(6, "dangling")]
+
+
+def test_txn_complete_filter_no_boundary_rows_leak(spark):
+    rows = [
+        (1, "B", 10, None, None),
+        (2, "U", 10, "c1", "a"),
+        (3, "C", 10, None, None),
+    ]
+    committed, pending = txn_complete_filter(_frame(spark, rows))
+    ops = {r.op for r in committed.collect()} | {r.op for r in pending.collect()}
+    assert "B" not in ops and "C" not in ops
+
+
+def test_txn_group_orders_and_drops_open_txns(spark):
+    rows = [
+        (3, "U", 10, "c1", "second"),
+        (1, "U", 10, "c1", "first"),
+        (4, "C", 10, None, None),
+        (6, "U", 11, "c2", "open"),  # uncommitted: dropped
+    ]
+    out = {r.txn_id: r for r in txn_group(_frame(spark, rows)).collect()}
+    assert set(out) == {10}
+    g = out[10]
+    assert g.n_events == 2
+    assert (g.min_seq, g.max_seq) == (1, 3)
+    assert g.merged == "first,second"
+
+
+def _seg(spark, tmp_path, name, rows):
+    df = spark.createDataFrame(rows, TXN_SCHEMA)
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "feed" / name))
+
+
+def _drain(spark, tmp_path, qname, **buffer_kw):
+    stream = (
+        spark.readStream.schema(TXN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(tmp_path / "feed" / "*"))
+    )
+    out = stateful_txn_buffer(stream, **buffer_kw)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {qname} ORDER BY seq").collect()
+
+
+def test_stateful_txn_buffer_holds_until_commit_across_batches(spark, tmp_path):
+    # batch 1: txn 10 data only (held), txn 20 data+commit (flows), free row
+    _seg(
+        spark, tmp_path, "b1",
+        [
+            (1, "U", 10, "c1", "a"),
+            (2, "U", 20, "c2", "x"),
+            (3, "C", 20, None, None),
+            (4, "U", None, "c3", "free"),
+        ],
+    )
+    # batch 2: more txn 10 data + its commit → everything flushes
+    _seg(
+        spark, tmp_path, "b2",
+        [(5, "U", 10, "c1", "b"), (6, "C", 10, None, None)],
+    )
+    rows = _drain(spark, tmp_path, "txn_cross_batch")
+    assert [(r.seq, r.text) for r in rows] == [
+        (1, "a"), (2, "x"), (4, "free"), (5, "b")
+    ]
+    assert all(r.op == "U" for r in rows)  # boundary rows consumed
+
+
+def test_stateful_txn_buffer_straggler_after_commit_passes(spark, tmp_path):
+    _seg(spark, tmp_path, "b1", [(1, "U", 10, "c1", "a"), (2, "C", 10, None, None)])
+    # replay-overlap straggler for the already-committed txn 10
+    _seg(spark, tmp_path, "b2", [(3, "U", 10, "c1", "late")])
+    rows = _drain(spark, tmp_path, "txn_straggler")
+    assert [(r.seq, r.text) for r in rows] == [(1, "a"), (3, "late")]
+
+
+def test_stateful_txn_buffer_dangling_txn_never_emits(spark, tmp_path):
+    _seg(spark, tmp_path, "b1", [(1, "U", 10, "c1", "a"), (2, "B", 11, None, None)])
+    _seg(spark, tmp_path, "b2", [(3, "U", 11, "c2", "also-open")])
+    rows = _drain(spark, tmp_path, "txn_dangling")
+    assert rows == []
