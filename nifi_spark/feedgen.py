@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 VT_STRIDE = 1 << 16  # per-edit virtual-time stride; jitter stays below it
 BASE_EPOCH = 1704067200  # 2024-01-01T00:00:00Z — fixed, never wall-clock
@@ -169,6 +170,127 @@ def generate_change_feed(
             ),
         )
     return out
+
+
+def with_transactions(
+    feed: DataFrame,
+    txn_seq_span: int,
+    dangling_mod: int | None = None,
+) -> DataFrame:
+    """Delimit the change feed into transactions (schema.CHANGE_EVENTS_TXN).
+
+    Events are grouped into transactions by seq range
+    (``txn_id = seq div txn_seq_span`` — contiguous in log order, the
+    shape a binlog writer produces), and one commit-marker row (op='C',
+    key columns NULL, seq/ts = the transaction's max) is appended per
+    transaction — CaptureChangeMySQL's BEGIN→COMMIT delimiting
+    (reference CaptureChangeMySQL.java:947-1024). ``dangling_mod``: every
+    transaction with ``txn_id % dangling_mod == 0`` gets NO commit marker
+    (a crashed writer's dangling transaction) — its events must never
+    reach the sink under transaction-consistent apply.
+
+    Commit markers carry a ``payload_json`` of ``{"type":"C","seq":...}``
+    so the raw-JSON normalization path can still classify them.
+
+    Scale note: one groupBy(txn_id) shuffle over the feed to derive the
+    marker rows — a feed-materialization cost, not a pipeline cost.
+    """
+    data = feed.withColumn(
+        "txn_id", F.expr(f"seq div {int(txn_seq_span)}")
+    )
+    commits = (
+        data.groupBy("txn_id")
+        .agg(
+            F.max("seq").alias("max_seq"),
+            F.max("ts").alias("max_ts"),
+            F.max("source_file").alias("source_file"),
+            F.max("source_pos").alias("source_pos"),
+        )
+    )
+    if dangling_mod:
+        commits = commits.filter(F.pmod("txn_id", F.lit(dangling_mod)) != 0)
+    marker_payload = F.to_json(
+        F.struct(
+            F.lit("C").alias("type"),
+            F.col("max_ts").alias("timestamp"),
+            F.col("max_seq").alias("seq"),
+        )
+    )
+    nstr = F.lit(None).cast("string")
+    markers = commits.select(
+        F.col("max_seq").alias("seq"),
+        F.lit("C").alias("op"),
+        F.col("max_ts").alias("ts"),
+        nstr.alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        nstr.alias("role"),
+        nstr.alias("text"),
+        nstr.alias("tool"),
+        *[
+            F.lit(None).cast(dict((f.name, f.dataType) for f in data.schema.fields)[c]).alias(c)
+            for c in data.columns
+            if c not in (
+                "seq", "op", "ts", "conv_id", "turn_idx", "role", "text",
+                "tool", "source_file", "source_pos", "payload_json", "txn_id",
+            )
+        ],
+        F.col("source_file"),
+        F.col("source_pos"),
+        marker_payload.alias("payload_json"),
+        F.col("txn_id"),
+    )
+    return data.unionByName(markers.select(*data.columns))
+
+
+def with_ddl(
+    spark: SparkSession,
+    feed: DataFrame,
+    ddl_events: list[tuple[int, str]],
+) -> DataFrame:
+    """Inject DDL change events into the feed: one row per ``(seq,
+    statement)`` with op='ddl', the statement in ``text``, key columns
+    NULL (≙ the binlog DDL events CaptureChangeMySQL forwards when
+    INCLUDE_DDL_EVENTS is set, reference CaptureChangeMySQL.java:353-362,
+    :985-1008). ``ts`` is derived from the surrounding feed's epoch so
+    watermarks keep advancing."""
+    import datetime as dt
+    import json as _json
+
+    rows = []
+    for seq, stmt in ddl_events:
+        ts = dt.datetime.utcfromtimestamp(BASE_EPOCH)
+        payload = _json.dumps(
+            {"type": "ddl", "timestamp": ts.isoformat(sep=" "), "seq": seq,
+             "text": stmt}
+        )
+        rows.append((seq, "ddl", ts, None, None, None, stmt, None,
+                     "binlog.ddl", seq, payload))
+    base_cols = [
+        "seq", "op", "ts", "conv_id", "turn_idx", "role", "text", "tool",
+        "source_file", "source_pos", "payload_json",
+    ]
+    ddl_df = spark.createDataFrame(
+        rows,
+        T.StructType([
+            T.StructField("seq", T.LongType(), False),
+            T.StructField("op", T.StringType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("conv_id", T.StringType(), True),
+            T.StructField("turn_idx", T.IntegerType(), True),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("source_file", T.StringType(), True),
+            T.StructField("source_pos", T.LongType(), True),
+            T.StructField("payload_json", T.StringType(), True),
+        ]),
+    )
+    for c in feed.columns:
+        if c not in base_cols:
+            ddl_df = ddl_df.withColumn(
+                c, F.lit(None).cast(dict((f.name, f.dataType) for f in feed.schema.fields)[c])
+            )
+    return feed.unionByName(ddl_df.select(*feed.columns))
 
 
 def materialize_feed(

@@ -59,6 +59,19 @@ CHANGE_EVENTS_V2 = T.StructType(
     CHANGE_EVENTS.fields + [T.StructField("tool_meta", T.StringType(), True)]
 )
 
+# Transactional feed: every event carries its transaction id and the log
+# additionally contains commit-marker rows (op='C', key columns NULL) —
+# the BEGIN→COMMIT delimiting CaptureChangeMySQL reads from the binlog
+# (reference CaptureChangeMySQL.java:947-1024; INCLUDE_BEGIN_COMMIT :342).
+# Key/op columns relax to nullable because marker rows have no key.
+CHANGE_EVENTS_TXN = T.StructType(
+    [
+        T.StructField(f.name, f.dataType, True)
+        for f in CHANGE_EVENTS.fields
+    ]
+    + [T.StructField("txn_id", T.LongType(), True)]
+)
+
 LINEAGE = T.StructType(
     [
         T.StructField("batch_id", T.LongType(), False),

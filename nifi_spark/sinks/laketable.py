@@ -93,6 +93,7 @@ On a real cluster with Iceberg jars, swap this class for
 from __future__ import annotations
 
 import json
+import re
 import time
 import uuid
 from typing import Callable
@@ -116,6 +117,71 @@ MAX_MANIFEST_DEPTH = 16
 
 class CommitConflict(Exception):
     pass
+
+
+_DDL_ADD_RE = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+\S+\s+ADD\s+COLUMNS?\s*(.+?)\s*;?\s*$"
+)
+_DDL_TYPES: dict[str, T.DataType] = {
+    "string": T.StringType(), "varchar": T.StringType(), "text": T.StringType(),
+    "tinyint": T.ByteType(), "smallint": T.ShortType(),
+    "int": T.IntegerType(), "integer": T.IntegerType(),
+    "bigint": T.LongType(), "long": T.LongType(),
+    "float": T.FloatType(), "real": T.FloatType(), "double": T.DoubleType(),
+    "boolean": T.BooleanType(), "bool": T.BooleanType(),
+    "timestamp": T.TimestampType(), "date": T.DateType(),
+    "binary": T.BinaryType(), "blob": T.BinaryType(),
+}
+
+
+def parse_ddl_add_columns(sql: str) -> dict[str, T.DataType]:
+    """Parse an ``ALTER TABLE t ADD COLUMN(S) name type[, ...]`` statement
+    into a column→DataType map — the additive subset of the DDL statements
+    the reference's binlog source forwards (CaptureChangeMySQL's DDL
+    events, CaptureChangeMySQL.java:985-1008; classification
+    :1123 isQueryDDL). Non-additive DDL (DROP/RENAME/TRUNCATE/MODIFY)
+    raises ValueError — those are destructive operations a lake sink must
+    not replay blindly; route them to an operator review path instead.
+    """
+    m = _DDL_ADD_RE.match(sql)
+    if not m:
+        raise ValueError(
+            f"unsupported DDL (only ALTER TABLE ... ADD COLUMN[S] applies "
+            f"automatically): {sql!r}"
+        )
+    body = m.group(1).strip()
+    if body.startswith("(") and body.endswith(")"):
+        body = body[1:-1]
+    out: dict[str, T.DataType] = {}
+    # split on commas not inside parens (decimal(10,2))
+    parts, depth, cur = [], 0, ""
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur)
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        parts.append(cur)
+    for p in parts:
+        toks = p.strip().split(None, 1)
+        if len(toks) != 2:
+            raise ValueError(f"malformed column definition {p.strip()!r} in {sql!r}")
+        name, typ = toks[0].strip("`\""), toks[1].strip().lower()
+        dm = re.match(r"^decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", typ)
+        if dm:
+            out[name] = T.DecimalType(int(dm.group(1)), int(dm.group(2)))
+            continue
+        base = re.match(r"^([a-z]+)", typ)
+        dt = _DDL_TYPES.get(base.group(1) if base else "")
+        if dt is None:
+            raise ValueError(f"unsupported column type {typ!r} in DDL {sql!r}")
+        out[name] = dt
+    return out
 
 
 class SchemaEvolutionError(ValueError):
@@ -716,6 +782,72 @@ class LakeTable:
                 "depth": 0,
                 "mor_buckets": [],
                 "summary": summary or {},
+                "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+
+        return self._commit(build)
+
+    def evolve(
+        self,
+        add_columns: dict[str, T.DataType],
+        extra_summary: dict | None = None,
+    ) -> int | None:
+        """Explicit additive schema evolution: append ``add_columns`` as
+        nullable columns in a METADATA-ONLY commit — no data file is read
+        or rewritten; existing files null-fill through the explicit-schema
+        reader (≙ Iceberg ALTER TABLE ADD COLUMN; reference
+        UpdateDatabaseTable.java:506-541 ALTER TABLE ADD COLUMN semantics,
+        and the binlog DDL events CaptureChangeMySQL forwards when
+        INCLUDE_DDL_EVENTS is set, CaptureChangeMySQL.java:353-362).
+
+        Columns that already exist are checked for type compatibility
+        (same type or a legal widening — the widening itself still happens
+        on the data path) and otherwise ignored, so replaying a DDL event
+        is a no-op: returns None when nothing new is added. The commit is
+        a zero-file delta manifest (O(1) regardless of table size); the
+        head's ``batch_id`` marker carries forward so replay
+        short-circuits stay intact.
+        """
+        def build(head: dict | None) -> dict | None:
+            if head is None:
+                raise CommitConflict(
+                    "cannot evolve an empty table — create()/merge first"
+                )
+            schema = T.StructType.fromJson(json.loads(head["schema"]))
+            existing = {f.name: f.dataType for f in schema.fields}
+            new: dict[str, T.DataType] = {}
+            for k, dt in add_columns.items():
+                if k in existing:
+                    _widen_type(existing[k], dt, k)  # raises if incompatible
+                else:
+                    new[k] = dt
+            if not new:
+                return None
+            user = [f for f in schema.fields if f.name not in INTERNAL_COLS]
+            evolved = T.StructType(
+                user
+                + [T.StructField(k, dt, True) for k, dt in new.items()]
+                + [f for f in schema.fields if f.name in INTERNAL_COLS]
+            )
+            depth = int(head.get("depth", 0)) + 1
+            if depth > MAX_MANIFEST_DEPTH:
+                files, base, depth = dict(self._resolve_files(head["version"])), None, 0
+            else:
+                files, base = {}, head["version"]
+            return {
+                "schema": json.dumps(evolved.jsonValue()),
+                "n_buckets": self.n_buckets,
+                "key_cols": head["key_cols"],
+                "files": files,
+                "base": base,
+                "depth": depth,
+                "mor_buckets": head.get("mor_buckets", []),
+                "delta_files": head.get("delta_files", []),
+                "summary": {
+                    **(extra_summary or {}),
+                    "ddl_added": sorted(new),
+                    "batch_id": head.get("summary", {}).get("batch_id"),
+                },
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
 

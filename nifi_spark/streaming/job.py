@@ -57,8 +57,20 @@ class CdcPipeline:
         fold_mode: str = "bucket",
         sink_mode: str = "merge",
         compact_every: int = 16,
+        txn_consistent: bool = False,
+        txn_abandoned_ttl_ms: int | None = None,
     ):
-        """``sink_mode``:
+        """``txn_consistent``: the feed is transaction-delimited
+        (schema.CHANGE_EVENTS_TXN — every event carries ``txn_id``, the
+        log contains op='C' commit markers). The streaming plan gains a
+        keyed stateful buffer (stateful.stateful_txn_buffer) that holds a
+        transaction's events across micro-batches until its commit
+        arrives, so a dangling half-transaction never reaches the merge —
+        CaptureChangeMySQL's BEGIN→COMMIT atomicity (reference
+        CaptureChangeMySQL.java:947-1024). ``txn_abandoned_ttl_ms`` drops
+        transactions with no commit after that much processing time.
+
+        ``sink_mode``:
 
         - ``"merge"`` (default): copy-on-write — every batch folds into the
           touched base buckets (LakeTable.merge_events). Per-batch cost is
@@ -82,6 +94,8 @@ class CdcPipeline:
         self._since_compact = 0
         self.watermark_delay_s = watermark_delay_s
         self.from_json_payload = from_json_payload
+        self.txn_consistent = txn_consistent
+        self.txn_abandoned_ttl_ms = txn_abandoned_ttl_ms
         self.table_path = table_path
         self._wm_path = os.path.join(checkpoint_dir, "engine_watermark.json")
         # Pre-built Column expression trees, reused every micro-batch.
@@ -93,6 +107,8 @@ class CdcPipeline:
         from ..normalize import _EVENT_JSON_SCHEMA
 
         keep = ["source_file", "source_pos", "payload_json"]
+        if txn_consistent:
+            keep.append("txn_id")
         self._parse_cols = [
             F.from_json(F.col("payload_json"), _EVENT_JSON_SCHEMA).alias("e"),
             *[F.col(c) for c in keep],
@@ -109,18 +125,27 @@ class CdcPipeline:
             F.col("e.tool_meta").alias("tool_meta"),
             *[F.col(c) for c in keep],
         ]
+        # op='ddl' rows are schema-change events (statement in `text`),
+        # key-less by nature — excused from the bad-row flag and excluded
+        # from the merge payload; apply_batch routes them to
+        # LakeTable.evolve (≙ CaptureChangeMySQL INCLUDE_DDL_EVENTS,
+        # CaptureChangeMySQL.java:353-362).
+        self._is_ddl = F.col("op").eqNullSafe("ddl")
         self._bad_cond = (
             F.col("seq").isNull()
             | F.col("op").isNull()
-            | F.col("conv_id").isNull()
-            | F.col("turn_idx").isNull()
+            | (
+                (F.col("conv_id").isNull() | F.col("turn_idx").isNull())
+                & ~self._is_ddl
+            )
         )
-        self._good = ~F.col("_bad") & ~F.col("_late")
+        self._good = ~F.col("_bad") & ~F.col("_late") & ~self._is_ddl
         _gw = lambda c: F.when(self._good, c)  # noqa: E731
         self._obs_aggs = [
             F.count(F.lit(1)).alias("total"),
             F.sum(F.col("_bad").cast("long")).alias("n_bad"),
             F.sum(F.col("_late").cast("long")).alias("n_late"),
+            F.sum((self._is_ddl & ~F.col("_bad")).cast("long")).alias("n_ddl"),
             F.max(_gw(F.unix_timestamp("ts"))).alias("mx"),
             F.min(_gw(F.col("source_pos"))).alias("min_pos"),
             F.max(_gw(F.col("source_pos"))).alias("max_pos"),
@@ -153,6 +178,70 @@ class CdcPipeline:
         with open(self._wm_path, "w") as f:
             json.dump({"max_ts_epoch": max(prev, max_ts_epoch)}, f)
 
+    # ---------- snapshot bootstrap (initial load → incremental handoff) ----------
+
+    def bootstrap(
+        self,
+        snapshot_df: DataFrame,
+        snapshot_seq: int,
+        watermark_ts_epoch: int | None = None,
+    ) -> int:
+        """Initial full-table load from a consistent snapshot image, then
+        hand off to the incremental stream — the reference's
+        "Retrieve All Records" / Initial Binlog Filename+Position startup
+        contract (CaptureChangeMySQL.java:328-334: with no processor
+        state, either replay the whole history or start from a declared
+        snapshot position).
+
+        ``snapshot_df`` is the table image as of log position
+        ``snapshot_seq`` (every row stamped ``_seq = snapshot_seq``).
+        Starting the stream afterwards is exact under either handoff:
+
+        - replaying the FULL log: events at/below ``snapshot_seq`` lose
+          the merge's LWW guard (``src.seq > tgt._seq``) against the
+          snapshot rows — idempotent overlap;
+        - replaying only the tail (> ``snapshot_seq``): changes apply on
+          top of the image, including deletes of snapshotted keys.
+
+        The bootstrap is recorded as lineage batch_id -1 with the
+        snapshot position range, so the provenance chain covers the
+        initial load; ``watermark_ts_epoch`` (the snapshot's event-time)
+        pre-seeds the engine watermark when late-event skipping is on.
+        """
+        if self.table.exists():
+            raise ValueError(
+                "bootstrap() requires an empty table — the snapshot is an "
+                "initial load, not a merge (use the stream for increments)"
+            )
+        img = snapshot_df.withColumn(
+            "_seq", F.lit(int(snapshot_seq)).cast("long")
+        )
+        version = self.table.create(
+            img, KEY_COLS, summary={"bootstrap_seq": int(snapshot_seq)}
+        )
+        n_rows = self.table.read_raw().count()
+        write_lineage_rows(
+            self.spark,
+            [{
+                "batch_id": -1,
+                "snapshot_id": int(version),
+                "source_file": "_snapshot",
+                "min_pos": 0,
+                "max_pos": int(snapshot_seq),
+                "min_seq": 0,
+                "max_seq": int(snapshot_seq),
+                "n_events": int(n_rows),
+                "n_late": 0,
+                "committed_at": time.strftime(
+                    "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                ),
+            }],
+            self.table_path,
+        )
+        if watermark_ts_epoch is not None:
+            self._store_watermark(int(watermark_ts_epoch))
+        return version
+
     # ---------- batch apply (the foreachBatch body) ----------
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
@@ -174,7 +263,7 @@ class CdcPipeline:
         driver and append without a job; the optional DLQ write reads the
         cache (pays only when bad rows exist).
         """
-        metrics = {"batch_id": batch_id, "n_events": 0, "n_late": 0, "n_dlq": 0, "version": None}
+        metrics = {"batch_id": batch_id, "n_events": 0, "n_late": 0, "n_dlq": 0, "n_ddl": 0, "version": None}
         # Replay pre-check, driver-only (manifest head read): the fused
         # append path must know before launching its single job — its
         # observation is populated by that job, so short-circuiting later
@@ -215,7 +304,7 @@ class CdcPipeline:
             return self._apply_batch_fused(flagged, batch_id, metrics)
         flagged = flagged.cache()
         try:
-            good = ~F.col("_bad") & ~F.col("_late")
+            good = self._good
 
             def gw(col):  # aggregate over good rows only (nulls are skipped)
                 return F.when(good, col)
@@ -224,6 +313,7 @@ class CdcPipeline:
                 F.count("*").alias("total"),
                 F.sum(F.col("_bad").cast("long")).alias("n_bad"),
                 F.sum(F.col("_late").cast("long")).alias("n_late"),
+                F.sum((self._is_ddl & ~F.col("_bad")).cast("long")).alias("n_ddl"),
                 F.max(gw(F.unix_timestamp("ts"))).alias("mx"),
                 F.min(gw(F.col("source_pos"))).alias("min_pos"),
                 F.max(gw(F.col("source_pos"))).alias("max_pos"),
@@ -233,8 +323,16 @@ class CdcPipeline:
             ).collect()
             n_dlq = sum(int(r["n_bad"] or 0) for r in per_file)
             n_late = sum(int(r["n_late"] or 0) for r in per_file)
-            n_events = sum(int(r["total"] or 0) for r in per_file) - n_dlq - n_late
-            metrics.update(n_events=n_events, n_late=n_late, n_dlq=n_dlq)
+            n_ddl = sum(int(r["n_ddl"] or 0) for r in per_file)
+            n_events = (
+                sum(int(r["total"] or 0) for r in per_file) - n_dlq - n_late - n_ddl
+            )
+            metrics.update(n_events=n_events, n_late=n_late, n_dlq=n_dlq, n_ddl=n_ddl)
+            ddl_cols = self._collect_ddl(flagged) if n_ddl else {}
+            if ddl_cols and self.table.exists():
+                # schema change lands BEFORE the batch's data (binlog order)
+                self.table.evolve(ddl_cols)
+                ddl_cols = {}
             if n_dlq:
                 (
                     flagged.filter(F.col("_bad"))
@@ -250,6 +348,8 @@ class CdcPipeline:
                     .parquet(os.path.join(self.table_path, "_dlq"))
                 )
             if n_events == 0:
+                if ddl_cols and self.table.exists():  # pure-DDL batch
+                    self.table.evolve(ddl_cols)
                 return metrics
             touched = sorted({b for r in per_file for b in (r["buckets"] or [])})
             mxs = [r["mx"] for r in per_file if r["mx"] is not None]
@@ -257,7 +357,7 @@ class CdcPipeline:
             events = flagged.filter(good)
             payload = events.select(
                 "seq", "op", "ts", *KEY_COLS,
-                *[c for c in events.columns if c not in ("seq", "op", "ts", *KEY_COLS, "source_file", "source_pos", "payload_json", "_bad", "_late")],
+                *[c for c in events.columns if c not in ("seq", "op", "ts", *KEY_COLS, "source_file", "source_pos", "payload_json", "txn_id", "_bad", "_late")],
             )
             summary = {"n_events": n_events, "n_late": n_late}
             # Fold strategy (see laketable.merge_events + operators/ordering):
@@ -281,6 +381,10 @@ class CdcPipeline:
                     fold_mode=self.fold_mode, touched=touched,
                 )
             metrics["version"] = version
+            if ddl_cols and self.table.exists():
+                # table was created by THIS batch's merge — apply the
+                # deferred DDL now (additive, so order vs data is benign)
+                self.table.evolve(ddl_cols)
             if version is not None:
                 committed_at = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
                 write_lineage_rows(
@@ -294,12 +398,12 @@ class CdcPipeline:
                             "max_pos": r["max_pos"],
                             "min_seq": r["min_seq"],
                             "max_seq": r["max_seq"],
-                            "n_events": int(r["total"]) - int(r["n_bad"] or 0) - int(r["n_late"] or 0),
+                            "n_events": int(r["total"]) - int(r["n_bad"] or 0) - int(r["n_late"] or 0) - int(r["n_ddl"] or 0),
                             "n_late": int(n_late),
                             "committed_at": committed_at,
                         }
                         for r in per_file
-                        if int(r["total"]) - int(r["n_bad"] or 0) - int(r["n_late"] or 0) > 0
+                        if int(r["total"]) - int(r["n_bad"] or 0) - int(r["n_late"] or 0) - int(r["n_ddl"] or 0) > 0
                     ],
                     self.table_path,
                 )
@@ -308,6 +412,25 @@ class CdcPipeline:
         finally:
             flagged.unpersist()
         return metrics
+
+    def _collect_ddl(self, flagged) -> dict:
+        """Gather the batch's DDL statements (op='ddl', statement in
+        ``text``) in seq order and parse them into one add-columns map.
+        Driver-side collect is bounded by the number of DDL events in the
+        batch — schema changes, not data. Unsupported/destructive DDL
+        raises (the statement lands in the error with the batch id)."""
+        from ..sinks.laketable import parse_ddl_add_columns
+
+        rows = (
+            flagged.filter(self._is_ddl & ~F.col("_bad"))
+            .select("seq", "text")
+            .collect()
+        )
+        add: dict = {}
+        for r in sorted(rows, key=lambda r: int(r["seq"])):
+            if r["text"]:
+                add.update(parse_ddl_add_columns(r["text"]))
+        return add
 
     def _apply_batch_fused(self, flagged, batch_id: int, metrics: dict) -> dict:
         """Merge-on-read micro-batch with ONE Spark job: the delta-file
@@ -333,7 +456,7 @@ class CdcPipeline:
         else:
             payload = events.select(
                 "seq", "op", "ts", *KEY_COLS,
-                *[c for c in events.columns if c not in ("seq", "op", "ts", *KEY_COLS, "source_file", "source_pos", "payload_json", "_bad", "_late")],
+                *[c for c in events.columns if c not in ("seq", "op", "ts", *KEY_COLS, "source_file", "source_pos", "payload_json", "txn_id", "_bad", "_late")],
             )
         if self.salt_buckets and self.salt_buckets > 1:
             payload = lww_fold_salted(
@@ -357,8 +480,18 @@ class CdcPipeline:
         row = obs.get
         n_dlq = int(row["n_bad"] or 0)
         n_late = int(row["n_late"] or 0)
-        n_events = int(row["total"] or 0) - n_dlq - n_late
-        metrics.update(n_events=n_events, n_late=n_late, n_dlq=n_dlq, version=version)
+        n_ddl = int(row["n_ddl"] or 0)
+        n_events = int(row["total"] or 0) - n_dlq - n_late - n_ddl
+        metrics.update(
+            n_events=n_events, n_late=n_late, n_dlq=n_dlq, n_ddl=n_ddl,
+            version=version,
+        )
+        if n_ddl and self.table.exists():
+            # metadata-only evolve AFTER the append (additive columns:
+            # this batch's delta files null-fill through the schema reader)
+            ddl_cols = self._collect_ddl(flagged)
+            if ddl_cols:
+                self.table.evolve(ddl_cols)
         if n_dlq:
             (
                 flagged.filter(F.col("_bad"))
@@ -434,8 +567,11 @@ class CdcPipeline:
         (tests/bench), ``processing_time`` (e.g. ``"1 second"``) runs the
         NiFi steady-state shape: a long-lived timer-driven flow
         (≙ TimerDrivenSchedulingAgent.java:35)."""
+        from ..schema import CHANGE_EVENTS_TXN
+
+        feed_schema = CHANGE_EVENTS_TXN if self.txn_consistent else CHANGE_EVENTS
         reader = (
-            self.spark.readStream.schema(CHANGE_EVENTS)
+            self.spark.readStream.schema(feed_schema)
             .format("parquet")
         )
         if max_files_per_trigger:
@@ -455,6 +591,19 @@ class CdcPipeline:
             )
         else:
             stream = stream.withColumn("_bad", F.lit(False))
+        if self.txn_consistent:
+            # Commit-gated admission ahead of the sink: hold each
+            # transaction's events in keyed state until its op='C' marker
+            # arrives (markers are consumed here, never emitted), so
+            # apply_batch only ever sees commit-complete data events.
+            from .stateful import stateful_txn_buffer
+
+            stream = stateful_txn_buffer(
+                stream,
+                txn_col="txn_id",
+                op_col="op",
+                abandoned_ttl_ms=self.txn_abandoned_ttl_ms,
+            )
         if self.watermark_delay_s is None:
             stream = stream.withColumn("_late", F.lit(False))
 
@@ -491,6 +640,10 @@ def _cli(argv: list[str] | None = None) -> None:
     p.add_argument("--salt-buckets", type=int, default=0)
     p.add_argument("--watermark-delay-s", type=int, default=None)
     p.add_argument("--from-json-payload", action="store_true")
+    p.add_argument("--txn-consistent", action="store_true",
+                   help="feed is transaction-delimited (txn_id + op='C' markers); "
+                        "hold events until their transaction commits")
+    p.add_argument("--txn-abandoned-ttl-ms", type=int, default=None)
     p.add_argument("--sink-mode", choices=["merge", "append"], default="merge",
                    help="copy-on-write merge per batch, or merge-on-read append + compaction cadence")
     p.add_argument("--compact-every", type=int, default=16,
@@ -513,6 +666,8 @@ def _cli(argv: list[str] | None = None) -> None:
         from_json_payload=args.from_json_payload,
         sink_mode=args.sink_mode,
         compact_every=args.compact_every,
+        txn_consistent=args.txn_consistent,
+        txn_abandoned_ttl_ms=args.txn_abandoned_ttl_ms,
     )
     pipe.run_to_completion(
         args.feed_dir,

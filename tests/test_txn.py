@@ -124,6 +124,86 @@ def test_stateful_txn_buffer_straggler_after_commit_passes(spark, tmp_path):
     assert [(r.seq, r.text) for r in rows] == [(1, "a"), (3, "late")]
 
 
+def test_pipeline_txn_consistent_end_to_end(spark, tmp_path):
+    """Full CDC replay with transaction-delimited feed: only committed
+    transactions' events reach the table (dangling ones never apply),
+    holding works across micro-batches, and replay stays idempotent."""
+    from nifi_spark.feedgen import (
+        generate_change_feed,
+        materialize_feed,
+        with_transactions,
+    )
+    from nifi_spark.streaming.job import CdcPipeline
+    from .oracle import assert_final_state_equal, pandas_fold
+
+    SPAN, DANGLING_MOD = 500_000, 7
+    feed = generate_change_feed(spark, n_conversations=30, max_turns=6, max_edits=3)
+    txn_feed = with_transactions(feed, txn_seq_span=SPAN, dangling_mod=DANGLING_MOD)
+    feed_dir = str(tmp_path / "feed")
+    materialize_feed(txn_feed, feed_dir, n_segments=3)
+
+    p = CdcPipeline(
+        spark, str(tmp_path / "table"), str(tmp_path / "ckpt"),
+        n_buckets=8, txn_consistent=True,
+    )
+    q = p.start(feed_dir, max_files_per_trigger=1, available_now=True)
+    q.awaitTermination()
+
+    pdf = feed.toPandas()
+    committed = pdf[(pdf["seq"] // SPAN) % DANGLING_MOD != 0]
+    assert len(committed) < len(pdf)  # the scenario really has dangling txns
+    got = (
+        p.table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .toPandas()
+    )
+    assert_final_state_equal(got, pandas_fold(committed))
+
+    # replay the drained feed against the same checkpoint: no-op
+    v = p.table.current_version()
+    p2 = CdcPipeline(
+        spark, str(tmp_path / "table"), str(tmp_path / "ckpt"),
+        n_buckets=8, txn_consistent=True,
+    )
+    q2 = p2.start(feed_dir, max_files_per_trigger=1, available_now=True)
+    q2.awaitTermination()
+    assert p2.table.current_version() == v
+
+
+def test_pipeline_txn_consistent_json_payload(spark, tmp_path):
+    """Same scenario through the raw-JSON normalization path: commit
+    markers classify via their payload and are consumed by the buffer."""
+    from nifi_spark.feedgen import (
+        generate_change_feed,
+        materialize_feed,
+        with_transactions,
+    )
+    from nifi_spark.streaming.job import CdcPipeline
+    from .oracle import assert_final_state_equal, pandas_fold
+
+    SPAN, DANGLING_MOD = 800_000, 5
+    feed = generate_change_feed(spark, n_conversations=20, max_turns=5, max_edits=3)
+    txn_feed = with_transactions(feed, txn_seq_span=SPAN, dangling_mod=DANGLING_MOD)
+    feed_dir = str(tmp_path / "feed")
+    materialize_feed(txn_feed, feed_dir, n_segments=2)
+
+    p = CdcPipeline(
+        spark, str(tmp_path / "table"), str(tmp_path / "ckpt"),
+        n_buckets=8, txn_consistent=True, from_json_payload=True,
+    )
+    q = p.start(feed_dir, max_files_per_trigger=1, available_now=True)
+    q.awaitTermination()
+
+    pdf = feed.toPandas()
+    committed = pdf[(pdf["seq"] // SPAN) % DANGLING_MOD != 0]
+    got = (
+        p.table.read()
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+        .toPandas()
+    )
+    assert_final_state_equal(got, pandas_fold(committed))
+
+
 def test_stateful_txn_buffer_dangling_txn_never_emits(spark, tmp_path):
     _seg(spark, tmp_path, "b1", [(1, "U", 10, "c1", "a"), (2, "B", 11, None, None)])
     _seg(spark, tmp_path, "b2", [(3, "U", 11, "c2", "also-open")])
