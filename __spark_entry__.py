@@ -587,6 +587,19 @@ def q_token_count(spark, sf_dir):
     return token_count(docs).select("doc_id", "n_tokens")
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Keyword extraction: top-5 terms per document ranked by tf/df
+    (≡ tf·idf order without a transcendental, so the double compare is
+    IEEE-exact in both engines — operators/text.tfidf_top_terms).
+    Plan: shuffle-free token explode → two hash aggs (partial+final) →
+    keyed join on term → per-doc window top-k."""
+    from nifi_spark.operators.text import tfidf_top_terms
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, id_col="doc_id", text_col="text", k=5)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 def q_chunk_documents(spark, sf_dir):
     """Training-data chunking: 16-token windows sliding by 12 (overlap 4),
     one row per chunk, shuffle-free JVM plan (operators/text.py)."""
@@ -1512,6 +1525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_before_after": q_cdc_before_after,
         "txn_filter": q_txn_filter,
         "txn_group": q_txn_group,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "route_on_attribute": q_route_on_attribute,
         "route_text": q_route_text,
         "update_record": q_update_record,
@@ -1653,6 +1667,27 @@ def oracle_sql() -> dict[str, str]:
                    user_id, event_type, value
             FROM t
             WHERE tid % 13 = 3 OR tid % 10 <> 7
+        """,
+        "tfidf_top_terms": """
+            WITH toks AS (
+                SELECT doc_id, t.term
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(text), '[^a-z]+')) AS t(term)
+                WHERE length(t.term) >= 2
+            ), tf AS (
+                SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), dfq AS (
+                SELECT term, count(*) AS df FROM tf GROUP BY 1
+            )
+            SELECT doc_id, term, tf, df, rank FROM (
+                SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY CAST(tf.tf AS DOUBLE) / CAST(dfq.df AS DOUBLE) DESC,
+                                    tf.term ASC
+                       ) AS rank
+                FROM tf JOIN dfq USING (term)
+            ) WHERE rank <= 5
         """,
         "txn_group": """
             SELECT event_id // 20 AS txn_id,

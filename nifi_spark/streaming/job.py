@@ -644,6 +644,12 @@ def _cli(argv: list[str] | None = None) -> None:
                    help="feed is transaction-delimited (txn_id + op='C' markers); "
                         "hold events until their transaction commits")
     p.add_argument("--txn-abandoned-ttl-ms", type=int, default=None)
+    p.add_argument("--bootstrap-from", default=None,
+                   help="parquet path of a consistent snapshot image to load "
+                        "before streaming (initial load -> incremental handoff)")
+    p.add_argument("--bootstrap-seq", type=int, default=None,
+                   help="log position the snapshot is consistent as of "
+                        "(required with --bootstrap-from)")
     p.add_argument("--sink-mode", choices=["merge", "append"], default="merge",
                    help="copy-on-write merge per batch, or merge-on-read append + compaction cadence")
     p.add_argument("--compact-every", type=int, default=16,
@@ -669,6 +675,13 @@ def _cli(argv: list[str] | None = None) -> None:
         txn_consistent=args.txn_consistent,
         txn_abandoned_ttl_ms=args.txn_abandoned_ttl_ms,
     )
+    if args.bootstrap_from:
+        if args.bootstrap_seq is None:
+            p.error("--bootstrap-from requires --bootstrap-seq")
+        if not pipe.table.exists():
+            pipe.bootstrap(
+                spark.read.parquet(args.bootstrap_from), args.bootstrap_seq
+            )
     pipe.run_to_completion(
         args.feed_dir,
         max_files_per_trigger=args.max_files_per_trigger,

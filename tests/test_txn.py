@@ -159,6 +159,11 @@ def test_pipeline_txn_consistent_end_to_end(spark, tmp_path):
     )
     assert_final_state_equal(got, pandas_fold(committed))
 
+    # provenance: apply-time accounting is clean under the txn-aware audit
+    # (held-over transactions legally apply inside an earlier batch's span)
+    from nifi_spark.lineage import lineage_audit
+    assert lineage_audit(spark, p.table_path, txn_mode=True).count() == 0
+
     # replay the drained feed against the same checkpoint: no-op
     v = p.table.current_version()
     p2 = CdcPipeline(
