@@ -84,6 +84,8 @@ HEADLINE_QUERIES = [
     "doc_fingerprint",
     "quality_score",
     "chunk_documents",
+    "tfidf_top_terms",
+    "txn_filter",
     "jslt_transform",
     "multimodal_decode",
 ]
