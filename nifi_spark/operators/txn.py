@@ -61,22 +61,30 @@ def txn_complete_filter(
     BEGIN/COMMIT, reference CaptureChangeMySQL.java:963-979) and admit
     immediately.
 
-    One keyed shuffle: the commit set (one row per committed txn) is
-    distinct-aggregated, then a left_semi + left_anti join pair on
-    ``txn_col`` — both reuse the same exchange of the data side.
+    ONE scan of the data side per returned frame: the commit set (one
+    row per committed txn, distinct-aggregated — broadcast when small,
+    AQE decides at runtime) left-joins the data once and a flag filter
+    splits committed from pending; NULL-``txn_col`` rows never match the
+    join key and fall through as committed-by-default. No union, no
+    second scan, no anti-join pass.
     """
     commits = (
         events.filter(_is_commit(op_col, commit_op))
         .select(txn_col)
         .distinct()
+        .withColumn("_committed", F.lit(True))
     )
     boundary = [commit_op] + ([begin_op] if begin_op else [])
     data = events.filter(~F.col(op_col).isin(boundary))
-    transactional = data.filter(F.col(txn_col).isNotNull())
-    free = data.filter(F.col(txn_col).isNull())
-    committed = transactional.join(commits, on=txn_col, how="left_semi")
-    pending = transactional.join(commits, on=txn_col, how="left_anti")
-    return committed.unionByName(free), pending
+    flagged = data.join(commits, on=txn_col, how="left")
+    out_cols = [F.col(c) for c in events.columns]
+    committed = flagged.filter(
+        F.col(txn_col).isNull() | F.col("_committed").isNotNull()
+    ).select(*out_cols)
+    pending = flagged.filter(
+        F.col(txn_col).isNotNull() & F.col("_committed").isNull()
+    ).select(*out_cols)
+    return committed, pending
 
 
 def txn_group(
