@@ -265,11 +265,27 @@ class LakeTable:
     def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16):
         self.spark = spark
         self.path = path.rstrip("/")
-        self.n_buckets = n_buckets
+        self._req_buckets = n_buckets
+        self._nb: int | None = None
         self._io = FsIO(spark, self.path)
         # Immutable-by-version caches: manifest JSON and resolved file maps.
         self._mcache: dict[int, dict] = {}
         self._fcache: dict[int, dict[str, list[str]]] = {}
+
+    @property
+    def n_buckets(self) -> int:
+        """Bucket count — the MANIFEST's once the table exists (the layout
+        is a property of the data, not of whoever opens it: a caller
+        re-opening a 64-bucket table with the default 16 would otherwise
+        silently hash keys to different buckets and the merge join would
+        duplicate keys across buckets). The constructor value only seeds
+        the layout of a table this instance creates."""
+        if self._nb is None:
+            if not self.exists():
+                return self._req_buckets  # uncached: table may appear later
+            m = self._manifest()
+            self._nb = int(m.get("n_buckets", self._req_buckets))
+        return self._nb
 
     # ---------- commit log ----------
 

@@ -323,3 +323,31 @@ def test_illegal_type_evolution_raises(spark, tmp_path):
             spark.createDataFrame([(2, "U", "c1", 3)], "seq long, op string, k string, x int"),
             ["k"], batch_id=2,
         )
+
+
+def test_reopen_adopts_manifest_bucket_count(spark, tmp_path):
+    """Re-opening an existing table with a different n_buckets must adopt
+    the manifest's layout — otherwise keys hash to different buckets and
+    the merge join silently duplicates them."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    t8 = LakeTable(spark, path, n_buckets=8)
+    df = spark.createDataFrame(
+        [(f"k{i}", 0, f"v{i}", 1) for i in range(50)],
+        "conv_id string, turn_idx int, text string, seq long",
+    )
+    t8.merge_events(df.withColumn("op", F.lit("I")), ["conv_id", "turn_idx"], batch_id=0)
+
+    # reopen with a mismatched constructor value
+    t64 = LakeTable(spark, path, n_buckets=64)
+    assert t64.n_buckets == 8
+    upd = spark.createDataFrame(
+        [(f"k{i}", 0, f"v{i}b", 2) for i in range(50)],
+        "conv_id string, turn_idx int, text string, seq long",
+    )
+    t64.merge_events(upd.withColumn("op", F.lit("U")), ["conv_id", "turn_idx"], batch_id=1)
+
+    out = t64.read().select("conv_id", "text").collect()
+    assert len(out) == 50  # no duplicated keys across buckets
+    assert all(r["text"].endswith("b") for r in out)
