@@ -386,7 +386,34 @@ def stream_bench() -> dict:
             f.write(str(n))
     with open(marker) as f:
         n = int(f.read().strip())
-    def drain(sink_mode: str) -> dict:
+    # transaction-delimited variant of the same feed (txn_id column +
+    # op='C' marker rows), for costing txn_consistent mode: the extra
+    # keyed stateful shuffle per micro-batch is the price of
+    # BEGIN→COMMIT atomicity.
+    txn_feed_dir = STREAM_FEED_DIR.rstrip("/") + "_txn"
+    txn_marker = os.path.join(txn_feed_dir, "_COUNT")
+    if not os.path.exists(txn_marker):
+        from nifi_spark.feedgen import with_transactions
+
+        full = generate_change_feed(
+            spark,
+            n_conversations=60_000,
+            max_turns=8,
+            max_edits=4,
+            seed=43,
+            hot_keys=50,
+            hot_extra_edits=40,
+        )
+        txn = with_transactions(full, txn_seq_span=2_000_000_000)
+        txn.select("payload_json", "source_file", "source_pos", "txn_id") \
+            .repartition(STREAM_BATCHES).write.mode("overwrite").parquet(txn_feed_dir)
+        n_txn = spark.read.parquet(txn_feed_dir).count()
+        with open(txn_marker, "w") as f:
+            f.write(str(n_txn))
+    with open(txn_marker) as f:
+        n_txn = int(f.read().strip())
+
+    def drain(sink_mode: str, txn: bool = False) -> dict:
         work = tempfile.mkdtemp(prefix=f"bench_stream_{sink_mode}_")
         try:
             pipe = CdcPipeline(
@@ -397,27 +424,34 @@ def stream_bench() -> dict:
                 from_json_payload=True,
                 sink_mode=sink_mode,
                 compact_every=16,
+                txn_consistent=txn,
             )
             t0 = time.time()
-            pipe.run_to_completion(STREAM_FEED_DIR, max_files_per_trigger=1)
+            pipe.run_to_completion(
+                txn_feed_dir if txn else STREAM_FEED_DIR,
+                max_files_per_trigger=1,
+            )
             wall = time.time() - t0
         finally:
             shutil.rmtree(work, ignore_errors=True)
+        n_ev = n_txn if txn else n
         return {
             "wall_sec": round(wall, 3),
             "batches_per_sec": round(STREAM_BATCHES / wall, 3),
-            "events_per_sec": round(n / wall),
+            "events_per_sec": round(n_ev / wall),
             "sec_per_batch": round(wall / STREAM_BATCHES, 3),
         }
 
     # append (merge-on-read + compaction cadence) is the production
     # steady-state shape — the headline; copy-on-write merge alongside
-    # shows the per-batch cost the MOR path removes.
+    # shows the per-batch cost the MOR path removes; txn shows the
+    # stateful-buffer surcharge for transaction atomicity.
     out = {
         "n_batches": STREAM_BATCHES,
         "n_events": n,
         "append": drain("append"),
         "merge": drain("merge"),
+        "txn": drain("append", txn=True),
     }
     out.update(out["append"])  # headline numbers = append mode
     return out
@@ -501,12 +535,19 @@ def _stream_section(result: dict) -> str:
 | sink mode | wall s | s/batch | events/s |
 |---|---|---|---|
 | append (merge-on-read + compaction cadence) | {s['append']['wall_sec']} | {s['append']['sec_per_batch']} | {s['append']['events_per_sec']:,} |
-| merge (copy-on-write) | {s['merge']['wall_sec']} | {s['merge']['sec_per_batch']} | {s['merge']['events_per_sec']:,} |
+| merge (copy-on-write) | {s['merge']['wall_sec']} | {s['merge']['sec_per_batch']} | {s['merge']['events_per_sec']:,} |"""
+        if "txn" in s:
+            modes += f"""
+| append + txn_consistent (BEGIN/COMMIT atomicity) | {s['txn']['wall_sec']} | {s['txn']['sec_per_batch']} | {s['txn']['events_per_sec']:,} |"""
+        modes += """
 
 Append mode commits O(batch) delta files per micro-batch (never rewrites
 the base), LWW-folds on read, and repays merge-on-read debt via partial
 compaction every 16 batches — the per-batch shape a thousand-batch
-production stream needs. Headline numbers above are append mode.
+production stream needs. Headline numbers above are append mode. The
+txn row adds the keyed stateful buffer (commit-gated admission) to the
+same append path — its delta over plain append is the price of
+transaction atomicity.
 """
     return f"""
 ## Streaming micro-batch drain ({s['n_batches']} batches, maxFilesPerTrigger=1)

@@ -775,6 +775,64 @@ class LakeTable:
             if f.endswith(".parquet")
         ]
 
+    def rebucket(self, new_n_buckets: int) -> int:
+        """Layout evolution: rewrite the table under a new bucket count —
+        for when key cardinality outgrows the created layout (≙ Iceberg
+        partition-spec evolution: changing the bucket(N, key) transform).
+        At 100× growth a 16-bucket table serializes every merge onto 16
+        tasks; this is the maintenance op that restores write parallelism.
+
+        One full keyed shuffle of live rows (tombstones and their _seq
+        survive — the LWW guard must keep working across the rewrite);
+        merge-on-read delta generations are folded in, so the new layout
+        starts with zero MOR debt. Commits a flattened manifest (depth 0,
+        no base pointer). Single-writer op: a concurrent commit during
+        the rewrite raises CommitConflict and the caller re-runs.
+        """
+        if new_n_buckets < 1:
+            raise ValueError(f"new_n_buckets must be >= 1, got {new_n_buckets}")
+        base_version = self.current_version()
+        head = self._manifest(base_version)
+        if head is None:
+            raise CommitConflict("cannot rebucket an empty table")
+        key_cols = list(head["key_cols"])
+        rows = self.read_raw(version=base_version)
+        if head.get("mor_buckets"):
+            rows = self._lww_fold_read(rows, key_cols)
+        rebucketed = rows.withColumn(
+            "_bucket",
+            F.pmod(F.xxhash64(F.col(key_cols[0])), F.lit(new_n_buckets)).cast("int"),
+        )
+        files = self._write_partitioned(
+            rebucketed.repartition(new_n_buckets, F.col("_bucket")),
+            f"v{uuid.uuid4().hex[:12]}",
+        )
+
+        def build(h: dict | None) -> dict:
+            if h is None or h["version"] != base_version:
+                raise CommitConflict(
+                    "table changed during rebucket — re-run against the new head"
+                )
+            return {
+                "schema": h["schema"],
+                "n_buckets": int(new_n_buckets),
+                "key_cols": key_cols,
+                "files": files,
+                "base": None,
+                "depth": 0,
+                "mor_buckets": [],
+                "delta_files": [],
+                "summary": {
+                    "rebucketed_from": self.n_buckets,
+                    "batch_id": h.get("summary", {}).get("batch_id"),
+                },
+                "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            }
+
+        version = self._commit(build)
+        self._nb = int(new_n_buckets)  # refresh the adopted layout
+        return version
+
     def create(
         self, df: DataFrame, key_cols: list[str], seq_col: str = "_seq", summary: dict | None = None
     ) -> int:
@@ -1375,15 +1433,17 @@ def _cli(argv: list[str] | None = None) -> None:
         python -m nifi_spark.sinks.laketable compact --table <path> [--purge-below-seq N]
         python -m nifi_spark.sinks.laketable compact-mor --table <path>
         python -m nifi_spark.sinks.laketable expire --table <path> [--keep 10]
+        python -m nifi_spark.sinks.laketable rebucket --table <path> --new-buckets 256
     """
     import argparse
 
     p = argparse.ArgumentParser(description="LakeTable maintenance")
-    p.add_argument("action", choices=["compact", "compact-mor", "expire"])
+    p.add_argument("action", choices=["compact", "compact-mor", "expire", "rebucket"])
     p.add_argument("--table", required=True)
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--keep", type=int, default=10)
     p.add_argument("--purge-below-seq", type=int, default=None)
+    p.add_argument("--new-buckets", type=int, default=None)
     args = p.parse_args(argv)
 
     from ..session import get_spark
@@ -1396,6 +1456,11 @@ def _cli(argv: list[str] | None = None) -> None:
         mor = [int(b) for b in (t._manifest() or {}).get("mor_buckets", [])]
         v = t.compact_buckets(mor, purge_tombstones_below_seq=args.purge_below_seq) if mor else None
         print(json.dumps({"action": "compact-mor", "buckets": mor, "version": v}))
+    elif args.action == "rebucket":
+        if args.new_buckets is None:
+            p.error("rebucket requires --new-buckets")
+        v = t.rebucket(args.new_buckets)
+        print(json.dumps({"action": "rebucket", "n_buckets": args.new_buckets, "version": v}))
     else:
         out = t.expire_snapshots(keep_n=args.keep)
         print(json.dumps({"action": "expire", **out}))

@@ -351,3 +351,52 @@ def test_reopen_adopts_manifest_bucket_count(spark, tmp_path):
     out = t64.read().select("conv_id", "text").collect()
     assert len(out) == 50  # no duplicated keys across buckets
     assert all(r["text"].endswith("b") for r in out)
+
+
+def test_rebucket_layout_evolution(spark, tmp_path):
+    """rebucket() rewrites the table under a new bucket count: state
+    identical, tombstone guard intact, MOR debt folded away, merges keep
+    working under the new layout."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "t")
+    t = LakeTable(spark, path, n_buckets=4)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, text string, seq long"
+    )
+    ins = mk([(f"k{i}", 0, f"v{i}", 1) for i in range(40)])
+    t.merge_events(ins.withColumn("op", F.lit("I")), ["conv_id", "turn_idx"], batch_id=0)
+    # a delete whose tombstone must survive the rewrite
+    t.merge_events(
+        mk([("k0", 0, None, 5)]).withColumn("op", F.lit("D")),
+        ["conv_id", "turn_idx"], batch_id=1,
+    )
+    # merge-on-read debt that must fold away
+    t.append_events(
+        mk([("k1", 0, "v1-mor", 6)]).withColumn("op", F.lit("U")),
+        ["conv_id", "turn_idx"], batch_id=2,
+    )
+    before = {(r.conv_id, r.text) for r in t.read().select("conv_id", "text").collect()}
+
+    v = t.rebucket(16)
+    assert t.n_buckets == 16
+    m = t._manifest(v)
+    assert m["n_buckets"] == 16 and m["mor_buckets"] == [] and m["base"] is None
+    after = {(r.conv_id, r.text) for r in t.read().select("conv_id", "text").collect()}
+    assert after == before and ("k1", "v1-mor") in after
+
+    # stale update for the deleted key must still lose to the tombstone
+    t2 = LakeTable(spark, path)  # fresh open adopts 16
+    assert t2.n_buckets == 16
+    t2.merge_events(
+        mk([("k0", 0, "stale", 3)]).withColumn("op", F.lit("U")),
+        ["conv_id", "turn_idx"], batch_id=3,
+    )
+    assert t2.read().filter(F.col("conv_id") == "k0").count() == 0
+    # and a genuinely newer write works under the new layout
+    t2.merge_events(
+        mk([("k2", 0, "v2-new", 9)]).withColumn("op", F.lit("U")),
+        ["conv_id", "turn_idx"], batch_id=4,
+    )
+    got = t2.read().filter(F.col("conv_id") == "k2").collect()
+    assert [r.text for r in got] == ["v2-new"]
