@@ -59,16 +59,32 @@ class CdcPipeline:
         compact_every: int = 16,
         txn_consistent: bool = False,
         txn_abandoned_ttl_ms: int | None = None,
+        txn_via_state: bool = False,
+        txn_marker_keep: int = 8,
     ):
         """``txn_consistent``: the feed is transaction-delimited
         (schema.CHANGE_EVENTS_TXN — every event carries ``txn_id``, the
-        log contains op='C' commit markers). The streaming plan gains a
-        keyed stateful buffer (stateful.stateful_txn_buffer) that holds a
-        transaction's events across micro-batches until its commit
-        arrives, so a dangling half-transaction never reaches the merge —
-        CaptureChangeMySQL's BEGIN→COMMIT atomicity (reference
-        CaptureChangeMySQL.java:947-1024). ``txn_abandoned_ttl_ms`` drops
-        transactions with no commit after that much processing time.
+        log contains op='C' commit markers). Only committed transactions'
+        events reach the merge — CaptureChangeMySQL's BEGIN→COMMIT
+        atomicity (reference CaptureChangeMySQL.java:947-1024). Two
+        implementations:
+
+        - default (``txn_via_state=False``): JVM pending-store gate in
+          ``apply_batch`` — the batch unions the (tiny) carryover of
+          still-open transactions from the checkpoint-adjacent pending
+          store, one broadcast join against the commit set splits
+          committed from pending, and the new pending set (O(open
+          transactions), normally ≈ the last partial transaction of the
+          batch) is rewritten. Steady-state cost: one small extra write
+          per batch; NO per-event Python and NO full-stream stateful
+          shuffle. Replay-safe: pending generations are keyed by the
+          producing batch id and re-derived identically on replay.
+        - ``txn_via_state=True``: keyed stateful buffer in the streaming
+          plan (stateful.stateful_txn_buffer) — the applyInPandasWithState
+          formulation; supports ``txn_abandoned_ttl_ms`` (drop a
+          transaction with no commit after that much processing time).
+          Pays a full keyed shuffle + Arrow round-trip per batch; use
+          when per-key TTL semantics matter more than throughput.
 
         ``sink_mode``:
 
@@ -96,8 +112,11 @@ class CdcPipeline:
         self.from_json_payload = from_json_payload
         self.txn_consistent = txn_consistent
         self.txn_abandoned_ttl_ms = txn_abandoned_ttl_ms
+        self.txn_via_state = txn_via_state
+        self.txn_marker_keep = txn_marker_keep
         self.table_path = table_path
         self._wm_path = os.path.join(checkpoint_dir, "engine_watermark.json")
+        self._pending_dir = os.path.join(checkpoint_dir, "txn_pending")
         # Pre-built Column expression trees, reused every micro-batch.
         # Columns are immutable unresolved expressions, so building the
         # ~40 of them once removes that many Py4J round-trips per batch —
@@ -131,21 +150,33 @@ class CdcPipeline:
         # LakeTable.evolve (≙ CaptureChangeMySQL INCLUDE_DDL_EVENTS,
         # CaptureChangeMySQL.java:353-362).
         self._is_ddl = F.col("op").eqNullSafe("ddl")
+        # BEGIN/COMMIT transaction markers are key-less control rows too —
+        # they must reach the txn gate/buffer, not the DLQ (the gate
+        # consumes them; they never reach the merge).
+        self._is_marker = F.col("op").isin("C", "B")
         self._bad_cond = (
             F.col("seq").isNull()
             | F.col("op").isNull()
             | (
                 (F.col("conv_id").isNull() | F.col("turn_idx").isNull())
                 & ~self._is_ddl
+                & ~self._is_marker
             )
         )
-        self._good = ~F.col("_bad") & ~F.col("_late") & ~self._is_ddl
+        # markers excluded from the data path everywhere: the txn gate /
+        # buffer consumes them in txn mode, and a non-txn pipeline fed a
+        # transaction-delimited log suppresses them (≙ CaptureChangeMySQL
+        # INCLUDE_BEGIN_COMMIT=false, CaptureChangeMySQL.java:342-351)
+        self._good = (
+            ~F.col("_bad") & ~F.col("_late") & ~self._is_ddl & ~self._is_marker
+        )
         _gw = lambda c: F.when(self._good, c)  # noqa: E731
         self._obs_aggs = [
             F.count(F.lit(1)).alias("total"),
             F.sum(F.col("_bad").cast("long")).alias("n_bad"),
             F.sum(F.col("_late").cast("long")).alias("n_late"),
             F.sum((self._is_ddl & ~F.col("_bad")).cast("long")).alias("n_ddl"),
+            F.sum((self._is_marker & ~F.col("_bad")).cast("long")).alias("n_marker"),
             F.max(_gw(F.unix_timestamp("ts"))).alias("mx"),
             F.min(_gw(F.col("source_pos"))).alias("min_pos"),
             F.max(_gw(F.col("source_pos"))).alias("max_pos"),
@@ -177,6 +208,88 @@ class CdcPipeline:
         prev = self._load_watermark() or 0
         with open(self._wm_path, "w") as f:
             json.dump({"max_ts_epoch": max(prev, max_ts_epoch)}, f)
+
+    # ---------- JVM txn gate (pending store) ----------
+
+    def _pending_before(self, batch_id: int) -> tuple[str | None, list[int]]:
+        """Path of the newest pending generation produced by a batch BELOW
+        ``batch_id`` (a replayed batch may already have written its own
+        generation — that one must not feed itself), plus all generation
+        ids present."""
+        if not os.path.isdir(self._pending_dir):
+            return None, []
+        gens = sorted(
+            int(name.split("_", 1)[1])
+            for name in os.listdir(self._pending_dir)
+            if name.startswith("b_")
+        )
+        prior = [g for g in gens if g < batch_id]
+        path = (
+            os.path.join(self._pending_dir, f"b_{prior[-1]}") if prior else None
+        )
+        return path, gens
+
+    def _txn_gate(self, flagged: DataFrame, batch_id: int) -> DataFrame:
+        """Transaction-consistent admission without per-event state: union
+        the carryover store (pending store, O(open transactions +
+        recent commit markers) — normally just the batch-boundary partial
+        txn), split committed-vs-pending with ONE broadcast join against
+        the commit set (operators/txn.txn_complete_filter), persist the
+        new carryover generation keyed by this batch id, admit the
+        committed side. Bad rows bypass the gate (they belong to the DLQ,
+        not to a transaction).
+
+        The carryover holds TWO kinds of rows:
+
+        - pending data events of still-open transactions (no TTL — an
+          open transaction holds until its commit or end-of-log);
+        - recently seen COMMIT markers, kept ``txn_marker_keep`` more
+          generations so a member event arriving a batch or two AFTER its
+          commit marker (bounded arrival disorder at a segment boundary)
+          still matches — the pending-store analog of the stateful
+          buffer's committed-flag straggler pass-through. Markers retire
+          after the TTL, bounding the store; a straggler later than that
+          is treated as abandoned, the same contract the buffer's
+          processing-time TTL gives.
+
+        Exactly-once under replay: the gate always consumes the newest
+        generation BELOW this batch id and rewriting generation
+        ``b_{batch_id}`` is deterministic from (carryover, batch), so a
+        replayed batch re-derives identical admitted/pending sets.
+        Generations older than the consumed one are retired inline.
+        """
+        import shutil
+
+        from ..operators.txn import txn_complete_filter
+
+        prev_path, gens = self._pending_before(batch_id)
+        batch = flagged.withColumn("_gate_age", F.lit(0))
+        src = batch
+        if prev_path is not None:
+            src = batch.unionByName(self.spark.read.parquet(prev_path))
+        bad = src.filter(F.col("_bad"))
+        ok = src.filter(~F.col("_bad"))
+        committed, pending = txn_complete_filter(ok, txn_col="txn_id", op_col="op")
+        markers = ok.filter(
+            (F.col("op") == "C") & (F.col("_gate_age") < self.txn_marker_keep)
+        )
+        carry = pending.unionByName(markers).withColumn(
+            "_gate_age", F.col("_gate_age") + 1
+        )
+        out_dir = os.path.join(self._pending_dir, f"b_{batch_id}")
+        # repartition (not coalesce): coalesce(1) would collapse the whole
+        # upstream join onto one task; an explicit exchange keeps the join
+        # parallel and only the tiny carryover lands on a single writer
+        carry.repartition(1).write.mode("overwrite").parquet(out_dir)
+        if prev_path is not None:
+            consumed = int(os.path.basename(prev_path).split("_", 1)[1])
+            for g in gens:
+                if g < consumed:
+                    shutil.rmtree(
+                        os.path.join(self._pending_dir, f"b_{g}"),
+                        ignore_errors=True,
+                    )
+        return committed.unionByName(bad).drop("_gate_age")
 
     # ---------- snapshot bootstrap (initial load → incremental handoff) ----------
 
@@ -300,8 +413,22 @@ class CdcPipeline:
                     cutoff = F.timestamp_seconds(F.lit(prev_max - self.watermark_delay_s))
                     late_cond = F.col("ts") < cutoff
             flagged = bad_flagged.withColumn("_late", ~F.col("_bad") & late_cond)
-        if self.sink_mode == "append":
-            return self._apply_batch_fused(flagged, batch_id, metrics)
+        gate_cache = None
+        if self.txn_consistent and not self.txn_via_state:
+            # cache the flagged batch across the gate's TWO consumers (the
+            # pending-store write and the admitted side feeding the sink):
+            # without it every gate job re-runs the batch scan + parse
+            gate_cache = flagged.cache()
+            flagged = self._txn_gate(gate_cache, batch_id)
+        try:
+            if self.sink_mode == "append":
+                return self._apply_batch_fused(flagged, batch_id, metrics)
+            return self._apply_batch_merge(flagged, batch_id, metrics)
+        finally:
+            if gate_cache is not None:
+                gate_cache.unpersist()
+
+    def _apply_batch_merge(self, flagged, batch_id: int, metrics: dict) -> dict:
         flagged = flagged.cache()
         try:
             good = self._good
@@ -314,6 +441,7 @@ class CdcPipeline:
                 F.sum(F.col("_bad").cast("long")).alias("n_bad"),
                 F.sum(F.col("_late").cast("long")).alias("n_late"),
                 F.sum((self._is_ddl & ~F.col("_bad")).cast("long")).alias("n_ddl"),
+                F.sum((self._is_marker & ~F.col("_bad")).cast("long")).alias("n_marker"),
                 F.max(gw(F.unix_timestamp("ts"))).alias("mx"),
                 F.min(gw(F.col("source_pos"))).alias("min_pos"),
                 F.max(gw(F.col("source_pos"))).alias("max_pos"),
@@ -324,8 +452,10 @@ class CdcPipeline:
             n_dlq = sum(int(r["n_bad"] or 0) for r in per_file)
             n_late = sum(int(r["n_late"] or 0) for r in per_file)
             n_ddl = sum(int(r["n_ddl"] or 0) for r in per_file)
+            n_marker = sum(int(r["n_marker"] or 0) for r in per_file)
             n_events = (
-                sum(int(r["total"] or 0) for r in per_file) - n_dlq - n_late - n_ddl
+                sum(int(r["total"] or 0) for r in per_file)
+                - n_dlq - n_late - n_ddl - n_marker
             )
             metrics.update(n_events=n_events, n_late=n_late, n_dlq=n_dlq, n_ddl=n_ddl)
             ddl_cols = self._collect_ddl(flagged) if n_ddl else {}
@@ -398,12 +528,12 @@ class CdcPipeline:
                             "max_pos": r["max_pos"],
                             "min_seq": r["min_seq"],
                             "max_seq": r["max_seq"],
-                            "n_events": int(r["total"]) - int(r["n_bad"] or 0) - int(r["n_late"] or 0) - int(r["n_ddl"] or 0),
+                            "n_events": int(r["total"]) - int(r["n_bad"] or 0) - int(r["n_late"] or 0) - int(r["n_ddl"] or 0) - int(r["n_marker"] or 0),
                             "n_late": int(n_late),
                             "committed_at": committed_at,
                         }
                         for r in per_file
-                        if int(r["total"]) - int(r["n_bad"] or 0) - int(r["n_late"] or 0) - int(r["n_ddl"] or 0) > 0
+                        if int(r["total"]) - int(r["n_bad"] or 0) - int(r["n_late"] or 0) - int(r["n_ddl"] or 0) - int(r["n_marker"] or 0) > 0
                     ],
                     self.table_path,
                 )
@@ -481,7 +611,8 @@ class CdcPipeline:
         n_dlq = int(row["n_bad"] or 0)
         n_late = int(row["n_late"] or 0)
         n_ddl = int(row["n_ddl"] or 0)
-        n_events = int(row["total"] or 0) - n_dlq - n_late - n_ddl
+        n_marker = int(row["n_marker"] or 0)
+        n_events = int(row["total"] or 0) - n_dlq - n_late - n_ddl - n_marker
         metrics.update(
             n_events=n_events, n_late=n_late, n_dlq=n_dlq, n_ddl=n_ddl,
             version=version,
@@ -591,11 +722,13 @@ class CdcPipeline:
             )
         else:
             stream = stream.withColumn("_bad", F.lit(False))
-        if self.txn_consistent:
+        if self.txn_consistent and self.txn_via_state:
             # Commit-gated admission ahead of the sink: hold each
             # transaction's events in keyed state until its op='C' marker
             # arrives (markers are consumed here, never emitted), so
             # apply_batch only ever sees commit-complete data events.
+            # (The default JVM pending-store gate runs inside apply_batch
+            # instead — see _txn_gate.)
             from .stateful import stateful_txn_buffer
 
             stream = stateful_txn_buffer(
@@ -644,6 +777,9 @@ def _cli(argv: list[str] | None = None) -> None:
                    help="feed is transaction-delimited (txn_id + op='C' markers); "
                         "hold events until their transaction commits")
     p.add_argument("--txn-abandoned-ttl-ms", type=int, default=None)
+    p.add_argument("--txn-via-state", action="store_true",
+                   help="use the keyed stateful buffer instead of the default "
+                        "JVM pending-store gate (enables abandoned-txn TTL)")
     p.add_argument("--bootstrap-from", default=None,
                    help="parquet path of a consistent snapshot image to load "
                         "before streaming (initial load -> incremental handoff)")
@@ -674,6 +810,7 @@ def _cli(argv: list[str] | None = None) -> None:
         compact_every=args.compact_every,
         txn_consistent=args.txn_consistent,
         txn_abandoned_ttl_ms=args.txn_abandoned_ttl_ms,
+        txn_via_state=args.txn_via_state,
     )
     if args.bootstrap_from:
         if args.bootstrap_seq is None:

@@ -124,10 +124,15 @@ def test_stateful_txn_buffer_straggler_after_commit_passes(spark, tmp_path):
     assert [(r.seq, r.text) for r in rows] == [(1, "a"), (3, "late")]
 
 
-def test_pipeline_txn_consistent_end_to_end(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("via_state", [False, True], ids=["jvm-gate", "stateful"])
+def test_pipeline_txn_consistent_end_to_end(spark, tmp_path, via_state):
     """Full CDC replay with transaction-delimited feed: only committed
     transactions' events reach the table (dangling ones never apply),
-    holding works across micro-batches, and replay stays idempotent."""
+    holding works across micro-batches, and replay stays idempotent —
+    under BOTH implementations (JVM pending-store gate / stateful buffer)."""
     from nifi_spark.feedgen import (
         generate_change_feed,
         materialize_feed,
@@ -144,7 +149,7 @@ def test_pipeline_txn_consistent_end_to_end(spark, tmp_path):
 
     p = CdcPipeline(
         spark, str(tmp_path / "table"), str(tmp_path / "ckpt"),
-        n_buckets=8, txn_consistent=True,
+        n_buckets=8, txn_consistent=True, txn_via_state=via_state,
     )
     q = p.start(feed_dir, max_files_per_trigger=1, available_now=True)
     q.awaitTermination()
@@ -168,16 +173,17 @@ def test_pipeline_txn_consistent_end_to_end(spark, tmp_path):
     v = p.table.current_version()
     p2 = CdcPipeline(
         spark, str(tmp_path / "table"), str(tmp_path / "ckpt"),
-        n_buckets=8, txn_consistent=True,
+        n_buckets=8, txn_consistent=True, txn_via_state=via_state,
     )
     q2 = p2.start(feed_dir, max_files_per_trigger=1, available_now=True)
     q2.awaitTermination()
     assert p2.table.current_version() == v
 
 
-def test_pipeline_txn_consistent_json_payload(spark, tmp_path):
+@pytest.mark.parametrize("via_state", [False, True], ids=["jvm-gate", "stateful"])
+def test_pipeline_txn_consistent_json_payload(spark, tmp_path, via_state):
     """Same scenario through the raw-JSON normalization path: commit
-    markers classify via their payload and are consumed by the buffer."""
+    markers classify via their payload and are consumed by the gate."""
     from nifi_spark.feedgen import (
         generate_change_feed,
         materialize_feed,
@@ -195,6 +201,7 @@ def test_pipeline_txn_consistent_json_payload(spark, tmp_path):
     p = CdcPipeline(
         spark, str(tmp_path / "table"), str(tmp_path / "ckpt"),
         n_buckets=8, txn_consistent=True, from_json_payload=True,
+        txn_via_state=via_state,
     )
     q = p.start(feed_dir, max_files_per_trigger=1, available_now=True)
     q.awaitTermination()
