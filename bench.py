@@ -387,10 +387,15 @@ def stream_bench() -> dict:
     with open(marker) as f:
         n = int(f.read().strip())
     # transaction-delimited variant of the same feed (txn_id column +
-    # op='C' marker rows), for costing txn_consistent mode: the extra
-    # keyed stateful shuffle per micro-batch is the price of
-    # BEGIN→COMMIT atomicity.
-    txn_feed_dir = STREAM_FEED_DIR.rstrip("/") + "_txn"
+    # op='C' marker rows), for costing txn_consistent mode. The faithful
+    # binlog shape: transactions are SMALL (txn_seq_span=2000 → ~7 open
+    # txns per micro-batch) and log-CONTIGUOUS (segments range-split by
+    # seq, like materialize_feed), so the gate's carryover is O(one
+    # partial transaction) per batch — the steady state the pending
+    # store is designed for. (A single stream-spanning transaction over
+    # randomly-scattered files is a different, degenerate workload: the
+    # carryover grows to the whole prefix and the drain goes quadratic.)
+    txn_feed_dir = STREAM_FEED_DIR.rstrip("/") + "_txn_v2"
     txn_marker = os.path.join(txn_feed_dir, "_COUNT")
     if not os.path.exists(txn_marker):
         from nifi_spark.feedgen import with_transactions
@@ -404,9 +409,15 @@ def stream_bench() -> dict:
             hot_keys=50,
             hot_extra_edits=40,
         )
-        txn = with_transactions(full, txn_seq_span=2_000_000_000)
-        txn.select("payload_json", "source_file", "source_pos", "txn_id") \
-            .repartition(STREAM_BATCHES).write.mode("overwrite").parquet(txn_feed_dir)
+        txn = with_transactions(full, txn_seq_span=2_000)
+        (
+            txn.select("payload_json", "source_file", "source_pos", "txn_id", "seq")
+            .repartitionByRange(STREAM_BATCHES, "seq")
+            .sortWithinPartitions("seq")
+            .drop("seq")
+            .write.mode("overwrite")
+            .parquet(txn_feed_dir)
+        )
         n_txn = spark.read.parquet(txn_feed_dir).count()
         with open(txn_marker, "w") as f:
             f.write(str(n_txn))
@@ -445,7 +456,7 @@ def stream_bench() -> dict:
     # append (merge-on-read + compaction cadence) is the production
     # steady-state shape — the headline; copy-on-write merge alongside
     # shows the per-batch cost the MOR path removes; txn shows the
-    # stateful-buffer surcharge for transaction atomicity.
+    # pending-store gate's surcharge for BEGIN→COMMIT atomicity.
     out = {
         "n_batches": STREAM_BATCHES,
         "n_events": n,

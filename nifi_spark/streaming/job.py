@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -229,6 +230,33 @@ class CdcPipeline:
         )
         return path, gens
 
+    @staticmethod
+    def _mark_pending_rows(gen_dir: str) -> None:
+        """Stamp the generation with its row count (driver-local parquet
+        footer reads — one tiny file) so the NEXT batch can skip the
+        read+union when the carryover is empty, the steady state of a
+        feed whose transactions commit within a batch."""
+        try:
+            import pyarrow.parquet as pq
+
+            n = sum(
+                pq.read_metadata(os.path.join(gen_dir, f)).num_rows
+                for f in os.listdir(gen_dir)
+                if f.endswith(".parquet")
+            )
+            with open(os.path.join(gen_dir, "_NROWS"), "w") as f:
+                f.write(str(n))
+        except Exception:
+            pass  # marker is an optimization; absence just means "read it"
+
+    @staticmethod
+    def _pending_is_empty(gen_dir: str) -> bool:
+        try:
+            with open(os.path.join(gen_dir, "_NROWS")) as f:
+                return int(f.read().strip()) == 0
+        except Exception:
+            return False
+
     def _txn_gate(self, flagged: DataFrame, batch_id: int) -> DataFrame:
         """Transaction-consistent admission without per-event state: union
         the carryover store (pending store, O(open transactions +
@@ -257,6 +285,16 @@ class CdcPipeline:
         ``b_{batch_id}`` is deterministic from (carryover, batch), so a
         replayed batch re-derives identical admitted/pending sets.
         Generations older than the consumed one are retired inline.
+
+        Returns ``(admitted, persist_thunk)``: the caller runs
+        ``persist_thunk()`` (the pending-store write job) CONCURRENTLY
+        with the admitted side's sink job — the two actions are
+        independent once the shared cached batch materializes, so on a
+        multi-core executor pool the smaller job hides inside the larger
+        one instead of serializing after it. Replay order-independence
+        makes the overlap safe: whichever job survives a crash, the
+        replayed batch re-derives both sides deterministically and the
+        sink dedups by batch id.
         """
         import shutil
 
@@ -265,8 +303,14 @@ class CdcPipeline:
         prev_path, gens = self._pending_before(batch_id)
         batch = flagged.withColumn("_gate_age", F.lit(0))
         src = batch
-        if prev_path is not None:
-            src = batch.unionByName(self.spark.read.parquet(prev_path))
+        if prev_path is not None and not self._pending_is_empty(prev_path):
+            # explicit schema: no per-batch footer-inference job, and an
+            # older generation written BEFORE an additive DDL evolution
+            # reads with nulls for the new columns (schema-on-read)
+            # instead of failing the union
+            src = batch.unionByName(
+                self.spark.read.schema(batch.schema).parquet(prev_path)
+            )
         bad = src.filter(F.col("_bad"))
         ok = src.filter(~F.col("_bad"))
         committed, pending = txn_complete_filter(ok, txn_col="txn_id", op_col="op")
@@ -277,19 +321,24 @@ class CdcPipeline:
             "_gate_age", F.col("_gate_age") + 1
         )
         out_dir = os.path.join(self._pending_dir, f"b_{batch_id}")
-        # repartition (not coalesce): coalesce(1) would collapse the whole
-        # upstream join onto one task; an explicit exchange keeps the join
-        # parallel and only the tiny carryover lands on a single writer
-        carry.repartition(1).write.mode("overwrite").parquet(out_dir)
-        if prev_path is not None:
-            consumed = int(os.path.basename(prev_path).split("_", 1)[1])
-            for g in gens:
-                if g < consumed:
-                    shutil.rmtree(
-                        os.path.join(self._pending_dir, f"b_{g}"),
-                        ignore_errors=True,
-                    )
-        return committed.unionByName(bad).drop("_gate_age")
+
+        def persist() -> None:
+            # repartition (not coalesce): coalesce(1) would collapse the
+            # whole upstream join onto one task; an explicit exchange
+            # keeps the join parallel and only the tiny carryover lands
+            # on a single writer
+            carry.repartition(1).write.mode("overwrite").parquet(out_dir)
+            self._mark_pending_rows(out_dir)
+            if prev_path is not None:
+                consumed = int(os.path.basename(prev_path).split("_", 1)[1])
+                for g in gens:
+                    if g < consumed:
+                        shutil.rmtree(
+                            os.path.join(self._pending_dir, f"b_{g}"),
+                            ignore_errors=True,
+                        )
+
+        return committed.unionByName(bad).drop("_gate_age"), persist
 
     # ---------- snapshot bootstrap (initial load → incremental handoff) ----------
 
@@ -414,17 +463,42 @@ class CdcPipeline:
                     late_cond = F.col("ts") < cutoff
             flagged = bad_flagged.withColumn("_late", ~F.col("_bad") & late_cond)
         gate_cache = None
+        gate_thread = None
+        gate_err: list[BaseException] = []
         if self.txn_consistent and not self.txn_via_state:
+            import threading
+
             # cache the flagged batch across the gate's TWO consumers (the
             # pending-store write and the admitted side feeding the sink):
             # without it every gate job re-runs the batch scan + parse
             gate_cache = flagged.cache()
-            flagged = self._txn_gate(gate_cache, batch_id)
+            flagged, persist_pending = self._txn_gate(gate_cache, batch_id)
+
+            def _run_persist() -> None:
+                try:
+                    persist_pending()
+                except BaseException as e:  # surfaced after join below
+                    gate_err.append(e)
+
+            # overlap the pending-store write with the sink job: the two
+            # actions are independent given the shared cache, so the
+            # scheduler runs them side by side and the smaller job's wall
+            # disappears instead of adding a full serial job per batch
+            gate_thread = threading.Thread(target=_run_persist, daemon=True)
+            gate_thread.start()
         try:
             if self.sink_mode == "append":
                 return self._apply_batch_fused(flagged, batch_id, metrics)
             return self._apply_batch_merge(flagged, batch_id, metrics)
         finally:
+            if gate_thread is not None:
+                gate_thread.join()
+                if gate_err and sys.exc_info()[0] is None:
+                    # a lost pending generation is a correctness gap on
+                    # the NEXT batch — fail the micro-batch; replay
+                    # re-derives both sides (sink dedups by batch id).
+                    # (if the sink job itself raised, keep THAT error)
+                    raise gate_err[0]
             if gate_cache is not None:
                 gate_cache.unpersist()
 
