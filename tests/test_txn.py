@@ -221,3 +221,42 @@ def test_stateful_txn_buffer_dangling_txn_never_emits(spark, tmp_path):
     _seg(spark, tmp_path, "b2", [(3, "U", 11, "c2", "also-open")])
     rows = _drain(spark, tmp_path, "txn_dangling")
     assert rows == []
+
+
+def test_jvm_gate_empty_generation_is_skipped(spark, tmp_path):
+    """When a generation's carryover is empty (all transactions committed
+    in-batch, markers past their keep TTL), the gate stamps _NROWS=0 and
+    the NEXT batch skips the pending read+union entirely (the steady
+    state of a quiet feed). txn_marker_keep=0 retires markers instantly
+    so the carry is empty whenever transactions close within the batch."""
+    import os
+
+    from nifi_spark.feedgen import (
+        generate_change_feed,
+        materialize_feed,
+        with_transactions,
+    )
+    from nifi_spark.streaming.job import CdcPipeline
+
+    feed = generate_change_feed(spark, n_conversations=10, max_turns=4, max_edits=2)
+    # one transaction per whole segment: every txn commits inside its batch
+    txn_feed = with_transactions(feed, txn_seq_span=2_000_000_000)
+    feed_dir = str(tmp_path / "feed")
+    materialize_feed(txn_feed, feed_dir, n_segments=1)
+
+    p = CdcPipeline(
+        spark, str(tmp_path / "table"), str(tmp_path / "ckpt"),
+        n_buckets=4, txn_consistent=True, txn_marker_keep=0,
+    )
+    q = p.start(feed_dir, max_files_per_trigger=1, available_now=True)
+    q.awaitTermination()
+
+    pending = str(tmp_path / "ckpt" / "txn_pending")
+    gens = [d for d in os.listdir(pending) if d.startswith("b_")]
+    assert gens, "gate must persist a generation per batch"
+    for g in gens:
+        with open(os.path.join(pending, g, "_NROWS")) as f:
+            assert int(f.read().strip()) == 0
+        assert p._pending_is_empty(os.path.join(pending, g))
+    # all events applied despite the gate: final state matches the fold
+    assert p.table.read().count() > 0
