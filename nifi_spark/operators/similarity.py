@@ -455,24 +455,32 @@ def pq_topk(
     enc = pq_encode(corpus, codebooks, vec_col).select(
         F.col(id_col).alias("neighbor_id"), "pq_codes"
     )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    # Per-query distance lookup tables — the standard ADC formulation:
+    # the n_codes × m subspace distances are computed ONCE per query
+    # (this projection, over the tiny query side), so the corpus scan
+    # pays m array lookups + (m-1) adds per pair instead of re-deriving
+    # dim subtract-square terms per pair (which would cost the same
+    # arithmetic as the exact scan and forfeit PQ's point). Each LUT
+    # entry folds i ascending and the scan sums j ascending — the exact
+    # order of the inline formulation, so the doubles are bit-identical
+    # and the DuckDB oracle hash is unchanged.
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *[
+            F.array(
+                *[_l2sq_sub(F.col(vec_col), j * sub, cw) for cw in codebooks[j]]
+            ).alias(f"_lut{j}")
+            for j in range(m)
+        ],
+    )
     joined = enc.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     dist = F.lit(0.0)
     for j in range(m):
-        cb = F.array(
-            *[F.array(*[F.lit(float(x)) for x in cw]) for cw in codebooks[j]]
+        dist = dist + F.element_at(
+            F.col(f"_lut{j}"), F.element_at(F.col("pq_codes"), j + 1) + 1
         )
-        cw_sel = F.element_at(cb, F.element_at(F.col("pq_codes"), j + 1) + 1)
-        dj = F.lit(0.0)
-        for i in range(sub):
-            t = (
-                F.element_at(F.col("qv"), j * sub + i + 1).cast("double")
-                - F.element_at(cw_sel, i + 1)
-            )
-            dj = dj + t * t
-        dist = dist + dj
     scored = joined.select(
         "query_id", "neighbor_id", F.round(dist, 6).alias("adc")
     )
