@@ -171,6 +171,40 @@ def q_cdc_replay_transcripts(spark, sf_dir):
     )
 
 
+def q_cdc_changelog(spark, sf_dir):
+    """CDC-OUT: changelog read between two snapshots (LakeTable.changes —
+    ≙ Iceberg incremental changelog scan / Delta Change Data Feed; the
+    emit half of CaptureChangeMySQL's contract, so the landed table can
+    itself feed downstream incremental consumers). Build the north-star
+    table in 3 ordered batches, then diff snapshot v1 (after batch 0)
+    against the head: every key whose LIVE image changed is emitted as
+    I/U/D with the after-image (before-image for D) and the seq that won.
+    The oracle reproduces the classification from two SQL folds of the
+    same derived feed (batch-0-only vs all) FULL OUTER JOINed — equal iff
+    the snapshot-diff images and the I/U/D state machine are right."""
+    from nifi_spark.sinks.laketable import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    feed = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(5)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_seq"),
+    )
+    keys = ["conv_id", "turn_idx"]
+    table = LakeTable(spark, _work_dir("cdc_changelog", sf_dir), n_buckets=8)
+    for b in range(3):
+        batch = feed.filter(F.pmod(F.col("seq"), F.lit(3)) == b)
+        table.merge_events(batch, keys, batch_id=b)
+    return table.changes(from_version=1).select(
+        "op", "conv_id", "turn_idx", "last_type", "last_value", "last_seq",
+        "change_seq",
+    )
+
+
 def q_cdc_scd2_history(spark, sf_dir):
     """Type-2 history fold of the change feed (operators/history.py
     scd2_history — one key-window shuffle): every event becomes a version
@@ -1521,6 +1555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_lww_fold_salted": q_cdc_lww_fold_salted,
         "cdc_replay_transcripts": q_cdc_replay_transcripts,
+        "cdc_changelog": q_cdc_changelog,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_before_after": q_cdc_before_after,
         "txn_filter": q_txn_filter,
@@ -1653,6 +1688,61 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY 1, 2
             HAVING arg_max(event_type, event_id) <> 'error'
+        """,
+        # two folds of the same feed (batch 0 = seq%3=0 at v1; all at head),
+        # FULL OUTER JOIN, I/U/D on live-image transitions — mirrors
+        # LakeTable.changes classification term for term
+        "cdc_changelog": """
+            WITH feed AS (
+                SELECT event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS fop,
+                       'u-' || user_id::VARCHAR AS conv_id,
+                       CAST(event_id % 5 AS INTEGER) AS turn_idx,
+                       event_type AS last_type, value AS last_value,
+                       event_id AS last_seq
+                FROM events
+            ), prev AS (
+                SELECT conv_id, turn_idx,
+                       arg_max(fop, seq) AS fop,
+                       arg_max(last_type, seq) AS last_type,
+                       arg_max(last_value, seq) AS last_value,
+                       arg_max(last_seq, seq) AS last_seq,
+                       max(seq) AS seq
+                FROM feed WHERE seq % 3 = 0
+                GROUP BY 1, 2
+            ), cur AS (
+                SELECT conv_id, turn_idx,
+                       arg_max(fop, seq) AS fop,
+                       arg_max(last_type, seq) AS last_type,
+                       arg_max(last_value, seq) AS last_value,
+                       arg_max(last_seq, seq) AS last_seq,
+                       max(seq) AS seq
+                FROM feed
+                GROUP BY 1, 2
+            ), j AS (
+                SELECT coalesce(c.conv_id, p.conv_id) AS conv_id,
+                       coalesce(c.turn_idx, p.turn_idx) AS turn_idx,
+                       (p.conv_id IS NOT NULL AND p.fop <> 'D') AS live_p,
+                       (c.conv_id IS NOT NULL AND c.fop <> 'D') AS live_c,
+                       p.seq AS p_seq, c.seq AS c_seq,
+                       p.last_type AS p_lt, p.last_value AS p_lv,
+                       p.last_seq AS p_ls,
+                       c.last_type AS c_lt, c.last_value AS c_lv,
+                       c.last_seq AS c_ls
+                FROM cur c FULL OUTER JOIN prev p
+                  ON c.conv_id = p.conv_id AND c.turn_idx = p.turn_idx
+            )
+            SELECT CASE WHEN NOT live_p AND live_c THEN 'I'
+                        WHEN live_p AND NOT live_c THEN 'D'
+                        ELSE 'U' END AS op,
+                   conv_id, turn_idx,
+                   CASE WHEN live_p AND NOT live_c THEN p_lt ELSE c_lt END AS last_type,
+                   CASE WHEN live_p AND NOT live_c THEN p_lv ELSE c_lv END AS last_value,
+                   CASE WHEN live_p AND NOT live_c THEN p_ls ELSE c_ls END AS last_seq,
+                   coalesce(c_seq, p_seq) AS change_seq
+            FROM j
+            WHERE (NOT live_p AND live_c) OR (live_p AND NOT live_c)
+               OR (live_p AND live_c AND c_seq <> p_seq)
         """,
         # committed = txn has a commit marker (txn_id%10<>7); NULL-txn rows
         # (tid%13=3) are non-transactional and always admitted

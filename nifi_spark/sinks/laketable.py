@@ -503,6 +503,143 @@ class LakeTable:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
 
+    def changes(
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        mode: str = "auto",
+    ) -> DataFrame:
+        """Changelog between two committed snapshots — CDC-OUT (≙ Iceberg
+        incremental changelog scan / Delta Change Data Feed; the emit half
+        of CaptureChangeMySQL's contract, so a LakeTable can itself feed
+        downstream incremental consumers).
+
+        One row per key whose LIVE image differs between ``from_version``
+        and ``to_version`` (default: current head), classified
+        ``op ∈ {'I','U','D'}``. 'I'/'U' rows carry the after-image user
+        columns; 'D' rows carry the before-image (what was removed —
+        Debezium's delete envelope). ``change_seq`` is the event seq that
+        won at ``to_version`` (for 'D', the tombstone's seq; falls back to
+        the before-image seq if the tombstone was compaction-purged in the
+        range). The output re-applies downstream via
+        ``merge_events/append_events(..., seq_col='change_seq',
+        op_col='op')`` — 'I'/'U' both upsert, 'D' deletes.
+
+        Two physical paths, chosen automatically:
+
+        - **delta fast path** (``mode='delta'``) — when every commit in
+          the range was a merge-on-read append (bucket file lists
+          identical, delta list grew): scan ONLY the new delta files plus
+          the ``from`` snapshot's touched buckets — O(changes + touched
+          buckets), never O(table). The shape that keeps a 10^10-row
+          table's changelog consumers viable.
+        - **snapshot diff** (``mode='diff'``) — general (COW merges,
+          compaction, or rebucket in range): scan each snapshot once and
+          compute before/after images in ONE keyed shuffle (max of an
+          epoch-tagged struct), never a join of two separate folds.
+        """
+        head = self.current_version()
+        to_version = head if to_version is None else to_version
+        if not 0 <= from_version <= to_version <= head:
+            raise ValueError(
+                f"changes range v{from_version}..v{to_version} outside 0..v{head}"
+            )
+        schema_to = self.schema(to_version)
+        m_to = self._manifest(to_version)
+        key_cols = m_to["key_cols"]
+        user_cols = [
+            f.name
+            for f in schema_to.fields
+            if f.name not in INTERNAL_COLS and f.name not in key_cols
+        ]
+        out_schema = T.StructType(
+            [T.StructField("op", T.StringType(), False)]
+            + [f for f in schema_to.fields if f.name in key_cols]
+            + [f for f in schema_to.fields if f.name in user_cols]
+            + [T.StructField("change_seq", T.LongType(), True)]
+        )
+        if from_version == to_version:
+            return self.spark.createDataFrame([], out_schema)
+
+        delta_from = (
+            (self._manifest(from_version) or {}).get("delta_files", [])
+            if from_version
+            else []
+        )
+        delta_to = m_to.get("delta_files", [])
+        new_deltas = [f for f in delta_to if f not in set(delta_from)]
+        fast_ok = (
+            from_version > 0
+            and set(delta_from) <= set(delta_to)
+            and self._resolve_files(from_version) == self._resolve_files(to_version)
+        )
+        if mode == "delta" and not fast_ok:
+            raise ValueError(
+                "delta fast path unavailable: range includes a bucket "
+                "rewrite (COW merge / compaction / rebucket)"
+            )
+        use_fast = fast_ok if mode == "auto" else (mode == "delta")
+
+        if use_fast:
+            if not new_deltas:
+                return self.spark.createDataFrame([], out_schema)
+            cur_rows = self.spark.read.schema(schema_to).parquet(*new_deltas)
+            touched = sorted(
+                r[0]
+                for r in cur_rows.select("_bucket").distinct().collect()
+            )  # bounded by n_buckets
+            prev_rows = self.read_raw(buckets=touched, version=from_version)
+            # the from-snapshot rows are PART of the to-state (appends
+            # never rewrite buckets), so the after-image folds over both
+            # epochs while the before-image folds over epoch 0 only
+            cur_is = lambda: F.lit(True)  # noqa: E731
+        else:
+            prev_rows = (
+                self.read_raw(version=from_version)
+                if from_version
+                else self.spark.createDataFrame([], schema_to)
+            )
+            cur_rows = self.read_raw(version=to_version)
+            cur_is = lambda: F.col("_epoch") == 1  # noqa: E731
+
+        rows = prev_rows.withColumn("_epoch", F.lit(0)).unionByName(
+            cur_rows.withColumn("_epoch", F.lit(1)), allowMissingColumns=True
+        )
+        # max of struct(seq, payload) — null structs are ignored by max, so
+        # each side's winner comes only from its epoch predicate; one keyed
+        # shuffle computes both images together
+        payload = F.struct(
+            F.col("_seq").alias("s"),
+            F.struct(
+                *[F.col(c).alias(c) for c in user_cols],
+                F.coalesce(F.col("_deleted"), F.lit(False)).alias("_deleted"),
+            ).alias("p"),
+        )
+        img = rows.groupBy(*key_cols).agg(
+            F.max(F.when(cur_is(), payload)).alias("c"),
+            F.max(F.when(F.col("_epoch") == 0, payload)).alias("p"),
+        )
+        live_p = F.col("p").isNotNull() & ~F.col("p.p._deleted")
+        live_c = F.col("c").isNotNull() & ~F.col("c.p._deleted")
+        op = (
+            F.when(~live_p & live_c, "I")
+            .when(live_p & ~live_c, "D")
+            .when(live_p & live_c & (F.col("c.s") != F.col("p.s")), "U")
+        )
+        image = F.when(F.col("op") == "D", F.col("p.p")).otherwise(F.col("c.p"))
+        return (
+            img.withColumn("op", op)
+            .filter(F.col("op").isNotNull())
+            .select(
+                "op",
+                *key_cols,
+                *[image[c].alias(c) for c in user_cols],
+                F.coalesce(F.col("c.s"), F.col("p.s"))
+                .cast("long")
+                .alias("change_seq"),
+            )
+        )
+
     # ---------- maintenance ----------
 
     def compact(self, purge_tombstones_below_seq: int | None = None) -> int:
