@@ -177,6 +177,11 @@ def minhash_dedup_pairs(
     verified = (
         cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+        # exact length-bound prune before the intersect (see jaccard_pairs)
+        .filter(
+            (F.size("sh_a") >= F.lit(threshold) * F.size("sh_b"))
+            & (F.size("sh_b") >= F.lit(threshold) * F.size("sh_a"))
+        )
         .withColumn(
             "jaccard",
             F.round(
@@ -308,14 +313,24 @@ def jaccard_pairs(
     a = sh.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
+        F.size("sh").alias("_na"),
     )
     b = sh.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
+        F.size("sh").alias("_nb"),
     )
     return (
         a.join(b, on=block_cols, how="inner")
         .filter(F.col("id_a") < F.col("id_b"))
+        # exact length-bound prune (ppjoin's length filter): J(A,B) ≤
+        # min/max of the set sizes, so J ≥ t needs min ≥ t·max — a
+        # two-int predicate that skips the O(|A|+|B|) intersect/union for
+        # the bulk of a block's pairs; results are identical
+        .filter(
+            (F.col("_na") >= F.lit(threshold) * F.col("_nb"))
+            & (F.col("_nb") >= F.lit(threshold) * F.col("_na"))
+        )
         .withColumn(
             "jaccard",
             F.round(
