@@ -391,12 +391,24 @@ def pq_codebooks(
 
 def _l2sq_sub(vec: Column, off: int, codeword: list[float]) -> Column:
     """Ordered left-fold Σ (v[off+i] − c_i)² — the oracle folds the same
-    ascending-i order, so the double is bit-identical."""
-    d = F.lit(0.0)
-    for i, c in enumerate(codeword):
-        t = F.element_at(vec, off + i + 1).cast("double") - F.lit(float(c))
-        d = d + t * t
-    return d
+    ascending-i order, so the double is bit-identical.
+
+    Expressed as aggregate(zip_with(slice(vec), codeword-literal)) rather
+    than an unrolled per-term chain: the unrolled form inlines every
+    codeword component into the plan (~8k expression nodes for a 16×4
+    codebook), which cost ~13 s of DRIVER-side Catalyst
+    optimize/codegen time per query — two orders of magnitude more than
+    executing it. The HOF form keeps each codeword as ONE array literal
+    leaf; the fold is the same ascending (((0+t₀²)+t₁²)+…) double chain
+    (zip_with materialises tᵢ² in index order, aggregate folds left), so
+    results are bit-identical and the DuckDB oracle hash is unchanged."""
+    sub = len(codeword)
+    terms = F.zip_with(
+        F.slice(vec, off + 1, sub),
+        F.lit([float(c) for c in codeword]),
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
 
 
 def pq_encode(
@@ -407,7 +419,8 @@ def pq_encode(
 ) -> DataFrame:
     """Quantize each vector to ``m`` codes (argmin-L2 codeword per
     subspace, ties → smallest code). Pure projection — the codebook is
-    compiled into the expression; NO shuffle over the corpus."""
+    compiled into the expression as array literals; NO shuffle over the
+    corpus."""
     m, sub = len(codebooks), len(codebooks[0][0])
     codes = []
     for j in range(m):
