@@ -193,7 +193,10 @@ def _cell_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> Colum
     return F.array(
         *[
             F.struct(
-                cosine(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("s"),
+                # one array-literal leaf per centroid (not dim unrolled
+                # F.lit nodes) — same doubles, far smaller plan tree;
+                # see _l2sq_sub for the driver-side compile-cost rationale
+                cosine(vec, F.lit([float(x) for x in cv])).alias("s"),
                 F.lit(-cid).cast("long").alias("n"),
             )
             for cid, cv in centroids
