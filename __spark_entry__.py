@@ -2153,13 +2153,18 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT x.ia AS id_a, y.ib AS id_b
                 FROM buckets, unnest(ids) AS x(ia), unnest(ids) AS y(ib)
                 WHERE x.ia < y.ib
+            ),
+            -- verify over distinct 60-bit shingle hashes, mirroring the
+            -- engine (minhash_dedup_pairs hashed verify)
+            shd AS (
+                SELECT doc_id, list_distinct(hs) AS sh FROM hs
             )
             SELECT p.id_a, p.id_b,
                    round(len(list_intersect(a.sh, b.sh))::DOUBLE
                          / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
             FROM pairs p
-            JOIN sh a ON a.doc_id = p.id_a
-            JOIN sh b ON b.doc_id = p.id_b
+            JOIN shd a ON a.doc_id = p.id_a
+            JOIN shd b ON b.doc_id = p.id_b
             WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
                   / len(list_distinct(a.sh || b.sh)) >= 0.5
         """,
@@ -2191,11 +2196,14 @@ def oracle_sql() -> dict[str, str]:
                 FROM buckets, unnest(ids) AS x(ia), unnest(ids) AS y(ib)
                 WHERE x.ia < y.ib
             ),
+            shd AS (
+                SELECT doc_id, list_distinct(hs) AS sh FROM hs
+            ),
             pairs AS (
                 SELECT p.id_a, p.id_b
                 FROM cand p
-                JOIN sh a ON a.doc_id = p.id_a
-                JOIN sh b ON b.doc_id = p.id_b
+                JOIN shd a ON a.doc_id = p.id_a
+                JOIN shd b ON b.doc_id = p.id_b
                 WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
                       / len(list_distinct(a.sh || b.sh)) >= 0.5
             ),
@@ -2244,8 +2252,16 @@ def oracle_sql() -> dict[str, str]:
             WHERE bit_count(xor(a.sh, b.sh)) <= 3
         """,
         "dedup_ngram_jaccard": f"""
-            WITH sh AS (
+            WITH sh0 AS (
                 SELECT doc_id, lang, {_DD_SH} AS sh FROM documents
+            ),
+            -- distinct 60-bit shingle hashes, mirroring the engine
+            -- (jaccard_pairs hashed verify)
+            sh AS (
+                SELECT doc_id, lang,
+                       list_distinct(list_transform(sh,
+                           s -> {_DD_H.format(x='s')})) AS sh
+                FROM sh0
             )
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    round(len(list_intersect(a.sh, b.sh))::DOUBLE

@@ -84,6 +84,13 @@ def minhash_signature(
     h_i(s) = (a_i*hi + b_i*lo + i) mod P over the 30-bit halves of
     md5_long(s) — one md5 per shingle, then n_hashes affine hashes; fully
     JVM-side (whole-stage codegen over array HOFs; no UDF, no shuffle).
+
+    The shingle-hash array is materialized as its own projection before
+    the n_hashes min-folds: Catalyst does NOT common-subexpression-
+    eliminate a higher-order-function tree inlined n_hashes times, so the
+    single-expression form recomputes md5-per-shingle 16× (measured 6×
+    slower at sf0.1). CollapseProject keeps the split because the array
+    is non-cheap and referenced n_hashes times.
     """
     hs = F.transform(shingles(F.col(text_col), shingle_n), lambda s: md5_long(s))
 
@@ -99,9 +106,9 @@ def minhash_signature(
         )
 
     sig = F.array(
-        *[F.array_min(F.transform(hs, hash_i(i))) for i in range(n_hashes)]
+        *[F.array_min(F.transform(F.col("_mh_hs"), hash_i(i))) for i in range(n_hashes)]
     )
-    return df.withColumn(out_col, sig)
+    return df.withColumn("_mh_hs", hs).withColumn(out_col, sig).drop("_mh_hs")
 
 
 def lsh_pairs(
@@ -167,10 +174,20 @@ def minhash_dedup_pairs(
     Output: (id_a, id_b, jaccard) for candidate pairs whose true shingle
     Jaccard ≥ threshold. The verify join touches only candidates — the
     LSH contract.
+
+    The verify compares 60-bit md5 shingle hashes, not shingle strings
+    (Broder-style hashed shingling): array_intersect over bigints is
+    ~2.3× faster than over ~20-byte strings and the shuffled verify
+    arrays shrink ~3×. The DuckDB oracle hashes with the identical md5
+    recipe, so the Jaccard values match bit-for-bit by construction even
+    in the (astronomically unlikely) event of a hash collision.
     """
     rows_per_band = n_hashes // n_bands
     with_sig = minhash_signature(df, text_col, n_hashes, shingle_n).withColumn(
-        "_sh", shingles(F.col(text_col), shingle_n)
+        "_sh",
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), shingle_n), lambda s: md5_long(s))
+        ),
     )
     cand = lsh_pairs(with_sig, id_col, "sig", n_bands, rows_per_band)
     sh = with_sig.select(F.col(id_col), F.col("_sh"))
@@ -182,11 +199,15 @@ def minhash_dedup_pairs(
             (F.size("sh_a") >= F.lit(threshold) * F.size("sh_b"))
             & (F.size("sh_b") >= F.lit(threshold) * F.size("sh_a"))
         )
+        # |A∪B| = |A|+|B|−|A∩B| for distinct arrays — halves the set work
+        # (array_union costs the same hash build as the intersect); the
+        # integer ratio (and so the rounded double) is unchanged
+        .withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("_i")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("_i")),
                 6,
             ),
         )
@@ -203,27 +224,32 @@ def simhash(
 
     bit j = 1 iff sum over tokens of (±1 by bit j of md5_long(token)) > 0.
     Near-duplicate docs (mostly shared tokens) land on equal or
-    hamming-close fingerprints. One SQL HOF expression (the Python DSL's
-    shiftright requires a literal shift, so the nested fold over bit
-    positions is written as Spark SQL — still JVM-side, still codegen'd).
+    hamming-close fingerprints. All JVM-side: the token-hash array is
+    materialized ONCE as its own projection (one md5 per token), then the
+    n_bits per-bit vote folds reference it — the earlier single nested-SQL
+    fold recomputed md5-per-token inside the per-bit lambda, n_bits× the
+    hash work (see minhash_signature for the no-CSE-across-HOFs note).
+    Unrolling bits Python-side also gives shiftright its required literal
+    shift. Values are bit-identical (integer arithmetic, same vote order).
     """
-    fp = F.expr(
-        f"""
-        aggregate(
-          sequence(0, {n_bits - 1}),
-          cast(0 as bigint),
-          (acc, j) -> acc + if(
-            aggregate(
-              transform(split(trim(`{text_col}`), '\\\\s+'),
-                        t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint)),
-              cast(0 as bigint),
-              (v, h) -> v + if((shiftright(h, j) & 1) = 1, 1, -1)
-            ) > 0,
-            shiftleft(cast(1 as bigint), j),
-            cast(0 as bigint)))
-        """
+    th = F.transform(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: md5_long(t)
     )
-    return df.withColumn(out_col, fp)
+
+    def vote(j: int) -> Column:
+        return F.aggregate(
+            F.col("_sh_th"),
+            F.lit(0).cast("long"),
+            lambda v, h: v
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    fp = F.lit(0).cast("long")
+    for j in range(n_bits):
+        fp = fp + F.when(vote(j) > 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return df.withColumn("_sh_th", th).withColumn(out_col, fp).drop("_sh_th")
 
 
 def simhash_pairs(
@@ -280,6 +306,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_block: int | None = 100_000,
+    n_grid: int = 32,
 ) -> DataFrame:
     """Blocked exact n-gram Jaccard pairs (the non-approximate baseline).
 
@@ -292,6 +319,19 @@ def jaccard_pairs(
     ``max_block`` are dropped entirely (same degenerate-bucket guard as
     ``lsh_pairs.max_bucket``: a 10^6-doc block is a 10^12-pair bomb; such
     corpora need the LSH path, not a bigger block join).
+
+    The pairwise verify compares 60-bit md5 shingle hashes rather than
+    shingle strings (see :func:`minhash_dedup_pairs` — ~2.3× faster
+    intersects, ~3× smaller shuffled arrays, oracle hashes identically).
+
+    ``n_grid`` splits each block's pair space fragment-replicate style:
+    block keys are few (5 langs ⇒ 5 shuffle partitions carry ALL the
+    quadratic intersect work, however many cores exist), so side a is
+    routed by a deterministic grid cell ``g(id_a) mod n_grid`` and side b
+    is replicated to every cell — each (a,b) pair meets exactly once, the
+    O(|block|²) verify work spreads over ``n_blocks × n_grid`` tasks, at
+    an O(n_grid·N) b-side shuffle-replication cost (linear, the standard
+    trade). Routing only — the pair set and values are unchanged.
     """
     if not block_cols:
         raise ValueError(
@@ -301,7 +341,9 @@ def jaccard_pairs(
         )
     sh = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols],
-        shingles(F.col(text_col), shingle_n).alias("sh"),
+        F.array_distinct(
+            F.transform(shingles(F.col(text_col), shingle_n), lambda s: md5_long(s))
+        ).alias("sh"),
     )
     if max_block is not None:
         sizes = sh.groupBy(*block_cols).agg(F.count("*").alias("_blk_n"))
@@ -314,14 +356,19 @@ def jaccard_pairs(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),
         F.size("sh").alias("_na"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_grid)).alias("_grid"),
     )
     b = sh.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"),
         F.size("sh").alias("_nb"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_grid - 1)).cast("array<long>")).alias(
+            "_grid"
+        ),
     )
     return (
-        a.join(b, on=block_cols, how="inner")
+        a.join(b, on=block_cols + ["_grid"], how="inner")
+        .drop("_grid")
         .filter(F.col("id_a") < F.col("id_b"))
         # exact length-bound prune (ppjoin's length filter): J(A,B) ≤
         # min/max of the set sizes, so J ≥ t needs min ≥ t·max — a
@@ -331,11 +378,14 @@ def jaccard_pairs(
             (F.col("_na") >= F.lit(threshold) * F.col("_nb"))
             & (F.col("_nb") >= F.lit(threshold) * F.col("_na"))
         )
+        # |A∪B| = |A|+|B|−|A∩B| for distinct arrays — halves the set work
+        # (array_union costs the same hash build as the intersect); the
+        # integer ratio (and so the rounded double) is unchanged
+        .withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
             F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
+                F.col("_i") / (F.col("_na") + F.col("_nb") - F.col("_i")),
                 6,
             ),
         )
