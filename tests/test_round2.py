@@ -45,6 +45,30 @@ def test_jaccard_max_block_drops_degenerate(spark):
     assert {(r.id_a, r.id_b) for r in pairs} == {(100, 101)}
 
 
+def test_jaccard_grid_split_is_routing_only(spark):
+    """n_grid is a partitioning knob: every grid width yields exactly the
+    same pair set and jaccard values (each (a,b) meets exactly once)."""
+    rows = [
+        (i, "en", f"shared prefix tokens one two three {i % 3}")
+        for i in range(12)
+    ] + [(100 + i, "fr", f"autre texte {i} x y z") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+    def run(g):
+        return {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in jaccard_pairs(
+                df, "doc_id", "text", block_cols=["lang"],
+                threshold=0.3, n_grid=g,
+            ).collect()
+        }
+
+    base = run(1)
+    assert base  # non-degenerate: some pairs exist
+    assert run(7) == base
+    assert run(32) == base
+
+
 def test_detect_duplicate_requires_order(spark):
     df = spark.createDataFrame([(1, "a")], "id long, v string")
     with pytest.raises(ValueError, match="order_col"):
