@@ -187,16 +187,43 @@ def cosine_topk_lsh(
 # ---------------------------------------------------------------------------
 
 
-def _cell_scores(vec: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+def _norm_py(cv: list[float]) -> float:
+    """Driver-side centroid L2 norm, folding the EXACT expression shape of
+    :func:`norm` (((0+x₀²)+x₁²)+… then sqrt): Python floats are IEEE-754
+    doubles with the same per-op rounding as the JVM, so the literal is
+    bit-identical to evaluating norm(lit(cv)) per row — which a HOF can't
+    constant-fold, so it would otherwise burn dim mult-adds per row per
+    centroid."""
+    import math
+
+    acc = 0.0
+    for x in cv:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def _cell_scores(
+    vec: Column,
+    centroids: list[tuple[int, list[float]]],
+    vec_norm: Column | None = None,
+) -> Column:
     """Array of (cos, -cid) structs, one per centroid. Struct ordering
-    gives argmax with smallest-cid tie-break via the negated id."""
+    gives argmax with smallest-cid tie-break via the negated id.
+
+    ``vec_norm``: pass a pre-materialized ``norm(vec)`` column — Catalyst
+    does not CSE HOF subtrees, so inlining norm(vec) here evaluates it
+    once PER CENTROID (16× the work; see minhash_signature). Centroid
+    norms are folded driver-side (:func:`_norm_py`) for the same reason.
+    Same doubles, same op order — values are bit-identical either way."""
+    vn = vec_norm if vec_norm is not None else norm(vec)
     return F.array(
         *[
             F.struct(
                 # one array-literal leaf per centroid (not dim unrolled
                 # F.lit nodes) — same doubles, far smaller plan tree;
                 # see _l2sq_sub for the driver-side compile-cost rationale
-                cosine(vec, F.lit([float(x) for x in cv])).alias("s"),
+                (dot(vec, F.lit([float(x) for x in cv]))
+                 / (vn * F.lit(_norm_py(cv)))).alias("s"),
                 F.lit(-cid).cast("long").alias("n"),
             )
             for cid, cv in centroids
@@ -234,9 +261,16 @@ def ivf_assign(
     out_col: str = "cell",
 ) -> DataFrame:
     """Assign every vector to its max-cosine centroid (cell). Pure
-    projection — the centroid list is compiled into the expression."""
-    best = F.array_max(_cell_scores(F.col(vec_col), centroids))
-    return df.withColumn(out_col, (-best["n"]).cast("long"))
+    projection — the centroid list is compiled into the expression; the
+    row's norm is materialized once (not per centroid)."""
+    best = F.array_max(
+        _cell_scores(F.col(vec_col), centroids, F.col("_ivf_vn"))
+    )
+    return (
+        df.withColumn("_ivf_vn", norm(F.col(vec_col)))
+        .withColumn(out_col, (-best["n"]).cast("long"))
+        .drop("_ivf_vn")
+    )
 
 
 def lloyd_refine(
@@ -324,19 +358,22 @@ def cosine_topk_ivf(
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
     # nprobe nearest cells: sort the (cos, -cid) structs descending —
     # largest cos first, ties -> largest -cid = smallest cid
-    probed = q.withColumn(
+    probed = q.withColumn("_qn", norm(F.col("_qv"))).withColumn(
         "cell",
         F.explode(
             F.transform(
                 F.slice(
-                    F.sort_array(_cell_scores(F.col("_qv"), centroids), asc=False),
+                    F.sort_array(
+                        _cell_scores(F.col("_qv"), centroids, F.col("_qn")),
+                        asc=False,
+                    ),
                     1,
                     nprobe,
                 ),
                 lambda e: -e["n"],
             )
         ),
-    )
+    ).drop("_qn")
     cand = (
         probed.join(c, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
