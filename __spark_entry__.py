@@ -816,6 +816,19 @@ def q_embedding_ann_pq(spark, sf_dir):
     return pq_topk(queries, emb, k=10, n_codes=16, m=4)
 
 
+def q_embedding_ann_pq_refined(spark, sf_dir):
+    """PQ ANN with the standard second stage: shortlist 50 by ADC, exact
+    L2² re-rank of just those true vectors (the quality knob — pure ADC
+    ranking degrades where quantization error exceeds neighbor margins).
+    The re-rank fold is the same ascending (((0+t₀²)+t₁²)+…) chain the
+    oracle reduces, so even the exact distances hash-match."""
+    from nifi_spark.operators.similarity import pq_topk
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk(queries, emb, k=10, n_codes=16, m=4, refine=50)
+
+
 def q_embedding_ann_lsh(spark, sf_dir):
     """Approximate NN via OR-amplified sign-LSH buckets (the scale path).
     The hyperplanes are md5-deterministic (similarity._hyperplane), so the
@@ -1634,6 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recordpath_advanced": q_recordpath_advanced,
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_ann_pq": q_embedding_ann_pq,
+        "embedding_ann_pq_refined": q_embedding_ann_pq_refined,
     }
 
 
@@ -2403,6 +2417,69 @@ def oracle_sql() -> dict[str, str]:
                 SELECT *, CAST(row_number() OVER (PARTITION BY query_id
                             ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
                 FROM adc
+            ) WHERE rank <= 10
+        """,
+        # Same codebook/encode/ADC CTEs as embedding_ann_pq, then the
+        # refine stage: shortlist 50 by (rounded) ADC, exact L2^2 re-rank
+        # of the true vectors with the identical ascending fold.
+        "embedding_ann_pq_refined": """
+            WITH cw AS (
+                SELECT row_number() OVER (ORDER BY h, cid) - 1 AS code, cv
+                FROM (
+                    SELECT vec_id AS cid, embedding AS cv,
+                           ('0x' || substr(md5('pq|' || vec_id::VARCHAR), 1, 15))::BIGINT AS h
+                    FROM embeddings ORDER BY h, vec_id LIMIT 16
+                )
+            ),
+            subdist AS (
+                SELECT e.vec_id, t.j, cw.code,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(generate_series(1, 16), i ->
+                               (e.embedding[t.j*16+i]::DOUBLE - cw.cv[t.j*16+i]::DOUBLE)
+                               * (e.embedding[t.j*16+i]::DOUBLE - cw.cv[t.j*16+i]::DOUBLE))),
+                           (a, b) -> a + b) AS d
+                FROM embeddings e, range(4) t(j), cw
+            ),
+            codes AS (
+                SELECT vec_id, j, code FROM (
+                    SELECT vec_id, j, code,
+                           row_number() OVER (PARTITION BY vec_id, j
+                               ORDER BY d ASC, code ASC) AS rn
+                    FROM subdist
+                ) WHERE rn = 1
+            ),
+            adc AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       round(list_reduce(list_prepend(0.0::DOUBLE,
+                           list(qd.d ORDER BY qd.j)), (a, b) -> a + b), 6) AS adc
+                FROM codes c
+                JOIN subdist qd ON qd.j = c.j AND qd.code = c.code
+                JOIN embeddings q ON q.vec_id = qd.vec_id
+                WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+                GROUP BY q.vec_id, c.vec_id
+            ),
+            shortlist AS (
+                SELECT query_id, neighbor_id FROM (
+                    SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc ASC, neighbor_id ASC) AS rn
+                    FROM adc
+                ) WHERE rn <= 50
+            ),
+            rerank AS (
+                SELECT s.query_id, s.neighbor_id,
+                       round(list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(generate_series(1, 64), i ->
+                               (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE)
+                               * (q.embedding[i]::DOUBLE - c.embedding[i]::DOUBLE))),
+                           (a, b) -> a + b), 6) AS adc
+                FROM shortlist s
+                JOIN embeddings q ON q.vec_id = s.query_id
+                JOIN embeddings c ON c.vec_id = s.neighbor_id
+            )
+            SELECT query_id, neighbor_id, rank, adc FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
+                FROM rerank
             ) WHERE rank <= 10
         """,
         # Mirrors similarity._hyperplane / _table_sigs / cosine_topk_lsh term
