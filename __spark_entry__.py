@@ -1565,6 +1565,42 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        # Ordered so the driver's 50-entry CORRECTNESS snapshot covers the
+        # entries never recorded by a prior round's driver first (r4 rotation);
+        # new round-4 queries are inserted before the r03-recorded block.
+        "dedup_embedding_cosine": q_dedup_embedding_cosine,
+        "control_rate": q_control_rate,
+        "duplicate_flowfile": q_duplicate_flowfile,
+        "map_cache_fetch": q_map_cache_fetch,
+        "wait_notify_counter": q_wait_notify_counter,
+        "syslog_5424": q_syslog_5424,
+        "cef_extensions": q_cef_extensions,
+        "grok_pattern_file": q_grok_pattern_file,
+        "choice_normalize": q_choice_normalize,
+        "xml_parse": q_xml_parse,
+        "yaml_tree": q_yaml_tree,
+        "jolt_transform": q_jolt_transform,
+        "jolt_transform_v2": q_jolt_transform_v2,
+        "jslt_transform": q_jslt_transform,
+        "windows_event_xml": q_windows_event_xml,
+        "el_json_mutation": q_el_json_mutation,
+        "recordpath_advanced": q_recordpath_advanced,
+        "embedding_ann_ivf": q_embedding_ann_ivf,
+        "embedding_ann_pq": q_embedding_ann_pq,
+        "embedding_ann_pq_refined": q_embedding_ann_pq_refined,
+        "multimodal_decode": q_multimodal_decode,
+        "normalize_arrow": q_normalize_arrow,
+        "fork_record": q_fork_record,
+        "scan_membership": q_scan_membership,
+        "validate_record": q_validate_record,
+        "wait_notify": q_wait_notify,
+        "session_window": q_session_window,
+        "grouped_pandas_stats": q_grouped_pandas_stats,
+        "el_functions": q_el_functions,
+        "el_functions_v2": q_el_functions_v2,
+        "el_selection": q_el_selection,
+        "recordpath_nested": q_recordpath_nested,
+        "merge_record_bins": q_merge_record_bins,
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_lww_fold_salted": q_cdc_lww_fold_salted,
         "cdc_replay_transcripts": q_cdc_replay_transcripts,
@@ -1615,39 +1651,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
-        "dedup_embedding_cosine": q_dedup_embedding_cosine,
-        "multimodal_decode": q_multimodal_decode,
-        "normalize_arrow": q_normalize_arrow,
-        "fork_record": q_fork_record,
-        "scan_membership": q_scan_membership,
-        "validate_record": q_validate_record,
-        "wait_notify": q_wait_notify,
-        "session_window": q_session_window,
-        "grouped_pandas_stats": q_grouped_pandas_stats,
-        "el_functions": q_el_functions,
-        "el_functions_v2": q_el_functions_v2,
-        "el_selection": q_el_selection,
-        "recordpath_nested": q_recordpath_nested,
-        "merge_record_bins": q_merge_record_bins,
-        "control_rate": q_control_rate,
-        "duplicate_flowfile": q_duplicate_flowfile,
-        "map_cache_fetch": q_map_cache_fetch,
-        "wait_notify_counter": q_wait_notify_counter,
-        "syslog_5424": q_syslog_5424,
-        "cef_extensions": q_cef_extensions,
-        "grok_pattern_file": q_grok_pattern_file,
-        "choice_normalize": q_choice_normalize,
-        "xml_parse": q_xml_parse,
-        "yaml_tree": q_yaml_tree,
-        "jolt_transform": q_jolt_transform,
-        "jolt_transform_v2": q_jolt_transform_v2,
-        "jslt_transform": q_jslt_transform,
-        "windows_event_xml": q_windows_event_xml,
-        "el_json_mutation": q_el_json_mutation,
-        "recordpath_advanced": q_recordpath_advanced,
-        "embedding_ann_ivf": q_embedding_ann_ivf,
-        "embedding_ann_pq": q_embedding_ann_pq,
-        "embedding_ann_pq_refined": q_embedding_ann_pq_refined,
     }
 
 
