@@ -56,9 +56,9 @@ def lineage_records(
 
 
 def write_lineage(records: DataFrame, table_path: str) -> None:
-    records.coalesce(1).write.mode("append").parquet(
-        os.path.join(table_path, "_lineage")
-    )
+    from .fsio import join
+
+    records.coalesce(1).write.mode("append").parquet(join(table_path, "_lineage"))
 
 
 def write_lineage_rows(spark: SparkSession, rows: list[dict], table_path: str) -> None:
@@ -73,9 +73,10 @@ def write_lineage_rows(spark: SparkSession, rows: list[dict], table_path: str) -
     """
     if not rows:
         return
+    from .fsio import join
     from .schema import LINEAGE
 
-    out_dir = os.path.join(table_path, "_lineage")
+    out_dir = join(table_path, "_lineage")
     if "://" not in table_path:
         import uuid
 
@@ -100,8 +101,13 @@ def write_lineage_rows(spark: SparkSession, rows: list[dict], table_path: str) -
 
 
 def read_lineage(spark: SparkSession, table_path: str) -> DataFrame:
-    p = os.path.join(table_path, "_lineage")
-    if not os.path.isdir(p):
+    from .fsio import FsIO, join
+
+    p = join(table_path, "_lineage")
+    # FsIO, not os.path.isdir: a file:// / hdfs:// / s3a:// table path is
+    # never a local dir, and `lineage_audit` over a remote table would
+    # otherwise silently report "clean" on an empty frame.
+    if not FsIO(spark, table_path).exists(p):
         return spark.createDataFrame([], "batch_id long, snapshot_id long, source_file string, "
                                          "min_pos long, max_pos long, min_seq long, max_seq long, "
                                          "n_events long, n_late long, committed_at string")

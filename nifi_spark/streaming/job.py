@@ -38,6 +38,8 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..fsio import FsIO
+from ..fsio import join as fsio_join
 from ..normalize import normalize_json
 from ..operators.ordering import lww_fold_salted
 from ..schema import CHANGE_EVENTS, KEY_COLS
@@ -116,8 +118,14 @@ class CdcPipeline:
         self.txn_via_state = txn_via_state
         self.txn_marker_keep = txn_marker_keep
         self.table_path = table_path
-        self._wm_path = os.path.join(checkpoint_dir, "engine_watermark.json")
-        self._pending_dir = os.path.join(checkpoint_dir, "txn_pending")
+        # Checkpoint-adjacent state (engine watermark + txn pending store)
+        # must live wherever the checkpoint lives — in production that is
+        # hdfs:// / s3a:// for driver-failover durability — so all of its
+        # IO routes through FsIO (local fast path, Hadoop FS otherwise),
+        # exactly like the LakeTable commit log.
+        self._ckpt_io = FsIO(spark, checkpoint_dir)
+        self._wm_path = fsio_join(checkpoint_dir, "engine_watermark.json")
+        self._pending_dir = fsio_join(checkpoint_dir, "txn_pending")
         # Pre-built Column expression trees, reused every micro-batch.
         # Columns are immutable unresolved expressions, so building the
         # ~40 of them once removes that many Py4J round-trips per batch —
@@ -199,16 +207,18 @@ class CdcPipeline:
     # ---------- engine watermark state (auditable, checkpoint-adjacent) ----------
 
     def _load_watermark(self) -> int | None:
-        if os.path.exists(self._wm_path):
-            with open(self._wm_path) as f:
-                return json.load(f).get("max_ts_epoch")
+        if self._ckpt_io.exists(self._wm_path):
+            return json.loads(self._ckpt_io.read_text(self._wm_path)).get(
+                "max_ts_epoch"
+            )
         return None
 
     def _store_watermark(self, max_ts_epoch: int) -> None:
-        os.makedirs(self.checkpoint_dir, exist_ok=True)
+        self._ckpt_io.mkdirs(self.checkpoint_dir)
         prev = self._load_watermark() or 0
-        with open(self._wm_path, "w") as f:
-            json.dump({"max_ts_epoch": max(prev, max_ts_epoch)}, f)
+        self._ckpt_io.write_text(
+            self._wm_path, json.dumps({"max_ts_epoch": max(prev, max_ts_epoch)})
+        )
 
     # ---------- JVM txn gate (pending store) ----------
 
@@ -217,47 +227,39 @@ class CdcPipeline:
         ``batch_id`` (a replayed batch may already have written its own
         generation — that one must not feed itself), plus all generation
         ids present."""
-        if not os.path.isdir(self._pending_dir):
-            return None, []
         gens = sorted(
             int(name.split("_", 1)[1])
-            for name in os.listdir(self._pending_dir)
+            for name in self._ckpt_io.list_names(self._pending_dir)
             if name.startswith("b_")
         )
         prior = [g for g in gens if g < batch_id]
         path = (
-            os.path.join(self._pending_dir, f"b_{prior[-1]}") if prior else None
+            fsio_join(self._pending_dir, f"b_{prior[-1]}") if prior else None
         )
         return path, gens
 
-    @staticmethod
-    def _mark_pending_rows(gen_dir: str) -> None:
-        """Stamp the generation with its row count (driver-local parquet
-        footer reads — one tiny file) so the NEXT batch can skip the
-        read+union when the carryover is empty, the steady state of a
-        feed whose transactions commit within a batch."""
+    def _mark_pending_rows(self, gen_dir: str, n: int) -> None:
+        """Stamp the generation with its row count (observed on the write
+        job itself — no extra job, no local-only footer reads) so the NEXT
+        batch can skip the read+union when the carryover is empty, the
+        steady state of a feed whose transactions commit within a batch."""
         try:
-            import pyarrow.parquet as pq
-
-            n = sum(
-                pq.read_metadata(os.path.join(gen_dir, f)).num_rows
-                for f in os.listdir(gen_dir)
-                if f.endswith(".parquet")
-            )
-            with open(os.path.join(gen_dir, "_NROWS"), "w") as f:
-                f.write(str(n))
+            self._ckpt_io.write_text(fsio_join(gen_dir, "_NROWS"), str(int(n)))
         except Exception:
             pass  # marker is an optimization; absence just means "read it"
 
-    @staticmethod
-    def _pending_is_empty(gen_dir: str) -> bool:
+    def _pending_is_empty(self, gen_dir: str) -> bool:
         try:
-            with open(os.path.join(gen_dir, "_NROWS")) as f:
-                return int(f.read().strip()) == 0
+            marker = fsio_join(gen_dir, "_NROWS")
+            if not self._ckpt_io.exists(marker):
+                return False
+            return int(self._ckpt_io.read_text(marker).strip()) == 0
         except Exception:
             return False
 
-    def _txn_gate(self, flagged: DataFrame, batch_id: int) -> DataFrame:
+    def _txn_gate(
+        self, flagged: DataFrame, batch_id: int
+    ) -> "tuple[DataFrame, Callable[[], None]]":
         """Transaction-consistent admission without per-event state: union
         the carryover store (pending store, O(open transactions +
         recent commit markers) — normally just the batch-boundary partial
@@ -296,7 +298,7 @@ class CdcPipeline:
         replayed batch re-derives both sides deterministically and the
         sink dedups by batch id.
         """
-        import shutil
+        from pyspark.sql import Observation
 
         from ..operators.txn import txn_complete_filter
 
@@ -320,22 +322,26 @@ class CdcPipeline:
         carry = pending.unionByName(markers).withColumn(
             "_gate_age", F.col("_gate_age") + 1
         )
-        out_dir = os.path.join(self._pending_dir, f"b_{batch_id}")
+        out_dir = fsio_join(self._pending_dir, f"b_{batch_id}")
+        obs = Observation(f"txn_carry_{batch_id}")
 
         def persist() -> None:
             # repartition (not coalesce): coalesce(1) would collapse the
             # whole upstream join onto one task; an explicit exchange
             # keeps the join parallel and only the tiny carryover lands
-            # on a single writer
-            carry.repartition(1).write.mode("overwrite").parquet(out_dir)
-            self._mark_pending_rows(out_dir)
+            # on a single writer. The Observation rides the write job —
+            # the row count for the _NROWS marker costs no extra job and
+            # no local-filesystem assumption.
+            carry.observe(obs, F.count(F.lit(1)).alias("n")).repartition(
+                1
+            ).write.mode("overwrite").parquet(out_dir)
+            self._mark_pending_rows(out_dir, obs.get["n"])
             if prev_path is not None:
-                consumed = int(os.path.basename(prev_path).split("_", 1)[1])
+                consumed = int(prev_path.rsplit("b_", 1)[1])
                 for g in gens:
                     if g < consumed:
-                        shutil.rmtree(
-                            os.path.join(self._pending_dir, f"b_{g}"),
-                            ignore_errors=True,
+                        self._ckpt_io.delete(
+                            fsio_join(self._pending_dir, f"b_{g}")
                         )
 
         return committed.unionByName(bad).drop("_gate_age"), persist
@@ -549,7 +555,7 @@ class CdcPipeline:
                     )
                     .coalesce(1)
                     .write.mode("append")
-                    .parquet(os.path.join(self.table_path, "_dlq"))
+                    .parquet(fsio_join(self.table_path, "_dlq"))
                 )
             if n_events == 0:
                 if ddl_cols and self.table.exists():  # pure-DDL batch
@@ -709,7 +715,7 @@ class CdcPipeline:
                 )
                 .coalesce(1)
                 .write.mode("append")
-                .parquet(os.path.join(self.table_path, "_dlq"))
+                .parquet(fsio_join(self.table_path, "_dlq"))
             )
         if version is None:
             return metrics
