@@ -31,6 +31,18 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _guard_internal(df: DataFrame, names: list[str], op: str) -> None:
+    """Raise when an input column collides with an operator's internal
+    temp names — a silent collision would corrupt the join/routing (same
+    guard style as jaccard_pairs' block_cols validation)."""
+    clash = [c for c in names if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"{op}: input columns {clash} collide with internal temp "
+            f"names; rename them before calling"
+        )
+
+
 def md5_long(col: Column) -> Column:
     """60-bit deterministic hash: first 15 hex chars of md5 → bigint.
 
@@ -92,6 +104,7 @@ def minhash_signature(
     slower at sf0.1). CollapseProject keeps the split because the array
     is non-cheap and referenced n_hashes times.
     """
+    _guard_internal(df, ["_mh_hs"], "minhash_signature")
     hs = F.transform(shingles(F.col(text_col), shingle_n), lambda s: md5_long(s))
 
     def hash_i(i: int):
@@ -232,6 +245,7 @@ def simhash(
     Unrolling bits Python-side also gives shiftright its required literal
     shift. Values are bit-identical (integer arithmetic, same vote order).
     """
+    _guard_internal(df, ["_sh_th"], "simhash")
     th = F.transform(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: md5_long(t)
     )
@@ -306,7 +320,7 @@ def jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     max_block: int | None = 100_000,
-    n_grid: int = 32,
+    n_grid: int | None = None,
 ) -> DataFrame:
     """Blocked exact n-gram Jaccard pairs (the non-approximate baseline).
 
@@ -332,6 +346,10 @@ def jaccard_pairs(
     O(|block|²) verify work spreads over ``n_blocks × n_grid`` tasks, at
     an O(n_grid·N) b-side shuffle-replication cost (linear, the standard
     trade). Routing only — the pair set and values are unchanged.
+    ``n_grid=None`` (default) derives the split from the data: enough
+    cells that the largest block's pair count spreads at ~1M verify pairs
+    per task, capped at 64 — so small fine-grained blocks pay no
+    replication and a few fat blocks still parallelize.
     """
     if not block_cols:
         raise ValueError(
@@ -339,19 +357,30 @@ def jaccard_pairs(
             "Jaccard is quadratic in the corpus; use minhash_dedup_pairs "
             "for blockless near-dup detection"
         )
+    _guard_internal(
+        df, ["_grid", "_na", "_nb", "_i", "_blk_n", "sh"], "jaccard_pairs"
+    )
     sh = df.select(
         F.col(id_col), *[F.col(c) for c in block_cols],
         F.array_distinct(
             F.transform(shingles(F.col(text_col), shingle_n), lambda s: md5_long(s))
         ).alias("sh"),
     )
-    if max_block is not None:
+    if max_block is not None or n_grid is None:
         sizes = sh.groupBy(*block_cols).agg(F.count("*").alias("_blk_n"))
-        sh = (
-            sh.join(F.broadcast(sizes), on=block_cols)
-            .filter(F.col("_blk_n") <= max_block)
-            .drop("_blk_n")
-        )
+        if n_grid is None:
+            # same probe that backs the max_block guard: size the grid so
+            # the biggest block's |B|²/2 candidate pairs land ~1M per task
+            mx = sizes.agg(F.max("_blk_n")).collect()[0][0] or 0
+            if max_block is not None:
+                mx = min(mx, max_block)
+            n_grid = max(1, min(64, (mx * mx // 2) // 1_000_000 + 1))
+        if max_block is not None:
+            sh = (
+                sh.join(F.broadcast(sizes), on=block_cols)
+                .filter(F.col("_blk_n") <= max_block)
+                .drop("_blk_n")
+            )
     a = sh.select(
         *[F.col(c) for c in block_cols],
         F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"),

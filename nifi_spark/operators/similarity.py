@@ -50,6 +50,52 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _partial_topk(
+    scored: DataFrame,
+    k: int,
+    order_col: str,
+    ascending: bool,
+    tie_col: str = "neighbor_id",
+    group_col: str = "query_id",
+) -> DataFrame:
+    """Map-side per-query partial top-k — phase one of two-phase ranking.
+
+    A single ``row_number() OVER (PARTITION BY query_id)`` moves EVERY
+    scored candidate through one keyed exchange and lands each query's
+    full candidate set on ONE reducer task — at 10^9 corpus × 10^3
+    queries that shuffle is the job. This stage cuts each input partition
+    to ≤k rows per query BEFORE the exchange, inside the map task, so the
+    global window's input is O(k · partitions) rows per query and no
+    single-reducer hotspot exists. The kept rows are a superset of the
+    true global top-k (any global winner is a winner within its own
+    partition under the same total order), so the downstream window
+    produces identical rows/ranks regardless of input partitioning.
+
+    Arrow-vectorized ``mapInPandas`` with a bounded accumulator: the
+    running state per partition is ≤ queries × k rows no matter how many
+    Arrow batches stream through (no partition-sized concat). No
+    arithmetic happens here — scores computed JVM-side pass through
+    unchanged, so value hashes are unaffected.
+    """
+    cols = scored.columns
+    by = [group_col, order_col, tie_col]
+    asc = [True, ascending, True]
+
+    def fn(batches):
+        import pandas as pd
+
+        run = None
+        for pdf in batches:
+            cur = pdf if run is None else pd.concat([run, pdf], ignore_index=True)
+            # mergesort = stable; tie_col makes the order total anyway
+            cur = cur.sort_values(by, ascending=asc, kind="mergesort")
+            run = cur.groupby(group_col, sort=False).head(k)
+        if run is not None and len(run):
+            yield run[cols]
+
+    return scored.mapInPandas(fn, scored.schema)
+
+
 def cosine_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -60,7 +106,9 @@ def cosine_topk(
     """Exact top-k neighbors per query vector (brute force, broadcast).
 
     Output: (query_id, neighbor_id, rank, cos_sim) — self-matches excluded.
-    Ties break by neighbor id (deterministic).
+    Ties break by neighbor id (deterministic). Two-phase ranking: map-side
+    partial top-k (:func:`_partial_topk`), then the global per-query
+    window over the ≤ k·partitions survivors.
     """
     q = F.broadcast(
         queries.select(
@@ -72,10 +120,12 @@ def cosine_topk(
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .select("query_id", "neighbor_id", "cos_sim")
     )
+    pruned = _partial_topk(scored, k, "cos_sim", ascending=False)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
@@ -167,10 +217,13 @@ def cosine_topk_lsh(
         .select("query_id", "neighbor_id", "_qv", "_cv")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    scored = cand.withColumn(
+        "cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    ).select("query_id", "neighbor_id", "cos_sim")
+    pruned = _partial_topk(scored, k, "cos_sim", ascending=False)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
@@ -263,6 +316,9 @@ def ivf_assign(
     """Assign every vector to its max-cosine centroid (cell). Pure
     projection — the centroid list is compiled into the expression; the
     row's norm is materialized once (not per centroid)."""
+    from .dedup_fuzzy import _guard_internal
+
+    _guard_internal(df, ["_ivf_vn"], "ivf_assign")
     best = F.array_max(
         _cell_scores(F.col(vec_col), centroids, F.col("_ivf_vn"))
     )
@@ -379,10 +435,13 @@ def cosine_topk_ivf(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "_qv", "_cv")
     )
-    scored = cand.withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+    scored = cand.withColumn(
+        "cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6)
+    ).select("query_id", "neighbor_id", "cos_sim")
+    pruned = _partial_topk(scored, k, "cos_sim", ascending=False)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        pruned.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", "cos_sim")
     )
@@ -537,9 +596,13 @@ def pq_topk(
     scored = joined.select(
         "query_id", "neighbor_id", F.round(dist, 6).alias("adc")
     )
+    # two-phase: the full-corpus ADC scan produces O(n·q) scored rows;
+    # cut to ≤(refine or k) per query per map partition before the
+    # global window so the exchange never carries the whole scan
+    pruned = _partial_topk(scored, refine or k, "adc", ascending=True)
     w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
     ranked = (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        pruned.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= (refine or k))
         .select("query_id", "neighbor_id", "rank", "adc")
     )

@@ -538,6 +538,10 @@ class LakeTable:
           compute before/after images in ONE keyed shuffle (max of an
           epoch-tagged struct), never a join of two separate folds.
         """
+        if mode not in ("auto", "delta", "diff"):
+            raise ValueError(
+                f"changes mode must be 'auto', 'delta' or 'diff', got {mode!r}"
+            )
         head = self.current_version()
         to_version = head if to_version is None else to_version
         if not 0 <= from_version <= to_version <= head:
@@ -552,9 +556,12 @@ class LakeTable:
             for f in schema_to.fields
             if f.name not in INTERNAL_COLS and f.name not in key_cols
         ]
+        # key fields in key_cols order (not schema order) so the empty-range
+        # frame's column order matches the non-empty path's select below
+        fld = {f.name: f for f in schema_to.fields}
         out_schema = T.StructType(
             [T.StructField("op", T.StringType(), False)]
-            + [f for f in schema_to.fields if f.name in key_cols]
+            + [fld[c] for c in key_cols]
             + [f for f in schema_to.fields if f.name in user_cols]
             + [T.StructField("change_seq", T.LongType(), True)]
         )
@@ -1544,14 +1551,37 @@ class IcebergMergeSink:
             if last is not None and batch_id <= last:
                 return None
         batch.createOrReplaceTempView("_merge_src")
-        on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
-        payload = [c for c in batch.columns if c not in (*key_cols, seq_col, op_col)]
-        set_cols = ", ".join(f"t.{c} = s.{c}" for c in payload)
-        ins_cols = ", ".join([*key_cols, *payload, "_seq", "_deleted"])
-        ins_vals = ", ".join([f"s.{c}" for c in (*key_cols, *payload)] + [f"s.{seq_col}", f"s.{op_col} = 'D'"])
         self.spark.sql(
-            f"""
-            MERGE INTO {self.table} t USING _merge_src s ON {on}
+            iceberg_merge_sql(
+                self.table, batch.columns, key_cols, seq_col, op_col
+            )
+        )
+        return True
+
+
+def iceberg_merge_sql(
+    table: str,
+    batch_columns: list[str],
+    key_cols: list[str],
+    seq_col: str = "seq",
+    op_col: str = "op",
+    src_view: str = "_merge_src",
+) -> str:
+    """The MERGE INTO statement :class:`IcebergMergeSink` executes —
+    LWW-guarded upsert/delete arms in PutIceberg's contract order
+    (delete-wins before update; inserts skip op='D'). Factored out so the
+    statement text is unit-testable in sandboxes without the Iceberg jar
+    (the only way this SQL was ever exercised before round 4)."""
+    on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    payload = [c for c in batch_columns if c not in (*key_cols, seq_col, op_col)]
+    set_cols = ", ".join(f"t.{c} = s.{c}" for c in payload)
+    ins_cols = ", ".join([*key_cols, *payload, "_seq", "_deleted"])
+    ins_vals = ", ".join(
+        [f"s.{c}" for c in (*key_cols, *payload)]
+        + [f"s.{seq_col}", f"s.{op_col} = 'D'"]
+    )
+    return f"""
+            MERGE INTO {table} t USING {src_view} s ON {on}
             WHEN MATCHED AND s.{seq_col} > t._seq AND s.{op_col} = 'D'
               THEN UPDATE SET t._deleted = true, t._seq = s.{seq_col}
             WHEN MATCHED AND s.{seq_col} > t._seq
@@ -1559,8 +1589,6 @@ class IcebergMergeSink:
             WHEN NOT MATCHED AND s.{op_col} != 'D'
               THEN INSERT ({ins_cols}) VALUES ({ins_vals})
             """
-        )
-        return True
 
 
 def _cli(argv: list[str] | None = None) -> None:

@@ -64,6 +64,9 @@ class CdcPipeline:
         txn_abandoned_ttl_ms: int | None = None,
         txn_via_state: bool = False,
         txn_marker_keep: int = 8,
+        txn_abandon_after_batches: int | None = None,
+        expire_every: int = 0,
+        expire_keep_n: int = 64,
     ):
         """``txn_consistent``: the feed is transaction-delimited
         (schema.CHANGE_EVENTS_TXN — every event carries ``txn_id``, the
@@ -111,12 +114,27 @@ class CdcPipeline:
         self.sink_mode = sink_mode
         self.compact_every = compact_every
         self._since_compact = 0
+        # Inline snapshot-expiry cadence: a thousand-batch stream commits a
+        # manifest per batch; without expiry the commit log grows without
+        # bound and head discovery/time-travel degrade. Same single-writer
+        # assumption as the inline compaction below. 0 = off (run
+        # `laketable expire` from a maintenance process instead).
+        self.expire_every = expire_every
+        self.expire_keep_n = expire_keep_n
+        self._since_expire = 0
         self.watermark_delay_s = watermark_delay_s
         self.from_json_payload = from_json_payload
         self.txn_consistent = txn_consistent
         self.txn_abandoned_ttl_ms = txn_abandoned_ttl_ms
         self.txn_via_state = txn_via_state
         self.txn_marker_keep = txn_marker_keep
+        # JVM-gate analog of the stateful buffer's txn_abandoned_ttl_ms:
+        # a transaction still open after N carried batches routes to the
+        # DLQ with reason 'txn-abandoned' instead of being held forever
+        # (by default open txns hold until commit or end-of-log — correct,
+        # but an end-of-log replay leaves them invisible; see
+        # pending_report for the observability half).
+        self.txn_abandon_after_batches = txn_abandon_after_batches
         self.table_path = table_path
         # Checkpoint-adjacent state (engine watermark + txn pending store)
         # must live wherever the checkpoint lives — in production that is
@@ -257,6 +275,43 @@ class CdcPipeline:
         except Exception:
             return False
 
+    def pending_report(self) -> DataFrame:
+        """Open (uncommitted) transactions currently held by the JVM gate —
+        one row per txn_id with its event count, how many batches it has
+        been carried, and its seq range. The observability half of the
+        abandoned-transaction story: after an end-of-log replay, anything
+        listed here never applied (its commit never arrived). Empty frame
+        when the gate holds nothing (or txn mode is off).
+
+        Columns: (txn_id, n_events, age_batches, min_seq, max_seq).
+        """
+        schema = (
+            "txn_id long, n_events long, age_batches int, "
+            "min_seq long, max_seq long"
+        )
+        gens = [
+            int(n.split("_", 1)[1])
+            for n in self._ckpt_io.list_names(self._pending_dir)
+            if n.startswith("b_")
+        ]
+        if not gens:
+            return self.spark.createDataFrame([], schema)
+        path = fsio_join(self._pending_dir, f"b_{max(gens)}")
+        if self._pending_is_empty(path):
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(path)
+        return (
+            df.filter(F.col("op") != "C")  # kept commit markers ≠ open txns
+            .groupBy("txn_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.max("_gate_age").cast("int").alias("age_batches"),
+                F.min("seq").alias("min_seq"),
+                F.max("seq").alias("max_seq"),
+            )
+            .select("txn_id", "n_events", "age_batches", "min_seq", "max_seq")
+        )
+
     def _txn_gate(
         self, flagged: DataFrame, batch_id: int
     ) -> "tuple[DataFrame, Callable[[], None]]":
@@ -316,6 +371,13 @@ class CdcPipeline:
         bad = src.filter(F.col("_bad"))
         ok = src.filter(~F.col("_bad"))
         committed, pending = txn_complete_filter(ok, txn_col="txn_id", op_col="op")
+        abandoned = None
+        if self.txn_abandon_after_batches is not None:
+            # expire only rows STILL pending (a commit arriving this batch
+            # admits its stragglers normally, whatever their age)
+            expired = F.col("_gate_age") >= self.txn_abandon_after_batches
+            abandoned = pending.filter(expired)
+            pending = pending.filter(~expired)
         markers = ok.filter(
             (F.col("op") == "C") & (F.col("_gate_age") < self.txn_marker_keep)
         )
@@ -336,6 +398,24 @@ class CdcPipeline:
                 1
             ).write.mode("overwrite").parquet(out_dir)
             self._mark_pending_rows(out_dir, obs.get["n"])
+            if abandoned is not None:
+                # expired open txns land in the DLQ instead of vanishing
+                # (one small append per batch when the option is on; runs
+                # inside the overlapped persist job, same replay caveat as
+                # the _bad DLQ append — the apply_batch pre-check guards
+                # the committed-replay path)
+                (
+                    abandoned.select(
+                        F.lit(batch_id).cast("long").alias("batch_id"),
+                        "payload_json",
+                        "source_file",
+                        "source_pos",
+                        F.lit("txn-abandoned").alias("reason"),
+                    )
+                    .coalesce(1)
+                    .write.mode("append")
+                    .parquet(fsio_join(self.table_path, "_dlq"))
+                )
             if prev_path is not None:
                 consumed = int(prev_path.rsplit("b_", 1)[1])
                 for g in gens:
@@ -619,6 +699,7 @@ class CdcPipeline:
                 )
                 if mxs:
                     self._store_watermark(int(max(mxs)))
+                self._maybe_expire(metrics)
         finally:
             flagged.unpersist()
         return metrics
@@ -763,7 +844,22 @@ class CdcPipeline:
                     self.table.compact_buckets([int(b) for b in mor])
                     metrics["compacted"] = len(mor)
                 self._since_compact = 0
+        self._maybe_expire(metrics)
         return metrics
+
+    def _maybe_expire(self, metrics: dict) -> None:
+        """Inline commit-log expiry every ``expire_every`` committed
+        batches (keep the newest ``expire_keep_n`` snapshots + their base
+        closure) — bounds manifest count on a long-lived stream without a
+        separate maintenance process. No-op when ``expire_every`` is 0."""
+        if not self.expire_every:
+            return
+        self._since_expire += 1
+        if self._since_expire >= self.expire_every:
+            out = self.table.expire_snapshots(keep_n=self.expire_keep_n)
+            if out["manifests_deleted"]:
+                metrics["expired"] = out["manifests_deleted"]
+            self._since_expire = 0
 
     # ---------- streaming wiring ----------
 

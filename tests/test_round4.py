@@ -1,0 +1,275 @@
+"""Round-4 plan-shape and portability additions.
+
+Two-phase ANN top-k: the final per-query ranking used to be a single
+``row_number() OVER (PARTITION BY query_id)`` — every scored candidate
+through one keyed exchange, one reducer task per query. The partial
+stage (similarity._partial_topk) must (a) leave results bit-identical
+and (b) bound the global exchange's input to ≤ k rows per query per
+input partition.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_spark.operators.similarity import (
+    _partial_topk,
+    cosine,
+    cosine_topk,
+    cosine_topk_ivf,
+    pq_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ref_exact_topk(emb_pd, query_ids, k):
+    """Driver-side numpy reference: per-query exact cosine top-k with the
+    engine's rounding and (desc cos, asc id) tie-break."""
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64) for r in emb_pd}
+    out = []
+    for qid in query_ids:
+        qv = vecs[qid]
+        scored = []
+        for nid, cv in vecs.items():
+            if nid == qid:
+                continue
+            cos = round(float(np.dot(qv, cv) / (np.linalg.norm(qv) * np.linalg.norm(cv))), 6)
+            scored.append((nid, cos))
+        scored.sort(key=lambda t: (-t[1], t[0]))
+        out += [(qid, nid, r + 1, cos) for r, (nid, cos) in enumerate(scored[:k])]
+    return sorted(out)
+
+
+def test_two_phase_topk_identical_to_reference(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").repartition(8)
+    q = emb.filter(F.col("vec_id") < 5)
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.rank, round(r.cos_sim, 6))
+        for r in cosine_topk(q, emb, k=5).collect()
+    )
+    ref = _ref_exact_topk(emb.collect(), list(range(5)), 5)
+    # ranks and ids must match exactly; cos within fp-assoc noise of the
+    # numpy fold (the engine's own fold order is pinned by the oracle)
+    assert [(a, b, c) for a, b, c, _ in got] == [(a, b, c) for a, b, c, _ in ref]
+    for (_, _, _, g), (_, _, _, e) in zip(got, ref):
+        assert abs(g - e) < 1e-5
+
+
+def test_partial_topk_bounds_global_exchange_input(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").repartition(8)
+    qdf = F.broadcast(
+        emb.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("_qv")
+        )
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("_cv")
+    )
+    scored = (
+        qdf.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
+        .select("query_id", "neighbor_id", "cos_sim")
+    )
+    n_all = scored.count()
+    k, n_q, n_parts = 5, 4, scored.rdd.getNumPartitions()
+    pruned = _partial_topk(scored, k, "cos_sim", ascending=False)
+    n_pruned = pruned.count()
+    assert n_pruned <= k * n_q * n_parts  # the documented bound
+    assert n_pruned < n_all  # it actually pruned
+    # the survivors contain the true global top-k per query
+    top = set(
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(
+            emb.filter(F.col("vec_id") < 4), emb, k=k
+        ).collect()
+    )
+    kept = set((r.query_id, r.neighbor_id) for r in pruned.collect())
+    assert top <= kept
+
+
+@pytest.mark.parametrize(
+    "build",
+    [
+        lambda q, c: cosine_topk(q, c, k=5),
+        lambda q, c: cosine_topk_ivf(q, c, k=5, n_cells=8, nprobe=4),
+        lambda q, c: pq_topk(q, c, k=5, n_codes=16, m=4),
+    ],
+    ids=["exact", "ivf", "pq"],
+)
+def test_ann_plans_contain_map_side_prune(spark, build):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = build(emb.filter(F.col("vec_id") < 3), emb)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan  # the partial stage sits below the window
+    assert out.count() > 0
+
+
+def test_iceberg_merge_sql_statement_pinned():
+    """The never-executed-in-sandbox Iceberg MERGE path: pin the exact
+    statement for a 2-key + 2-payload schema (arms, ordering, _deleted
+    expression) so a cluster deploy runs known SQL."""
+    from nifi_spark.sinks.laketable import iceberg_merge_sql
+
+    sql = iceberg_merge_sql(
+        "cat.db.transcripts",
+        ["seq", "op", "conv_id", "turn_idx", "role", "text"],
+        ["conv_id", "turn_idx"],
+    )
+    want = """
+            MERGE INTO cat.db.transcripts t USING _merge_src s ON t.conv_id = s.conv_id AND t.turn_idx = s.turn_idx
+            WHEN MATCHED AND s.seq > t._seq AND s.op = 'D'
+              THEN UPDATE SET t._deleted = true, t._seq = s.seq
+            WHEN MATCHED AND s.seq > t._seq
+              THEN UPDATE SET t.role = s.role, t.text = s.text, t._seq = s.seq, t._deleted = false
+            WHEN NOT MATCHED AND s.op != 'D'
+              THEN INSERT (conv_id, turn_idx, role, text, _seq, _deleted) VALUES (s.conv_id, s.turn_idx, s.role, s.text, s.seq, s.op = 'D')
+            """
+    assert sql == want
+
+
+def test_changes_rejects_unknown_mode(spark, tmp_path):
+    from nifi_spark.sinks.laketable import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=2)
+    df = spark.createDataFrame(
+        [(1, "a", 10)], "k int, v string, seq long"
+    ).withColumnRenamed("seq", "s")
+    t.create(
+        df.selectExpr("k", "v", "s as _seq").withColumnRenamed("_seq", "_seq"),
+        ["k"],
+    )
+    with pytest.raises(ValueError, match="mode must be"):
+        t.changes(0, mode="dif")  # typo'd mode used to silently run diff
+
+
+def test_changes_empty_range_column_order_matches(spark, tmp_path):
+    """Empty-range and non-empty results must agree on column order even
+    when key_cols order differs from schema field order."""
+    from nifi_spark.sinks.laketable import LakeTable
+
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=2)
+    base = spark.createDataFrame(
+        [("r", 1, "x", 5)], "role string, turn int, text string, _seq long"
+    )
+    # key order (turn, role) — reversed vs schema order (role, turn)
+    t.create(base, ["turn", "role"])
+    empty_cols = t.changes(t.current_version()).columns
+    t.merge_events(
+        spark.createDataFrame(
+            [(6, "U", 1, "r", "y")], "seq long, op string, turn int, role string, text string"
+        ),
+        key_cols=["turn", "role"], batch_id=1,
+    )
+    nonempty_cols = t.changes(0).columns
+    assert empty_cols == nonempty_cols
+
+
+def test_internal_temp_name_collisions_raise(spark):
+    from nifi_spark.operators.dedup_fuzzy import (
+        jaccard_pairs,
+        minhash_signature,
+        simhash,
+    )
+    from nifi_spark.operators.similarity import ivf_assign
+
+    with pytest.raises(ValueError, match="_mh_hs"):
+        minhash_signature(
+            spark.createDataFrame([("a b c", 1)], "text string, _mh_hs int")
+        )
+    with pytest.raises(ValueError, match="_sh_th"):
+        simhash(spark.createDataFrame([("a b c", 1)], "text string, _sh_th int"))
+    with pytest.raises(ValueError, match="_grid"):
+        jaccard_pairs(
+            spark.createDataFrame(
+                [(1, "a b c d", "en", 0)], "doc_id long, text string, lang string, _grid int"
+            ),
+            block_cols=["lang"],
+        )
+    with pytest.raises(ValueError, match="_ivf_vn"):
+        ivf_assign(
+            spark.createDataFrame(
+                [([1.0, 0.0], 1)], "embedding array<double>, _ivf_vn int"
+            ),
+            [(0, [1.0, 0.0])],
+        )
+
+
+def test_pending_report_and_txn_abandonment(spark, tmp_path):
+    """JVM-gate accounting for transactions that never commit: by default
+    they hold forever but surface in pending_report(); with
+    txn_abandon_after_batches set they route to the DLQ with reason
+    'txn-abandoned' instead of vanishing."""
+    from nifi_spark.feedgen import (
+        generate_change_feed,
+        materialize_feed,
+        with_transactions,
+    )
+    from nifi_spark.streaming.job import CdcPipeline
+
+    SPAN, DANGLING_MOD = 500_000, 7
+    feed = generate_change_feed(spark, n_conversations=30, max_turns=6, max_edits=3)
+    txn_feed = with_transactions(feed, txn_seq_span=SPAN, dangling_mod=DANGLING_MOD)
+    feed_dir = str(tmp_path / "feed")
+    materialize_feed(txn_feed, feed_dir, n_segments=4)
+
+    # default: dangling txns hold and are visible in the report
+    p = CdcPipeline(
+        spark, str(tmp_path / "t1"), str(tmp_path / "ck1"),
+        n_buckets=4, txn_consistent=True,
+    )
+    p.start(feed_dir, max_files_per_trigger=1, available_now=True).awaitTermination()
+    rep = p.pending_report().toPandas()
+    assert len(rep) > 0  # the scenario's dangling txns are held open
+    assert (rep["n_events"] > 0).all()
+    assert set(rep.columns) == {"txn_id", "n_events", "age_batches", "min_seq", "max_seq"}
+
+    # with abandonment: expired opens land in the DLQ, not the table
+    p2 = CdcPipeline(
+        spark, str(tmp_path / "t2"), str(tmp_path / "ck2"),
+        n_buckets=4, txn_consistent=True, txn_abandon_after_batches=1,
+    )
+    p2.start(feed_dir, max_files_per_trigger=1, available_now=True).awaitTermination()
+    dlq = spark.read.parquet(str(tmp_path / "t2") + "/_dlq").toPandas()
+    ab = dlq[dlq["reason"] == "txn-abandoned"]
+    assert len(ab) > 0
+    # nothing abandoned remains held (only txns younger than the TTL may)
+    rep2 = p2.pending_report().toPandas()
+    assert (rep2["age_batches"] <= 1).all() if len(rep2) else True
+    # table state identical to the no-abandonment run: expired opens were
+    # never going to commit, so admitting sets match
+    t1 = p.table.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    t2 = p2.table.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    assert t1.equals(t2)
+
+
+def test_inline_expiry_bounds_commit_log(spark, tmp_path):
+    """expire_every wires snapshot expiry into the batch loop (COW path):
+    the manifest count stays bounded across many commits, and time travel
+    to the oldest KEPT snapshot still reads (base-chain closure intact)."""
+    from nifi_spark.streaming.job import CdcPipeline
+
+    p = CdcPipeline(
+        spark, str(tmp_path / "t"), str(tmp_path / "ck"),
+        n_buckets=2, expire_every=2, expire_keep_n=3,
+    )
+    for b in range(10):
+        df = spark.createDataFrame(
+            [(b * 10 + i, "U", f"2024-01-01 00:00:{b:02d}",
+              f"c{i}", 0, "user", f"t{b}", None, None,
+              f"f{b}", i, None)
+             for i in range(4)],
+            "seq long, op string, ts_s string, conv_id string, turn_idx int, "
+            "role string, text string, tool string, tool_meta string, "
+            "source_file string, source_pos long, payload_json string",
+        ).withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        m = p.apply_batch(df, batch_id=b)
+        assert m["version"] is not None
+    live = p.table._versions()
+    assert len(live) <= 3 + 2 + 2  # keep_n + closure + since-last-tick
+    assert p.table.read(version=min(live)).count() > 0
+    # head state is the newest batch's text for every key
+    assert set(
+        r.text for r in p.table.read().select("text").distinct().collect()
+    ) == {"t9"}

@@ -60,6 +60,7 @@ def test_continuous_trigger_soak(spark, tmp_path):
     p = CdcPipeline(
         spark, str(tmp_path / "table"), str(tmp_path / "ckpt"),
         n_buckets=8, sink_mode="append", compact_every=16,
+        expire_every=16, expire_keep_n=20,
         watermark_delay_s=7 * 24 * 3600,
     )
     walls: list[float] = []
@@ -141,12 +142,19 @@ def test_continuous_trigger_soak(spark, tmp_path):
     assert lin["source_file"].nunique() == n_files_applied
 
     # ---- metadata stayed bounded: MOR debt repaid on cadence, flat
-    # delta list capped by it; expiry then bounds the commit log ----
+    # delta list capped by it; INLINE expiry (expire_every=16, keep 20)
+    # bounded the commit log DURING the run — no manual maintenance ----
     m = p.table._manifest()
     assert len(m.get("delta_files", [])) <= 2 * p.compact_every
-    expired = p.table.expire_snapshots(keep_n=10)
-    assert expired["manifests_deleted"] > 0
-    assert len(p.table._versions()) <= 10 + 2
+    live = p.table._versions()
+    # ≤ keep_n + base-chain closure + commits since the last expiry tick
+    assert len(live) <= p.expire_keep_n + p.expire_every + 4, (
+        f"commit log grew unbounded: {len(live)} manifests after "
+        f"{n_files_applied} batches"
+    )
+    # time travel within the kept window still resolves (full read of the
+    # oldest surviving snapshot — its base chain must be intact)
+    assert p.table.read(version=min(live)).count() > 0
 
     # ---- final state equals the LWW oracle over everything applied ----
     winners: dict[tuple[str, int], int] = {}
