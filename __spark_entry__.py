@@ -1554,6 +1554,47 @@ def q_jolt_transform_v2(spark, sf_dir):
     )
 
 
+def q_jolt_transform_v3(spark, sf_dir):
+    """Jolt modify-define-beta (round-4: the last in-scope Jolt op,
+    reference nifi-jolt-bundle JoltTransformJSON TRANSFORM value
+    ``jolt-transform-modify-define``) and its interactions: define skips
+    a present-but-null field (the Definr/Defaultr distinction), adds
+    absent fields (top-level and nested), and a later overwrite can
+    rewrite what define added — all one Catalyst projection."""
+    from nifi_spark.operators.jolt import jolt_chain
+
+    ev = _t(spark, sf_dir, "events")
+    src = ev.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("kind"),
+            # present but NULL: define must leave it null; default fills it
+            F.lit(None).cast("string").alias("note"),
+            F.struct(F.col("event_id").alias("vid")).alias("meta"),
+        ).alias("doc"),
+    )
+    out = jolt_chain(
+        src,
+        "doc",
+        [
+            ("modify-define-beta", {
+                "note": "defined-would-be-wrong",   # key exists → skipped
+                "origin": "gen",                    # absent → added
+                "meta": {"tag": "=concat('t-', @(1,vid))"},  # nested add
+            }),
+            ("modify-default-beta", {"note": "fallback"}),   # null → filled
+            ("modify-overwrite-beta", {"origin": "=toUpper"}),
+        ],
+    )
+    return out.select(
+        "event_id",
+        F.col("doc")["kind"].alias("kind"),
+        F.col("doc")["note"].alias("note"),
+        F.col("doc")["origin"].alias("origin"),
+        F.col("doc")["meta"]["tag"].alias("tag"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1601,6 +1642,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "el_selection": q_el_selection,
         "recordpath_nested": q_recordpath_nested,
         "merge_record_bins": q_merge_record_bins,
+        # round-4 additions (kept inside the driver's 50-entry snapshot)
+        "jolt_transform_v3": q_jolt_transform_v3,
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_lww_fold_salted": q_cdc_lww_fold_salted,
         "cdc_replay_transcripts": q_cdc_replay_transcripts,
@@ -2831,6 +2874,14 @@ def oracle_sql() -> dict[str, str]:
                    length(event_type)::INT AS nlen,
                    abs(value) AS vabs,
                    'filled' AS note
+            FROM events
+        """,
+        "jolt_transform_v3": """
+            SELECT event_id,
+                   event_type AS kind,
+                   'fallback' AS note,
+                   'GEN' AS origin,
+                   't-' || event_id AS tag
             FROM events
         """,
         "windows_event_xml": """

@@ -25,15 +25,19 @@ Supported spec subset (the operations NiFi flows use most):
   ``jolt-transform-card``).
 - ``sort`` — recursively orders struct fields by name (Jolt's sortr;
   ``jolt-transform-sort``). Takes no spec.
-- ``modify-default-beta`` / ``modify-overwrite-beta`` — leaf values are
+- ``modify-default-beta`` / ``modify-overwrite-beta`` /
+  ``modify-define-beta`` — leaf values are
   literals or ``=fn`` templates; supported fns: ``toUpper`` ``toLower``
   ``trim`` ``size`` ``abs`` ``toInteger`` ``toDouble`` ``toString`` and
   ``concat(...)`` / ``join(sep, ...)`` with ``@(1,field)`` sibling refs
   and quoted literals. *default* writes only when the target is NULL or
-  missing; *overwrite* always writes.
+  missing; *overwrite* always writes; *define* writes only when the key
+  is ABSENT (with schema'd records: not a struct field) — a
+  present-but-null value stays null, the Definr/Defaultr distinction.
 
 Unsupported Jolt features (``@`` value refs in shift, multi-level
-``&N``) raise ValueError — their flows need the imperative escape
+``&N``, custom Java transform classes) raise ValueError — their flows
+need the imperative escape
 hatch (`functions/recordpath.py` + expressions). JSLT programs are a
 separate language with their own compiler: see ``operators/jslt.py``.
 """
@@ -222,10 +226,12 @@ def jolt_chain(
         elif op == "sort":
             col = jolt_sort(col, dt)
             dt = _sort_out_type(dt)
-        elif op in ("modify-default-beta", "modify-overwrite-beta"):
-            overwrite = op == "modify-overwrite-beta"
-            col = jolt_modify(col, dt, spec, overwrite=overwrite)
-            dt = _modify_out_type(dt, spec, overwrite=overwrite)
+        elif op in (
+            "modify-default-beta", "modify-overwrite-beta", "modify-define-beta"
+        ):
+            mode = op.split("-")[1]  # default / overwrite / define
+            col = jolt_modify(col, dt, spec, mode=mode)
+            dt = _modify_out_type(dt, spec, mode=mode)
         else:
             raise ValueError(f"unsupported Jolt operation {op!r}")
     return df.withColumn(out_col or col_name, col)
@@ -427,37 +433,53 @@ def _modify_expr(k: str, v: str, col: Column, dt_k: T.DataType | None,
     )
 
 
-def jolt_modify(col: Column, dt: T.DataType, spec: dict, *, overwrite: bool) -> Column:
-    """modify-default-beta / modify-overwrite-beta as Catalyst withField
-    chains (reference nifi-jolt-bundle ``jolt-transform-modify-default`` /
-    ``jolt-transform-modify-overwrite``)."""
+def jolt_modify(col: Column, dt: T.DataType, spec: dict, *, mode: str) -> Column:
+    """modify-{default,overwrite,define}-beta as Catalyst withField chains
+    (reference nifi-jolt-bundle ``jolt-transform-modify-default`` /
+    ``-overwrite`` / ``-define``). Mode semantics over schema'd records
+    (Jolt's Overwritr / Defaultr / Definr):
+
+    - ``overwrite`` — always write;
+    - ``default``  — write only when the existing value is null
+      (``coalesce(orig, fill)``); new fields are added;
+    - ``define``   — write only when the KEY is absent. With a fixed
+      schema, key presence IS schema membership, so define never touches
+      an existing field (a present-but-null value stays null — the
+      distinction from default) and only adds new fields.
+    """
+    if mode not in ("default", "overwrite", "define"):
+        raise ValueError(f"unknown modify mode {mode!r}")
     fields = _field_types(dt)
     for k, v in spec.items():
         if isinstance(v, dict):
             if k not in fields:
                 raise ValueError(f"modify into missing struct {k!r}")
             col = col.withField(
-                k, jolt_modify(col[k], fields[k], v, overwrite=overwrite)
+                k, jolt_modify(col[k], fields[k], v, mode=mode)
             )
             continue
+        if mode == "define" and k in fields:
+            continue  # Definr: existing key (even null-valued) untouched
         if isinstance(v, str) and v.startswith("="):
             expr, _ = _modify_expr(k, v, col, fields.get(k), fields)
         else:
             expr = F.lit(v)
-        if not overwrite and k in fields:
+        if mode == "default" and k in fields:
             expr = F.coalesce(col[k], expr)
         col = col.withField(k, expr)
     return col
 
 
-def _modify_out_type(dt: T.DataType, spec: dict, *, overwrite: bool) -> T.StructType:
+def _modify_out_type(dt: T.DataType, spec: dict, *, mode: str) -> T.StructType:
     out_fields: dict[str, T.DataType] = {f.name: f.dataType for f in dt.fields}
     order = list(out_fields)
     existing = set(out_fields)
     for k, v in spec.items():
         if isinstance(v, dict):
-            out_fields[k] = _modify_out_type(out_fields[k], v, overwrite=overwrite)
+            out_fields[k] = _modify_out_type(out_fields[k], v, mode=mode)
             continue
+        if mode == "define" and k in existing:
+            continue  # Definr leaves existing fields (and their types) alone
         if isinstance(v, str) and v.startswith("="):
             # result dtype mirrors _modify_expr's second return value
             body = v[1:].split("(", 1)[0]
@@ -478,7 +500,7 @@ def _modify_out_type(dt: T.DataType, spec: dict, *, overwrite: bool) -> T.Struct
         if k not in existing:
             order.append(k)
             out_fields[k] = new_dt
-        elif overwrite:
+        elif mode == "overwrite":
             out_fields[k] = new_dt
         # modify-default keeps the existing field's dtype: the expression
         # is coalesce(orig, fill) so the original type wins when present

@@ -647,6 +647,37 @@ class LakeTable:
             )
         )
 
+    def sync_from(self, src: "LakeTable", cursor: int = 0, mode: str = "auto") -> int:
+        """Changelog-as-source chaining: apply ``src``'s changelog
+        ``(cursor, head]`` to THIS table and return the new cursor
+        (src's head version) — ≙ chaining one NiFi flow's output
+        connection into another flow's input (the downstream consumes
+        the upstream's change stream, not its full state).
+
+        Drive it as a version-cursor loop (poll ``src.current_version()``,
+        call ``sync_from`` when it advances, persist the returned cursor
+        with the consumer's checkpoint). Exactly-once: the merge uses
+        src's head version as the idempotent batch id, so re-running with
+        a stale cursor after a crash skips the already-applied span.
+        Cost per step is the changelog read — O(changes) on an
+        append-only span (delta fast path), one keyed shuffle otherwise —
+        plus a normal merge; never O(src table) twice.
+
+        The destination converges to src's LIVE image at every cursor
+        step: changes() rows carry ``change_seq`` (the winning seq at the
+        `to` version) and op 'I'/'U' upsert while 'D' deletes. Single
+        feeder assumed (this table's batch ids are src versions).
+        """
+        head = src.current_version()
+        if head <= cursor:
+            return cursor
+        ch = src.changes(cursor, head, mode=mode)
+        key_cols = src._manifest(head)["key_cols"]
+        self.merge_events(
+            ch, key_cols, seq_col="change_seq", op_col="op", batch_id=head
+        )
+        return head
+
     # ---------- maintenance ----------
 
     def compact(self, purge_tombstones_below_seq: int | None = None) -> int:

@@ -127,3 +127,41 @@ def test_default_does_not_mutate_source_schema(spark):
     n_before = len(df.schema["doc"].dataType.fields)
     jolt_chain(df, "doc", [("default", {"added": 1}), ("default", {"more": 2})])
     assert len(df.schema["doc"].dataType.fields) == n_before
+
+
+def test_modify_define_vs_default_semantics(spark):
+    """Definr vs Defaultr: define never touches an existing key — a
+    present-but-null value stays null — while default fills nulls; both
+    add absent keys; a later overwrite rewrites a defined field."""
+    from nifi_spark.operators.jolt import jolt_chain
+
+    src = spark.createDataFrame([(1,)], "id int").select(
+        "id",
+        F.struct(
+            F.lit(None).cast("string").alias("note"),
+            F.struct(F.lit(7).alias("vid")).alias("meta"),
+        ).alias("doc"),
+    )
+    out = jolt_chain(
+        src, "doc",
+        [
+            ("modify-define-beta", {
+                "note": "nope", "origin": "gen",
+                "meta": {"tag": "=concat('t-', @(1,vid))"},
+            }),
+            ("modify-overwrite-beta", {"origin": "=toUpper"}),
+        ],
+    ).select(
+        F.col("doc")["note"].alias("note"),
+        F.col("doc")["origin"].alias("origin"),
+        F.col("doc")["meta"]["tag"].alias("tag"),
+    ).collect()[0]
+    assert out.note is None          # define skipped the existing null key
+    assert out.origin == "GEN"       # define added, overwrite rewrote
+    assert out.tag == "t-7"          # nested define into existing struct
+
+    # default (not define) fills the null
+    filled = jolt_chain(
+        src, "doc", [("modify-default-beta", {"note": "fallback"})]
+    ).select(F.col("doc")["note"].alias("note")).collect()[0]
+    assert filled.note == "fallback"

@@ -273,3 +273,125 @@ def test_inline_expiry_bounds_commit_log(spark, tmp_path):
     assert set(
         r.text for r in p.table.read().select("text").distinct().collect()
     ) == {"t9"}
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "seq long, op string, conv_id string, turn_idx int, text string"
+    )
+
+
+def test_changelog_chaining_converges_each_step(spark, tmp_path):
+    """Table B fed ONLY by A's changelog across version steps that mix
+    COW merges, MOR appends, and deletes: B equals A's live image at
+    every cursor step, and a stale-cursor re-run is a no-op."""
+    from nifi_spark.sinks.laketable import LakeTable
+
+    A = LakeTable(spark, str(tmp_path / "A"), n_buckets=2)
+    B = LakeTable(spark, str(tmp_path / "B"), n_buckets=2)
+    keys = ["conv_id", "turn_idx"]
+
+    def img(t):
+        return sorted(
+            (r.conv_id, r.turn_idx, r.text)
+            for r in t.read().select("conv_id", "turn_idx", "text").collect()
+        )
+
+    cursor = 0
+    # step 1: COW merge creates A (inserts)
+    A.merge_events(_ev(spark, [(1, "U", "c1", 0, "a"), (2, "U", "c2", 0, "b")]),
+                   keys, batch_id=1)
+    cursor = B.sync_from(A, cursor)
+    assert img(B) == img(A)
+
+    # step 2: MOR append (update + new key)
+    A.append_events(_ev(spark, [(3, "U", "c1", 0, "a2"), (4, "U", "c3", 1, "c")]),
+                    keys, batch_id=2)
+    cursor = B.sync_from(A, cursor)
+    assert img(B) == img(A)
+
+    # step 3: COW merge with a delete and another update
+    A.merge_events(_ev(spark, [(5, "D", "c2", 0, None), (6, "U", "c3", 1, "c2")]),
+                   keys, batch_id=3)
+    cursor = B.sync_from(A, cursor)
+    assert img(B) == img(A)
+    assert ("c2", 0) not in {(k, t) for k, t, _ in img(B)}
+
+    # step 4: second MOR append
+    A.append_events(_ev(spark, [(7, "U", "c4", 0, "d")]), keys, batch_id=4)
+    cursor = B.sync_from(A, cursor)
+    assert img(B) == img(A)
+
+    # stale cursor re-run: idempotent (batch id = src head already applied)
+    vb = B.current_version()
+    assert B.sync_from(A, cursor - 1) == A.current_version()
+    assert B.current_version() == vb
+    # cursor at head: pure no-op
+    assert B.sync_from(A, cursor) == cursor
+
+
+def test_changelog_chaining_multi_commit_span(spark, tmp_path):
+    """One sync covering several src commits (a consumer that woke up
+    late) still lands the net image."""
+    from nifi_spark.sinks.laketable import LakeTable
+
+    A = LakeTable(spark, str(tmp_path / "A"), n_buckets=2)
+    B = LakeTable(spark, str(tmp_path / "B"), n_buckets=2)
+    keys = ["conv_id", "turn_idx"]
+    A.merge_events(_ev(spark, [(1, "U", "c1", 0, "a")]), keys, batch_id=1)
+    A.append_events(_ev(spark, [(2, "U", "c1", 0, "a2"), (3, "U", "c2", 0, "b")]),
+                    keys, batch_id=2)
+    A.merge_events(_ev(spark, [(4, "D", "c1", 0, None)]), keys, batch_id=3)
+    cursor = B.sync_from(A, 0)
+    assert cursor == A.current_version()
+    got = sorted((r.conv_id, r.turn_idx, r.text) for r in
+                 B.read().select("conv_id", "turn_idx", "text").collect())
+    assert got == [("c2", 0, "b")]
+
+
+def test_cc_star_matches_minlabel_and_converges_faster_on_chains(spark):
+    """large-star/small-star: same (node, component) output contract as
+    min-label on chains, islands and stars, and O(log n) rounds on a
+    chain where min-label needs O(n)."""
+    from nifi_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11), (23, 22), (22, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20, 23: 20}
+    got = {r.node: r.component for r in
+           connected_components(edges, algo="star").collect()}
+    assert got == want
+
+    # 14-node chain: star rounds << minlabel rounds
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 14)], "id_a long, id_b long"
+    )
+    lab_ml, r_ml = connected_components(chain, max_iter=30, return_rounds=True)
+    lab_st, r_st = connected_components(
+        chain, max_iter=30, algo="star", return_rounds=True
+    )
+    ml = {r.node: r.component for r in lab_ml.collect()}
+    st = {r.node: r.component for r in lab_st.collect()}
+    assert ml == st == {i: 1 for i in range(1, 15)}
+    assert r_st < r_ml, f"star {r_st} rounds vs minlabel {r_ml}"
+
+    with pytest.raises(ValueError, match="algo"):
+        connected_components(chain, algo="bfs")
+
+
+def test_cc_star_equals_minlabel_on_real_dedup_pairs(spark):
+    """The dedup_clusters contract holds under the star flag: identical
+    (node, component) labels on the sf0.001 minhash-LSH pair graph."""
+    from nifi_spark.operators.dedup_fuzzy import minhash_dedup_pairs
+    from nifi_spark.operators.graph import connected_components
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    pairs = minhash_dedup_pairs(
+        docs, "doc_id", "text", n_hashes=16, shingle_n=3, n_bands=4, threshold=0.5
+    ).localCheckpoint()
+    ml = {r.node: r.component for r in connected_components(pairs).collect()}
+    st = {r.node: r.component for r in
+          connected_components(pairs, algo="star").collect()}
+    assert ml == st and len(ml) > 0
