@@ -28,11 +28,15 @@ simpleTransform / dynamicKeyTransform / expressionLanguageTransform):
   ``string`` ``round`` ``floor`` ``ceiling`` ``not`` ``contains``
   ``is-array`` ``is-object`` ``is-string`` ``is-number`` (the ``is-*``
   tests resolve statically from the schema — they compile to literals);
-- ``let name = <expr>`` bindings and ``$name`` references.
+- ``let name = <expr>`` bindings and ``$name`` references;
+- ``def name(p, ...) <expr>`` user function declarations — inlined at
+  every call site at compile time ($param bindings, ``.`` stays the
+  caller's node), so the program remains ONE Catalyst expression;
+  recursive defs raise by name (they cannot unroll into a finite tree).
 
-Unsupported (raise ValueError, with the feature named): ``def`` function
-declarations, object/array comprehension filters, ``import``, regex
-functions, array slicing. Divergence note: JSLT drops object keys whose
+Unsupported (raise ValueError, with the feature named):
+object/array comprehension filters, ``import``, regex
+functions, array slicing, recursive ``def``. Divergence note: JSLT drops object keys whose
 value is null; a Spark struct has a fixed shape, so null-valued keys are
 KEPT as null fields (schema-visible, documented here).
 """
@@ -105,19 +109,31 @@ class _Parser:
     # program := (let)* expr
     def parse(self):
         lets = []
-        while self.peek() == ("name", "let"):
-            self.next()
+        defs: dict[str, tuple[list[str], object]] = {}
+        while self.peek()[1] in ("let", "def") and self.peek()[0] == "name":
+            _, kw = self.next()
+            if kw == "let":
+                _, name = self.next()
+                self.expect("=")
+                lets.append((name, self.or_expr()))
+                continue
+            # def name(p1, p2, ...) <expr> — params referenced as $p in body
             _, name = self.next()
-            self.expect("=")
-            lets.append((name, self.or_expr()))
-        if self.peek() == ("name", "def"):
-            raise ValueError("JSLT 'def' function declarations are unsupported")
+            self.expect("(")
+            params = []
+            if self.peek()[1] != ")":
+                params.append(self.next()[1])
+                while self.peek()[1] == ",":
+                    self.next()
+                    params.append(self.next()[1])
+            self.expect(")")
+            defs[name] = (params, self.expr())
         body = self.expr()
         if self.peek()[0] != "eof":
             raise ValueError(f"JSLT: trailing input at {self.peek()[1]!r}")
         for name, val in reversed(lets):
             body = ("let", name, val, body)
-        return body
+        return ("defs", defs, body) if defs else body
 
     def expr(self):
         if self.peek() == ("name", "if"):
@@ -299,20 +315,30 @@ def _unquote(s: str) -> str:
 
 
 class _Ctx:
-    """Compilation context: the current node ('.' binding) and lets."""
+    """Compilation context: the current node ('.' binding), lets, user
+    ``def`` functions, and the inline stack (recursion guard)."""
 
-    def __init__(self, col: Column, dt: T.DataType, env: dict | None = None):
+    def __init__(
+        self,
+        col: Column,
+        dt: T.DataType,
+        env: dict | None = None,
+        defs: dict | None = None,
+        inlining: frozenset | None = None,
+    ):
         self.col = col
         self.dt = dt
         self.env = env or {}
+        self.defs = defs or {}
+        self.inlining = inlining or frozenset()
 
     def with_node(self, col: Column, dt: T.DataType) -> "_Ctx":
-        return _Ctx(col, dt, self.env)
+        return _Ctx(col, dt, self.env, self.defs, self.inlining)
 
     def with_var(self, name: str, col: Column, dt: T.DataType) -> "_Ctx":
         env = dict(self.env)
         env[name] = (col, dt)
-        return _Ctx(self.col, self.dt, env)
+        return _Ctx(self.col, self.dt, env, self.defs, self.inlining)
 
 
 def _null() -> tuple[Column, T.DataType]:
@@ -322,6 +348,11 @@ def _null() -> tuple[Column, T.DataType]:
 
 def _compile(node, ctx: _Ctx) -> tuple[Column, T.DataType]:
     tag = node[0]
+    if tag == "defs":
+        _, defs, body = node
+        return _compile(
+            body, _Ctx(ctx.col, ctx.dt, ctx.env, {**ctx.defs, **defs}, ctx.inlining)
+        )
     if tag == "lit":
         v = node[1]
         if v is None:
@@ -498,6 +529,23 @@ def _compile_call(node, ctx: _Ctx) -> tuple[Column, T.DataType]:
         if fn in checks:
             # schema-static: the column's type is known at compile time
             return F.lit(bool(checks[fn])), T.BooleanType()
+    if fn in ctx.defs:
+        # user `def`: inline at the call site — args bind to $param vars,
+        # `.` stays the caller's current node (JSLT functions do not
+        # rebind the context node). Compile-time expansion keeps the
+        # whole program one Catalyst expression; recursion cannot unroll
+        # into a finite tree, so it raises by name.
+        if fn in ctx.inlining:
+            raise ValueError(f"JSLT: recursive def {fn!r} is unsupported")
+        params, body = ctx.defs[fn]
+        if len(args) != len(params):
+            raise ValueError(
+                f"JSLT: def {fn!r} takes {len(params)} args, got {len(args)}"
+            )
+        ictx = _Ctx(ctx.col, ctx.dt, ctx.env, ctx.defs, ctx.inlining | {fn})
+        for p, (ac, adt) in zip(params, ca):
+            ictx = ictx.with_var(p, ac, adt)
+        return _compile(body, ictx)
     raise ValueError(f"JSLT: unsupported function {fn!r}")
 
 

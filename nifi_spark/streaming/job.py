@@ -966,6 +966,13 @@ def _cli(argv: list[str] | None = None) -> None:
                    help="copy-on-write merge per batch, or merge-on-read append + compaction cadence")
     p.add_argument("--compact-every", type=int, default=16,
                    help="append mode: fold MOR delta generations every N batches")
+    p.add_argument("--expire-every", type=int, default=0,
+                   help="run snapshot expiry every N committed batches (0 = off)")
+    p.add_argument("--expire-keep-n", type=int, default=64,
+                   help="snapshots kept (plus base closure) by inline expiry")
+    p.add_argument("--txn-abandon-after-batches", type=int, default=None,
+                   help="JVM gate: route a txn still open after N carried "
+                        "batches to the DLQ (reason txn-abandoned)")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--available-now", action="store_true",
                    help="drain the feed and stop (batch replay); else run continuous")
@@ -987,6 +994,9 @@ def _cli(argv: list[str] | None = None) -> None:
         txn_consistent=args.txn_consistent,
         txn_abandoned_ttl_ms=args.txn_abandoned_ttl_ms,
         txn_via_state=args.txn_via_state,
+        txn_abandon_after_batches=args.txn_abandon_after_batches,
+        expire_every=args.expire_every,
+        expire_keep_n=args.expire_keep_n,
     )
     if args.bootstrap_from:
         if args.bootstrap_seq is None:

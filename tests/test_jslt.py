@@ -93,7 +93,30 @@ def test_jslt_is_functions_static(spark):
 
 def test_jslt_unsupported_raise(spark):
     df = _doc(spark)
-    with pytest.raises(ValueError, match="def"):
-        jslt_transform(df, "doc", 'def f(x) $x {"a": 1}')
+    # def declarations are supported since round 4 (compile-time inline)
+    assert jslt_transform(df, "doc", 'def f(x) $x {"a": f(1)}').count() > 0
     with pytest.raises(ValueError, match="function"):
         jslt_transform(df, "doc", '{"a": test("x")}')
+
+
+def test_def_functions_inline(spark):
+    """User `def` functions: $param binding, nesting (a def calling
+    another def), `.` = caller's node, and the recursion guard."""
+    from nifi_spark.operators.jslt import jslt_transform
+
+    df = spark.createDataFrame(
+        [(("ada", 2),), (("bob", 5),)], "doc struct<name:string, n:bigint>"
+    )
+    prog = """
+        def shout(s) uppercase($s) + "!"
+        def label(x) shout(.name) + "-" + string($x * 2)
+        { "tag": label(.n), "plain": shout("hi") }
+    """
+    rows = {r.doc.tag for r in jslt_transform(df, "doc", prog).collect()}
+    assert rows == {"ADA!-4", "BOB!-10"}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="recursive def"):
+        jslt_transform(df, "doc", 'def loop(x) loop($x) {"a": loop(1)}')
+    with _pt.raises(ValueError, match="takes 1 args"):
+        jslt_transform(df, "doc", 'def one(x) $x {"a": one(1, 2)}')
