@@ -76,6 +76,11 @@ def _partial_topk(
     Arrow batches stream through (no partition-sized concat). No
     arithmetic happens here — scores computed JVM-side pass through
     unchanged, so value hashes are unaffected.
+
+    Precondition: ``order_col`` values are non-null. (pandas sorts NaN
+    last in both directions while Spark's ascending window sorts nulls
+    first, so a null score could survive one phase and not the other.
+    Every caller scores with non-null arithmetic over non-null vectors.)
     """
     cols = scored.columns
     by = [group_col, order_col, tie_col]

@@ -196,36 +196,77 @@ def test_internal_temp_name_collisions_raise(spark):
         )
 
 
+def _txn_seg(spark, feed_dir, name, mtime, rows):
+    """One FLAT feed segment file with explicit batch boundaries —
+    (seq, op, txn_id, conv, turn, text) rows in the CHANGE_EVENTS_TXN
+    shape. Explicit mtimes pin the file-stream batch ORDER (the source
+    orders by modification time; equal mtimes made the feedgen variant
+    of this test order-flaky, changing which txns span batches)."""
+    import datetime as dt
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(feed_dir, exist_ok=True)
+    seqs = [r[0] for r in rows]
+    tbl = pa.table({
+        "seq": pa.array(seqs, pa.int64()),
+        "op": pa.array([r[1] for r in rows], pa.string()),
+        "ts": pa.array(
+            [dt.datetime(2024, 1, 1, 0, 0, s % 60, tzinfo=dt.timezone.utc)
+             for s in seqs],
+            pa.timestamp("us", tz="UTC"),
+        ),
+        "conv_id": pa.array([r[3] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[4] for r in rows], pa.int32()),
+        "role": pa.array(["user"] * len(rows), pa.string()),
+        "text": pa.array([r[5] for r in rows], pa.string()),
+        "tool": pa.array([None] * len(rows), pa.string()),
+        "source_file": pa.array([name] * len(rows), pa.string()),
+        "source_pos": pa.array(seqs, pa.int64()),
+        "payload_json": pa.array([None] * len(rows), pa.string()),
+        "txn_id": pa.array([r[2] for r in rows], pa.int64()),
+    })
+    path = os.path.join(feed_dir, f"{name}.parquet")
+    pq.write_table(tbl, path)
+    os.utime(path, (mtime, mtime))
+
+
 def test_pending_report_and_txn_abandonment(spark, tmp_path):
     """JVM-gate accounting for transactions that never commit: by default
     they hold forever but surface in pending_report(); with
     txn_abandon_after_batches set they route to the DLQ with reason
-    'txn-abandoned' instead of vanishing."""
-    from nifi_spark.feedgen import (
-        generate_change_feed,
-        materialize_feed,
-        with_transactions,
-    )
+    'txn-abandoned' instead of vanishing. Deterministic segments: txn 99
+    is dangling from batch 1; txns 1-3 commit inside their batches."""
     from nifi_spark.streaming.job import CdcPipeline
 
-    SPAN, DANGLING_MOD = 500_000, 7
-    feed = generate_change_feed(spark, n_conversations=30, max_turns=6, max_edits=3)
-    txn_feed = with_transactions(feed, txn_seq_span=SPAN, dangling_mod=DANGLING_MOD)
     feed_dir = str(tmp_path / "feed")
-    materialize_feed(txn_feed, feed_dir, n_segments=4)
+    base = 1_700_000_000
+    _txn_seg(spark, feed_dir, "b1", base + 0, [
+        (1, "U", 1, "c1", 0, "a"), (2, "C", 1, None, None, None),
+        (3, "U", 99, "c9", 0, "dangling-1"), (4, "U", 99, "c9", 1, "dangling-2"),
+    ])
+    _txn_seg(spark, feed_dir, "b2", base + 60, [
+        (5, "U", 2, "c2", 0, "b"), (6, "C", 2, None, None, None),
+    ])
+    _txn_seg(spark, feed_dir, "b3", base + 120, [
+        (7, "U", 3, "c3", 0, "c"), (8, "C", 3, None, None, None),
+    ])
 
-    # default: dangling txns hold and are visible in the report
+    # default: the dangling txn holds and is visible in the report
     p = CdcPipeline(
         spark, str(tmp_path / "t1"), str(tmp_path / "ck1"),
         n_buckets=4, txn_consistent=True,
     )
     p.start(feed_dir, max_files_per_trigger=1, available_now=True).awaitTermination()
     rep = p.pending_report().toPandas()
-    assert len(rep) > 0  # the scenario's dangling txns are held open
-    assert (rep["n_events"] > 0).all()
+    assert list(rep["txn_id"]) == [99]
+    assert list(rep["n_events"]) == [2]
+    assert list(rep["min_seq"]) == [3] and list(rep["max_seq"]) == [4]
     assert set(rep.columns) == {"txn_id", "n_events", "age_batches", "min_seq", "max_seq"}
 
-    # with abandonment: expired opens land in the DLQ, not the table
+    # with abandonment: the expired open lands in the DLQ, not the table
     p2 = CdcPipeline(
         spark, str(tmp_path / "t2"), str(tmp_path / "ck2"),
         n_buckets=4, txn_consistent=True, txn_abandon_after_batches=1,
@@ -233,15 +274,14 @@ def test_pending_report_and_txn_abandonment(spark, tmp_path):
     p2.start(feed_dir, max_files_per_trigger=1, available_now=True).awaitTermination()
     dlq = spark.read.parquet(str(tmp_path / "t2") + "/_dlq").toPandas()
     ab = dlq[dlq["reason"] == "txn-abandoned"]
-    assert len(ab) > 0
-    # nothing abandoned remains held (only txns younger than the TTL may)
-    rep2 = p2.pending_report().toPandas()
-    assert (rep2["age_batches"] <= 1).all() if len(rep2) else True
-    # table state identical to the no-abandonment run: expired opens were
-    # never going to commit, so admitting sets match
-    t1 = p.table.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
-    t2 = p2.table.read().toPandas().sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
-    assert t1.equals(t2)
+    assert sorted(ab["source_pos"]) == [3, 4]  # exactly txn 99's events
+    assert p2.pending_report().count() == 0  # nothing held after expiry
+    # table state identical to the no-abandonment run — the dangling txn
+    # was never going to commit, so the admitted sets match
+    cols = ["conv_id", "turn_idx", "text"]
+    t1 = sorted(map(tuple, p.table.read().select(cols).collect()))
+    t2 = sorted(map(tuple, p2.table.read().select(cols).collect()))
+    assert t1 == t2 == [("c1", 0, "a"), ("c2", 0, "b"), ("c3", 0, "c")]
 
 
 def test_inline_expiry_bounds_commit_log(spark, tmp_path):
