@@ -367,7 +367,12 @@ def jaccard_pairs(
         ).alias("sh"),
     )
     if max_block is not None or n_grid is None:
-        sizes = sh.groupBy(*block_cols).agg(F.count("*").alias("_blk_n"))
+        # sizes over the RAW frame, not `sh`: block counts don't need the
+        # shingle arrays, and the n_grid probe's collect would otherwise
+        # re-run the md5 shingle transform as a second full pass
+        sizes = df.groupBy(*[F.col(c) for c in block_cols]).agg(
+            F.count("*").alias("_blk_n")
+        )
         if n_grid is None:
             # same probe that backs the max_block guard: size the grid so
             # the biggest block's |B|²/2 candidate pairs land ~1M per task

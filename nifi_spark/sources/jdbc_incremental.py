@@ -29,12 +29,30 @@ from pyspark.sql import DataFrame, SparkSession
 
 class MaxValueState:
     """Persistent high-water mark per (table, column) — NiFi's
-    `maxvalue.*` processor state as an auditable JSON file."""
+    `maxvalue.*` processor state as an auditable JSON file.
 
-    def __init__(self, path: str):
+    A ``scheme://`` path (file://, hdfs://, s3a://) routes through FsIO
+    (pass ``spark``), so the poll loop's state can live next to a remote
+    checkpoint like the engine watermark; bare local paths keep the
+    atomic tmp-then-rename write."""
+
+    def __init__(self, path: str, spark: SparkSession | None = None):
         self.path = path
+        self._io = None
+        if "://" in path:
+            if spark is None:
+                raise ValueError(
+                    "MaxValueState on a scheme:// path needs the spark handle"
+                )
+            from ..fsio import FsIO
+
+            self._io = FsIO(spark, path)
 
     def _load(self) -> dict:
+        if self._io is not None:
+            if self._io.exists(self.path):
+                return json.loads(self._io.read_text(self.path))
+            return {}
         if os.path.exists(self.path):
             with open(self.path) as f:
                 return json.load(f)
@@ -49,6 +67,9 @@ class MaxValueState:
         prev = state.get(key)
         if prev is None or value > prev:
             state[key] = value
+            if self._io is not None:
+                self._io.write_text(self.path, json.dumps(state))
+                return
             os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
             tmp = self.path + ".tmp"
             with open(tmp, "w") as f:

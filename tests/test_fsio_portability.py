@@ -140,3 +140,19 @@ def test_lineage_roundtrip_and_audit_file_scheme_table(spark, tmp_path):
 
     # an absent table still yields the empty frame, remote or local
     assert read_lineage(spark, _file_uri(tmp_path / "missing")).count() == 0
+
+
+def test_maxvalue_state_file_scheme(spark, tmp_path):
+    """JDBC poll-loop watermark on a scheme path: store/load through
+    FsIO, monotonic update preserved across instances (restart)."""
+    from nifi_spark.sources.jdbc_incremental import MaxValueState
+
+    p = "file://" + str(tmp_path / "state.json")
+    st = MaxValueState(p, spark)
+    assert st.get("t", "c") is None
+    st.update("t", "c", 5)
+    st.update("t", "c", 3)  # non-monotonic value must not regress
+    st2 = MaxValueState(p, spark)  # fresh instance = restarted poller
+    assert st2.get("t", "c") == 5
+    with pytest.raises(ValueError, match="spark handle"):
+        MaxValueState("hdfs://nn/state.json")
