@@ -816,6 +816,19 @@ def q_embedding_ann_pq(spark, sf_dir):
     return pq_topk(queries, emb, k=10, n_codes=16, m=4)
 
 
+def q_embedding_ann_ivf_pq(spark, sf_dir):
+    """IVF × PQ composed (FAISS-IVFADC shape, round 4): coarse cells
+    bound WHICH vectors are scanned (nprobe bucket join), PQ codes bound
+    WHAT is read per candidate (m LUT lookups). Both constructions are
+    the md5-deterministic ones the separate ivf/pq oracles already pin,
+    so the composition is value-hash-checked end to end."""
+    from nifi_spark.operators.similarity import pq_topk_ivf
+
+    emb = _t_wide(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return pq_topk_ivf(queries, emb, k=10, n_cells=16, nprobe=4, n_codes=16, m=4)
+
+
 def q_embedding_ann_pq_refined(spark, sf_dir):
     """PQ ANN with the standard second stage: shortlist 50 by ADC, exact
     L2² re-rank of just those true vectors (the quality knob — pure ADC
@@ -1644,6 +1657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "merge_record_bins": q_merge_record_bins,
         # round-4 additions (kept inside the driver's 50-entry snapshot)
         "jolt_transform_v3": q_jolt_transform_v3,
+        "embedding_ann_ivf_pq": q_embedding_ann_ivf_pq,
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_lww_fold_salted": q_cdc_lww_fold_salted,
         "cdc_replay_transcripts": q_cdc_replay_transcripts,
@@ -2875,6 +2889,83 @@ def oracle_sql() -> dict[str, str]:
                    abs(value) AS vabs,
                    'filled' AS note
             FROM events
+        """,
+        "embedding_ann_ivf_pq": """
+            WITH cents AS (
+                SELECT vec_id AS cid, embedding AS cv
+                FROM embeddings
+                ORDER BY ('0x' || substr(md5('ivf|' || vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+                LIMIT 16
+            ),
+            cscores AS (
+                SELECT e.vec_id, c.cid,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(generate_series(1, 64), i -> e.embedding[i]::DOUBLE * c.cv[i]::DOUBLE)),
+                           (a, b) -> a + b)
+                       / (sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                              list_transform(generate_series(1, 64), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)),
+                              (a, b) -> a + b))
+                          * sqrt(list_reduce(list_prepend(0.0::DOUBLE,
+                              list_transform(generate_series(1, 64), i -> c.cv[i]::DOUBLE * c.cv[i]::DOUBLE)),
+                              (a, b) -> a + b))) AS s
+                FROM embeddings e, cents c
+            ),
+            assign AS (
+                SELECT vec_id AS neighbor_id, cid AS cell FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+                    FROM cscores
+                ) WHERE rn = 1
+            ),
+            probe AS (
+                SELECT vec_id AS query_id, cid AS cell FROM (
+                    SELECT vec_id, cid,
+                           row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cid ASC) AS rn
+                    FROM cscores WHERE vec_id < 10
+                ) WHERE rn <= 4
+            ),
+            cw AS (
+                SELECT row_number() OVER (ORDER BY h, cid) - 1 AS code, cv
+                FROM (
+                    SELECT vec_id AS cid, embedding AS cv,
+                           ('0x' || substr(md5('pq|' || vec_id::VARCHAR), 1, 15))::BIGINT AS h
+                    FROM embeddings ORDER BY h, vec_id LIMIT 16
+                )
+            ),
+            subdist AS (
+                SELECT e.vec_id, t.j, cw.code,
+                       list_reduce(list_prepend(0.0::DOUBLE,
+                           list_transform(generate_series(1, 16), i ->
+                               (e.embedding[t.j*16+i]::DOUBLE - cw.cv[t.j*16+i]::DOUBLE)
+                               * (e.embedding[t.j*16+i]::DOUBLE - cw.cv[t.j*16+i]::DOUBLE))),
+                           (a, b) -> a + b) AS d
+                FROM embeddings e, range(4) t(j), cw
+            ),
+            codes AS (
+                SELECT vec_id, j, code FROM (
+                    SELECT vec_id, j, code,
+                           row_number() OVER (PARTITION BY vec_id, j
+                               ORDER BY d ASC, code ASC) AS rn
+                    FROM subdist
+                ) WHERE rn = 1
+            ),
+            adc AS (
+                SELECT p.query_id, c.vec_id AS neighbor_id,
+                       round(list_reduce(list_prepend(0.0::DOUBLE,
+                           list(qd.d ORDER BY qd.j)), (a, b) -> a + b), 6) AS adc
+                FROM probe p
+                JOIN assign a ON a.cell = p.cell
+                JOIN codes c ON c.vec_id = a.neighbor_id
+                JOIN subdist qd ON qd.vec_id = p.query_id
+                                AND qd.j = c.j AND qd.code = c.code
+                WHERE c.vec_id <> p.query_id
+                GROUP BY p.query_id, c.vec_id
+            )
+            SELECT query_id, neighbor_id, rank, adc FROM (
+                SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
+                FROM adc
+            ) WHERE rank <= 10
         """,
         "jolt_transform_v3": """
             SELECT event_id,

@@ -643,6 +643,92 @@ def pq_topk(
     )
 
 
+def pq_topk_ivf(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    nprobe: int = 4,
+    n_codes: int = 16,
+    m: int = 4,
+    seed_tag_ivf: str = "ivf",
+    seed_tag_pq: str = "pq",
+) -> DataFrame:
+    """IVF × PQ composed — the billion-vector ANN shape (FAISS IVFADC):
+    coarse cells bound WHICH vectors are scanned (O(n · nprobe / n_cells)
+    candidates, a bucket equi-join, never the full corpus), PQ codes
+    bound WHAT is read per candidate (m bytes + m LUT lookups, no
+    dim-float arithmetic). Both halves reuse the oracle-reproducible
+    md5-sampled constructions of :func:`cosine_topk_ivf` and
+    :func:`pq_topk`; ranking is two-phase (:func:`_partial_topk`).
+
+    Output: (query_id, neighbor_id, rank, adc) — ADC ascending, ties by
+    neighbor id.
+    """
+    centroids = ivf_centroids(corpus, id_col, vec_col, n_cells, seed_tag_ivf)
+    codebooks = pq_codebooks(corpus, id_col, vec_col, n_codes, m, seed_tag_pq)
+    sub = len(codebooks[0][0])
+    enc = pq_encode(
+        ivf_assign(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+            ),
+            centroids,
+            "_cv",
+        ),
+        codebooks,
+        "_cv",
+    ).select("neighbor_id", "cell", "pq_codes")
+    probed = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
+        .withColumn("_qn", norm(F.col("_qv")))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.sort_array(
+                            _cell_scores(F.col("_qv"), centroids, F.col("_qn")),
+                            asc=False,
+                        ),
+                        1,
+                        nprobe,
+                    ),
+                    lambda e: -e["n"],
+                )
+            ),
+        )
+        .select(
+            "query_id",
+            "cell",
+            *[
+                F.array(
+                    *[_l2sq_sub(F.col("_qv"), j * sub, cw) for cw in codebooks[j]]
+                ).alias(f"_lut{j}")
+                for j in range(m)
+            ],
+        )
+    )
+    joined = enc.join(F.broadcast(probed), "cell").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    dist = F.lit(0.0)
+    for j in range(m):
+        dist = dist + F.element_at(
+            F.col(f"_lut{j}"), F.element_at(F.col("pq_codes"), j + 1) + 1
+        )
+    scored = joined.select("query_id", "neighbor_id", F.round(dist, 6).alias("adc"))
+    pruned = _partial_topk(scored, k, "adc", ascending=True)
+    w = W.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-space near-duplicate detection: the semantic arm of the dedup
 # family (dedup_fuzzy covers lexical minhash/simhash/jaccard). Same LSH
