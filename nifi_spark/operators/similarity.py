@@ -274,18 +274,22 @@ def _cell_scores(
     norms are folded driver-side (:func:`_norm_py`) for the same reason.
     Same doubles, same op order — values are bit-identical either way."""
     vn = vec_norm if vec_norm is not None else norm(vec)
-    return F.array(
-        *[
-            F.struct(
-                # one array-literal leaf per centroid (not dim unrolled
-                # F.lit nodes) — same doubles, far smaller plan tree;
-                # see _l2sq_sub for the driver-side compile-cost rationale
-                (dot(vec, F.lit([float(x) for x in cv]))
-                 / (vn * F.lit(_norm_py(cv)))).alias("s"),
-                F.lit(-cid).cast("long").alias("n"),
-            )
-            for cid, cv in centroids
-        ]
+    # ONE transform over a 2D centroid literal instead of n_cells inlined
+    # fold expressions: the per-centroid dot/divide is the same double
+    # chain (element_at of the literal yields the same codeword array the
+    # per-centroid F.lit did), but the plan carries one HOF node + three
+    # literal leaves instead of n_cells folds — n_cells× less Catalyst
+    # optimize/codegen work on the driver (the dominant cost of these
+    # queries at small SF; see _l2sq_sub's history note).
+    cmat = F.lit([[float(x) for x in cv] for _, cv in centroids])
+    norms = F.lit([_norm_py(cv) for _, cv in centroids])
+    negids = F.lit([-int(cid) for cid, _ in centroids])
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda i: F.struct(
+            (dot(vec, F.element_at(cmat, i)) / (vn * F.element_at(norms, i))).alias("s"),
+            F.element_at(negids, i).cast("long").alias("n"),
+        ),
     )
 
 
@@ -515,6 +519,31 @@ def _l2sq_sub(vec: Column, off: int, codeword: list[float]) -> Column:
     return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _l2sq_sub_col(vec: Column, off: int, cw: Column, sub: int) -> Column:
+    """:func:`_l2sq_sub` with the codeword as a Column (an element_at of
+    a 2D codebook literal) — same zip_with order, same ascending fold,
+    bit-identical doubles; lets one ``transform`` replace n_codes inlined
+    folds (n_codes× smaller plan, see _cell_scores)."""
+    terms = F.zip_with(
+        F.slice(vec, off + 1, sub),
+        cw,
+        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    )
+    return F.aggregate(terms, F.lit(0.0), lambda acc, v: acc + v)
+
+
+
+def _lut_array(vec: Column, j: int, codebooks, sub: int) -> Column:
+    """ADC lookup table for subspace ``j`` as ONE transform over the 2D
+    codebook literal (LUT[code] in code order, exactly the per-codeword
+    array the inlined form produced — n_codes× smaller plan)."""
+    cb = F.lit([[float(c) for c in cw] for cw in codebooks[j]])
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(len(codebooks[j]))),
+        lambda i: _l2sq_sub_col(vec, j * sub, F.element_at(cb, i), sub),
+    )
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
@@ -526,18 +555,23 @@ def pq_encode(
     compiled into the expression as array literals; NO shuffle over the
     corpus."""
     m, sub = len(codebooks), len(codebooks[0][0])
-    codes = []
-    for j in range(m):
-        scored = F.array(
-            *[
-                F.struct(
-                    _l2sq_sub(F.col(vec_col), j * sub, cw).alias("d"),
-                    F.lit(code).cast("int").alias("c"),
-                )
-                for code, cw in enumerate(codebooks[j])
-            ]
+
+    def scored_for(j: int) -> Column:
+        # one transform over the subspace's 2D codebook literal — not
+        # n_codes inlined folds (16× smaller plan, identical doubles).
+        # NOTE: must close over j/cb via this factory — a default-arg
+        # lambda counts as multi-arg to pyspark's HOF arity inspection.
+        cb = F.lit([[float(c) for c in cw] for cw in codebooks[j]])
+        return F.transform(
+            F.sequence(F.lit(1), F.lit(len(codebooks[j]))),
+            lambda i: F.struct(
+                _l2sq_sub_col(F.col(vec_col), j * sub, F.element_at(cb, i), sub)
+                .alias("d"),
+                (i - 1).cast("int").alias("c"),
+            ),
         )
-        codes.append(F.array_min(scored)["c"])
+
+    codes = [F.array_min(scored_for(j))["c"] for j in range(m)]
     return df.withColumn(out_col, F.array(*codes))
 
 
@@ -584,9 +618,7 @@ def pq_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         *[
-            F.array(
-                *[_l2sq_sub(F.col(vec_col), j * sub, cw) for cw in codebooks[j]]
-            ).alias(f"_lut{j}")
+            _lut_array(F.col(vec_col), j, codebooks, sub).alias(f"_lut{j}")
             for j in range(m)
         ],
     )
@@ -704,9 +736,7 @@ def pq_topk_ivf(
             "query_id",
             "cell",
             *[
-                F.array(
-                    *[_l2sq_sub(F.col("_qv"), j * sub, cw) for cw in codebooks[j]]
-                ).alias(f"_lut{j}")
+                _lut_array(F.col("_qv"), j, codebooks, sub).alias(f"_lut{j}")
                 for j in range(m)
             ],
         )
