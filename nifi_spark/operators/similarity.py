@@ -136,38 +136,49 @@ def cosine_topk(
     )
 
 
-def _hyperplane(p: int, dim: int) -> Column:
-    """Deterministic pseudo-hyperplane p: components in [-1,1) from md5.
-
-    component d = md5_long('hp|p|d') / 2^59 - 1  (60-bit hash scaled).
-    Not gaussian, but sign-LSH only needs symmetric zero-mean components.
+def _plane_const(p: int, dim: int) -> list[float]:
+    """Hyperplane p's components as PYTHON doubles — the driver-side
+    constant fold of the original Catalyst tree
+    ``md5_long('hp|p|d') / 2^59 - 1``: Python ints/floats follow the same
+    IEEE-754 ops, so each component is bit-identical to what the JVM
+    would fold, but the plan carries one array literal instead of
+    dim × (md5 + conv + substring + divide) nodes — at 32 planes × 64
+    dims that tree was ~10k nodes of pure driver compile cost. The
+    DuckDB oracle keeps reproducing the same values from the md5 recipe.
+    Components in [-1,1); not gaussian, but sign-LSH only needs
+    symmetric zero-mean components.
     """
-    return F.array(
-        *[
-            (md5_long(F.lit(f"hp|{p}|{d}")) / F.lit(float(1 << 59)) - 1.0)
-            for d in range(dim)
-        ]
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"hp|{p}|{d}".encode()).hexdigest()[:15], 16)
+        / float(1 << 59)
+        - 1.0
+        for d in range(dim)
+    ]
+
+
+def _sig_expr(vec: Column, p0: int, n_planes: int, dim: int) -> Column:
+    """Sign signature over planes [p0, p0+n_planes): bit i = 1 iff
+    dot(vec, plane_{p0+i}) > 0 — ONE transform+fold over a 2D plane
+    literal (same per-plane dot, same ascending bit-weight addition as
+    the unrolled form; integer arithmetic, values identical)."""
+    planes = F.lit([_plane_const(p0 + i, dim) for i in range(n_planes)])
+    weights = F.lit([1 << i for i in range(n_planes)])
+    terms = F.transform(
+        F.sequence(F.lit(1), F.lit(n_planes)),
+        lambda i: F.when(dot(vec, F.element_at(planes, i)) > 0,
+                         F.element_at(weights, i)).otherwise(F.lit(0)),
     )
+    return F.aggregate(terms, F.lit(0), lambda a, b: a + b).cast("long")
 
 
 def lsh_signature(
     df: DataFrame, vec_col: str = "embedding", n_planes: int = 8, dim: int = 64,
     out_col: str = "lsh_sig",
 ) -> DataFrame:
-    """Sign signature: bit p = 1 iff dot(vec, hyperplane_p) > 0.
-
-    n_planes is small and fixed, so the signature is an explicit per-plane
-    sum of bit weights (one dot product per plane, all in one projection).
-    """
-    bits = []
-    for p in range(n_planes):
-        plane = _hyperplane(p, dim)
-        d = dot(F.col(vec_col), plane)
-        bits.append(F.when(d > 0, F.lit(1 << p)).otherwise(F.lit(0)))
-    total = bits[0]
-    for b in bits[1:]:
-        total = total + b
-    return df.withColumn(out_col, total.cast("long"))
+    """Sign signature: bit p = 1 iff dot(vec, hyperplane_p) > 0."""
+    return df.withColumn(out_col, _sig_expr(F.col(vec_col), 0, n_planes, dim))
 
 
 def _table_sigs(
@@ -175,14 +186,15 @@ def _table_sigs(
 ) -> DataFrame:
     """Explode each vector into (table, signature) rows — one signature per
     hash table, planes disjoint across tables (OR-amplification)."""
-    entries = []
-    for t in range(n_tables):
-        bits = None
-        for p in range(planes_per_table):
-            plane = _hyperplane(t * planes_per_table + p, dim)
-            bit = F.when(dot(F.col(vec_col), plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-            bits = bit if bits is None else bits + bit
-        entries.append(F.struct(F.lit(t).alias("tbl"), bits.cast("long").alias("sig")))
+    entries = [
+        F.struct(
+            F.lit(t).alias("tbl"),
+            _sig_expr(
+                F.col(vec_col), t * planes_per_table, planes_per_table, dim
+            ).alias("sig"),
+        )
+        for t in range(n_tables)
+    ]
     return df.withColumn("_e", F.explode(F.array(*entries))).select(
         *df.columns, F.col("_e.tbl").alias("tbl"), F.col("_e.sig").alias("sig")
     )
