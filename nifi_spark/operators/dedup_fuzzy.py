@@ -118,6 +118,14 @@ def minhash_signature(
             F.lit(MINHASH_PRIME),
         )
 
+    # Deliberately UNROLLED (one min-fold per slot), unlike the 2D-literal
+    # transform collapse used for PQ/IVF/LSH constants: folding the slots
+    # into one outer transform leaves `_mh_hs` with a single lexical
+    # reference, so CollapseProject inlines the md5-per-shingle projection
+    # INTO the lambda and it re-evaluates per slot — measured 10× slower
+    # (the exact regression the materialized hash array exists to avoid).
+    # The n_hashes constants here are scalars, not dim-sized trees, so the
+    # unrolled plan is small anyway.
     sig = F.array(
         *[F.array_min(F.transform(F.col("_mh_hs"), hash_i(i))) for i in range(n_hashes)]
     )
@@ -250,6 +258,12 @@ def simhash(
         F.split(F.trim(F.col(text_col)), r"\s+"), lambda t: md5_long(t)
     )
 
+    # Deliberately UNROLLED per bit (see minhash_signature's note): a
+    # single outer fold over the bit index leaves `_sh_th` with one
+    # lexical reference, CollapseProject inlines the md5-per-token
+    # projection into the lambda, and the hashes recompute per bit —
+    # measured 4× slower than this form. Per-bit constants are scalars,
+    # so the unrolled plan stays small.
     def vote(j: int) -> Column:
         return F.aggregate(
             F.col("_sh_th"),

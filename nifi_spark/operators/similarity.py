@@ -286,22 +286,23 @@ def _cell_scores(
     norms are folded driver-side (:func:`_norm_py`) for the same reason.
     Same doubles, same op order — values are bit-identical either way."""
     vn = vec_norm if vec_norm is not None else norm(vec)
-    # ONE transform over a 2D centroid literal instead of n_cells inlined
-    # fold expressions: the per-centroid dot/divide is the same double
-    # chain (element_at of the literal yields the same codeword array the
-    # per-centroid F.lit did), but the plan carries one HOF node + three
-    # literal leaves instead of n_cells folds — n_cells× less Catalyst
-    # optimize/codegen work on the driver (the dominant cost of these
-    # queries at small SF; see _l2sq_sub's history note).
-    cmat = F.lit([[float(x) for x in cv] for _, cv in centroids])
-    norms = F.lit([_norm_py(cv) for _, cv in centroids])
-    negids = F.lit([-int(cid) for cid, _ in centroids])
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(len(centroids))),
-        lambda i: F.struct(
-            (dot(vec, F.element_at(cmat, i)) / (vn * F.element_at(norms, i))).alias("s"),
-            F.element_at(negids, i).cast("long").alias("n"),
-        ),
+    # Deliberately UNROLLED (one struct per centroid), unlike the
+    # 2D-literal transform collapse used for PQ codebooks and LSH planes:
+    # collapsing to one outer transform leaves the materialized ``vn``
+    # projection with a single lexical reference, so CollapseProject
+    # inlines norm(vec) INTO the lambda and it re-evaluates per centroid
+    # — the 16× norm recompute this parameter exists to avoid (same
+    # failure mode as minhash_signature's note). The n_cells per-centroid
+    # array literals are small leaves; the unrolled plan stays cheap.
+    return F.array(
+        *[
+            F.struct(
+                (dot(vec, F.lit([float(x) for x in cv]))
+                 / (vn * F.lit(_norm_py(cv)))).alias("s"),
+                F.lit(-cid).cast("long").alias("n"),
+            )
+            for cid, cv in centroids
+        ]
     )
 
 
