@@ -1,17 +1,21 @@
 """Similarity search over embedding columns (`array<float>`).
 
-Two paths, as a training-data pipeline needs at 100 TB:
+The paths a training-data pipeline needs at 100 TB:
 
 - :func:`cosine_topk` — brute-force exact top-k: broadcast the query set,
-  one pass over the corpus, per-query heap via window rank. Cost
-  O(|corpus| × |queries|) but embarrassingly parallel and shuffle-light
-  (the only shuffle is the final per-query top-k, O(queries × k) rows
-  after map-side rank pruning with AQE).
+  one pass over the corpus. Cost O(|corpus| × |queries|) but
+  embarrassingly parallel.
 - :func:`cosine_topk_lsh` — random-hyperplane LSH: deterministic
   pseudo-hyperplanes from md5 hashing, sign signature → bucket join →
-  exact re-rank inside buckets. Sublinear candidate generation; the scale
-  path (an IVF variant would swap the bucketer for k-means cells — same
-  plumbing).
+  exact re-rank inside buckets. Sublinear candidate generation.
+- :func:`cosine_topk_ivf` / :func:`pq_topk` / :func:`pq_topk_ivf` —
+  IVF coarse cells bound WHICH vectors are scanned, PQ codes bound WHAT
+  is read per candidate; composed they are the IVFADC shape of
+  billion-vector ANN.
+
+All rankers are two-phase (:func:`_partial_topk`): a map-side per-query
+partial top-k bounds the final exchange to O(k · partitions · queries)
+rows — no single-reducer-per-query hotspot, no full-candidate shuffle.
 
 All vector math is `zip_with`/`aggregate` over array columns — JVM-side,
 codegen'd, no Python. Doubles throughout; similarities rounded to 6 dp so
