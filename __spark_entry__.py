@@ -1609,6 +1609,103 @@ def q_jolt_transform_v3(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# Training-data curation family (operators/traindata.py + mv.py, round 4)
+# --------------------------------------------------------------------------
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (eval-leakage guard): documents sharing
+    >= 2 distinct hashed token 3-grams with the benchmark set (source =
+    'src0') are flagged. Plan: the benchmark shingle set is broadcast,
+    the corpus probes it map-side (no corpus shuffle), one hash agg
+    counts hits. 60-bit md5 shingle hashes make the oracle bit-exact."""
+    from nifi_spark.operators.traindata import decontaminate
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0").select("text")
+    return decontaminate(docs, bench, shingle_n=3, min_hits=2)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for training loaders: quota packing within
+    128-doc shards against a 64-token budget — one window sum per shard
+    partition, no global sort. Output is the pack audit (occupancy per
+    pack), the shape a packing job reports."""
+    from nifi_spark.operators.traindata import pack_sequences, pack_stats
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return pack_stats(pack_sequences(docs, budget=64, group_size=128))
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Exact per-stratum 25% sample with a deterministic md5 rank — the
+    replay-stable version of df.sampleBy (SampleRecord per-stratum mode);
+    both windows share one hashpartitioning(lang) exchange."""
+    from nifi_spark.operators.traindata import sample_stratified
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return sample_stratified(docs, ["lang"], 0.25, "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+def q_domain_mix(spark, sf_dir):
+    """Domain mixing: resample the corpus to a target language mixture,
+    capped by the scarcest domain (T = min avail/w); fully declarative —
+    counts, cap, and per-domain keep targets are all in the plan, no
+    driver-side collect."""
+    from nifi_spark.operators.traindata import domain_mix
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    weights = {"en": 0.4, "de": 0.15, "fr": 0.15, "es": 0.15, "zh": 0.15}
+    return domain_mix(docs, "lang", weights, "doc_id").select("doc_id", "lang")
+
+
+def q_quality_funnel(spark, sf_dir):
+    """Curation observability: survivor counts for the chained quality
+    gates (length → alpha ratio → composite q_score), computed as
+    conditional sums in ONE aggregate over one scan — no per-stage
+    rescans."""
+    from nifi_spark.operators.traindata import quality_funnel
+
+    docs = _t(spark, sf_dir, "documents")
+    return quality_funnel(docs)
+
+
+def q_cdc_agg_mv(spark, sf_dir):
+    """Incremental aggregate-MV maintenance (operators/mv.py): land the
+    north-star feed in 3 batches; after each commit, refresh a
+    per-conversation stats view from the changelog — only keys touched
+    in the version range are re-aggregated and merged (partial
+    recompute, O(changed keys) not O(table)). The oracle recomputes the
+    view from scratch over the full fold: equal iff every incremental
+    refresh (including the delete-of-vanished-conversations arm) was
+    right. ≙ NiFi chaining an aggregate QueryRecord flow downstream of
+    CaptureChangeMySQL via a connection."""
+    from nifi_spark.operators.mv import conv_stats_agg, refresh_agg_mv
+    from nifi_spark.sinks.laketable import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    feed = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(5)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_seq"),
+    )
+    keys = ["conv_id", "turn_idx"]
+    src = LakeTable(spark, _work_dir("cdc_agg_mv_src", sf_dir), n_buckets=8)
+    mv = LakeTable(spark, _work_dir("cdc_agg_mv_view", sf_dir), n_buckets=8)
+    cursor = 0
+    for b in range(3):
+        batch = feed.filter(F.pmod(F.col("seq"), F.lit(3)) == b)
+        src.merge_events(batch, keys, batch_id=b)
+        cursor = refresh_agg_mv(src, mv, ["conv_id"], conv_stats_agg(), cursor)
+    return mv.read().select("conv_id", "n_turns", "max_seq", "sum_type_chars")
+
+
+# --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
 
@@ -1658,6 +1755,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions (kept inside the driver's 50-entry snapshot)
         "jolt_transform_v3": q_jolt_transform_v3,
         "embedding_ann_ivf_pq": q_embedding_ann_ivf_pq,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
+        "sample_stratified": q_sample_stratified,
+        "domain_mix": q_domain_mix,
+        "quality_funnel": q_quality_funnel,
+        "cdc_agg_mv": q_cdc_agg_mv,
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_lww_fold_salted": q_cdc_lww_fold_salted,
         "cdc_replay_transcripts": q_cdc_replay_transcripts,
@@ -3009,5 +3112,126 @@ def oracle_sql() -> dict[str, str]:
                    event_id + 5 AS mb,
                    upper(event_type) AS tag
             FROM events
+        """,
+        # ------------------------------------------------------------------
+        # Training-data curation family (round 4) — mirror
+        # operators/traindata.py term for term (same md5 ranks, same
+        # shingle hashes, same double-math fold order).
+        # ------------------------------------------------------------------
+        "decontaminate": f"""
+            WITH sh AS (
+                SELECT doc_id, source,
+                       list_distinct(list_transform({_DD_SH},
+                           s -> {_DD_H.format(x='s')})) AS sh
+                FROM documents
+            ),
+            bench AS (
+                SELECT list_distinct(flatten(list(sh))) AS bs
+                FROM sh WHERE source = 'src0'
+            )
+            SELECT doc_id,
+                   len(list_intersect(sh, bs))::BIGINT AS n_hits,
+                   len(list_intersect(sh, bs)) >= 2 AS contaminated
+            FROM sh CROSS JOIN bench
+        """,
+        "pack_sequences": rf"""
+            WITH d AS (
+                SELECT doc_id,
+                       len({_DD_TOKS})::BIGINT AS n_tokens,
+                       doc_id // 128 AS shard
+                FROM documents
+            ),
+            p AS (
+                SELECT doc_id, n_tokens, shard,
+                       sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_excl
+                FROM d
+            )
+            SELECT shard * 1000000000 + cum_excl // 64 AS pack_id,
+                   count(*)::BIGINT AS n_docs,
+                   sum(n_tokens)::BIGINT AS sum_tokens
+            FROM p GROUP BY 1
+        """,
+        "sample_stratified": """
+            SELECT doc_id, lang, source FROM (
+                SELECT doc_id, lang, source,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5('strat|' || doc_id::VARCHAR), doc_id) AS rn,
+                       count(*) OVER (PARTITION BY lang) AS ns
+                FROM documents
+            ) WHERE rn <= ceil(ns * 0.25)
+        """,
+        "domain_mix": """
+            WITH w(lang, w) AS (VALUES
+                ('de', 0.15::DOUBLE), ('en', 0.4::DOUBLE), ('es', 0.15::DOUBLE),
+                ('fr', 0.15::DOUBLE), ('zh', 0.15::DOUBLE)),
+            a AS (SELECT lang, count(*)::BIGINT AS avail FROM documents GROUP BY lang),
+            t AS (
+                SELECT a.lang,
+                       floor(min(avail / w.w) OVER () * w.w)::BIGINT AS tgt
+                FROM a JOIN w ON a.lang = w.lang
+            ),
+            r AS (
+                SELECT doc_id, d.lang,
+                       row_number() OVER (PARTITION BY d.lang
+                           ORDER BY md5('mix|' || doc_id::VARCHAR), doc_id) AS rn
+                FROM documents d
+            )
+            SELECT r.doc_id, r.lang FROM r JOIN t ON r.lang = t.lang
+            WHERE rn <= tgt
+        """,
+        "quality_funnel": rf"""
+            WITH q AS (
+                SELECT len({_DD_TOKS}) AS ntok,
+                       len(text) AS nc,
+                       len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+                       len(list_filter({_DD_TOKS},
+                           t -> list_contains({stop_list!r}, lower(t)))) AS nstop
+                FROM documents
+            ),
+            b AS (
+                SELECT ntok >= 5 AS b1,
+                       (ntok >= 5) AND (na / nc >= 0.5) AS b2,
+                       (ntok >= 5) AND (na / nc >= 0.5)
+                       AND ((CASE WHEN ntok < 5 THEN 0.0 ELSE
+                           least(1.0, ntok / 64.0) * 0.4
+                           + least(1.0, (nstop / ntok) * 4) * 0.3
+                           + (na / nc) * 0.3 END) >= 0.5) AS b3
+                FROM q
+            )
+            SELECT 0 AS stage_idx, 'total' AS stage, count(*)::BIGINT AS n_rows FROM b
+            UNION ALL
+            SELECT 1, 'len', count(*) FILTER (WHERE b1)::BIGINT FROM b
+            UNION ALL
+            SELECT 2, 'alpha', count(*) FILTER (WHERE b2)::BIGINT FROM b
+            UNION ALL
+            SELECT 3, 'quality', count(*) FILTER (WHERE b3)::BIGINT FROM b
+        """,
+        # Full-recompute oracle for the incremental view: LWW-fold the
+        # whole feed, drop deletes, aggregate per conversation — equal to
+        # the MV iff every partial refresh step was right.
+        "cdc_agg_mv": """
+            WITH feed AS (
+                SELECT event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       'u-' || user_id::VARCHAR AS conv_id,
+                       (event_id % 5)::INT AS turn_idx,
+                       event_type AS last_type,
+                       event_id AS last_seq
+                FROM events
+            ),
+            latest AS (
+                SELECT * FROM (
+                    SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                        ORDER BY seq DESC) AS rn
+                    FROM feed
+                ) WHERE rn = 1
+            )
+            SELECT conv_id,
+                   count(*)::BIGINT AS n_turns,
+                   max(last_seq) AS max_seq,
+                   sum(len(last_type))::BIGINT AS sum_type_chars
+            FROM latest WHERE op <> 'D'
+            GROUP BY conv_id
         """,
     }

@@ -88,6 +88,14 @@ HEADLINE_QUERIES = [
     "txn_filter",
     "jslt_transform",
     "multimodal_decode",
+    # round-4 additions (new keys only — r3 keys stay comparable).
+    # cdc_agg_mv is deliberately absent: its LakeTable build is
+    # process-lifetime-cached, so min-of-k would time a re-read, not the
+    # refresh; the MV path's cost is covered by the streaming/merge rows.
+    "decontaminate",
+    "pack_sequences",
+    "sample_stratified",
+    "domain_mix",
 ]
 
 

@@ -1,0 +1,203 @@
+"""Training-data curation operators (operators/traindata.py) and
+incremental MV maintenance (operators/mv.py).
+
+Each operator is checked against an independent pandas recomputation
+(the oracle-parity check vs DuckDB additionally runs for the queries()
+entries in test_entry.py); plan-shape assertions pin the scale
+contracts (broadcast benchmark join, one-exchange stratified window).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_spark.operators.traindata import (
+    decontaminate,
+    domain_mix,
+    pack_sequences,
+    pack_stats,
+    quality_funnel,
+    sample_stratified,
+)
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog", "en"),
+    (1, "the quick brown fox sleeps all day long", "en"),
+    (2, "completely unrelated text about spark engines", "en"),
+    (3, "der schnelle braune fuchs springt", "de"),
+    (4, "le renard brun rapide saute", "fr"),
+    (5, "a b", "en"),
+    (6, "der schnelle braune fuchs schlaeft", "de"),
+    (7, "the lazy dog naps under the tree", "en"),
+]
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string, lang string")
+
+
+def _py_shingles(text, n=3):
+    toks = text.strip().split()
+    if len(toks) <= n:
+        grams = [" ".join(toks)] if len(toks) < n else [" ".join(toks)]
+    grams = [" ".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 1))]
+    return set(grams)
+
+
+def _md5_rank(tag, v):
+    return hashlib.md5(f"{tag}|{v}".encode()).hexdigest()
+
+
+# --------------------------------------------------------------------------
+# decontaminate
+# --------------------------------------------------------------------------
+
+def test_decontaminate_matches_python_recompute(spark, docs):
+    bench = docs.filter(F.col("doc_id") == 0).select("text")
+    out = decontaminate(docs, bench, shingle_n=3, min_hits=2).toPandas()
+    bench_sh = _py_shingles(DOCS[0][1])
+    expect = {
+        d: len(_py_shingles(t) & bench_sh) for d, t, _ in DOCS
+    }
+    got = dict(zip(out.doc_id, out.n_hits))
+    assert got == expect
+    flagged = set(out[out.contaminated].doc_id)
+    assert flagged == {d for d, n in expect.items() if n >= 2}
+    # every input doc present exactly once, clean docs carry n_hits=0
+    assert sorted(out.doc_id) == [d for d, _, _ in DOCS]
+
+
+def test_decontaminate_broadcasts_benchmark(spark, docs):
+    bench = docs.filter(F.col("doc_id") == 0).select("text")
+    plan = decontaminate(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # corpus side must not be exchanged by shingle hash before the probe:
+    # the only hash exchanges allowed are the final per-doc agg + left join
+    shuffle_free = decontaminate(docs, bench, broadcast_bench=False)
+    plan2 = shuffle_free._jdf.queryExecution().executedPlan().toString()
+    assert "Join" in plan2  # fallback path still produces a valid join plan
+
+
+def test_decontaminate_guards_internal_names(spark, docs):
+    bad = docs.withColumn("n_hits", F.lit(1))
+    with pytest.raises(ValueError, match="n_hits"):
+        decontaminate(bad, docs.select("text"))
+
+
+# --------------------------------------------------------------------------
+# pack_sequences
+# --------------------------------------------------------------------------
+
+def test_pack_sequences_quota_rule(spark, docs):
+    out = pack_sequences(docs, budget=8, group_size=100).toPandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    # independent recompute: all ids in one shard (<100), next-boundary rule
+    toks = {d: len(t.strip().split()) for d, t, _ in DOCS}
+    cum = 0
+    expect = {}
+    for d in sorted(toks):
+        expect[d] = cum // 8
+        cum += toks[d]
+    got = dict(zip(out.doc_id, out.pack_id))
+    assert got == expect
+    assert dict(zip(out.doc_id, out.n_tokens)) == toks
+
+
+def test_pack_sequences_shards_are_independent(spark, docs):
+    out = pack_sequences(docs, budget=8, group_size=4).toPandas()
+    # shard 0 = ids 0..3, shard 1 = ids 4..7; pack ids disjoint across shards
+    s0 = set(out[out.doc_id < 4].pack_id)
+    s1 = set(out[out.doc_id >= 4].pack_id)
+    assert s0.isdisjoint(s1)
+    assert all(p >= 1_000_000_000 for p in s1)
+
+
+def test_pack_stats_overflow_bounded_by_one_doc(spark, docs):
+    packed = pack_sequences(docs, budget=8, group_size=100)
+    st = pack_stats(packed).toPandas()
+    det = packed.toPandas()
+    for pack_id, grp in det.groupby("pack_id"):
+        # quota rule: all but the final doc of a pack start strictly inside
+        # the budget, so sum - last_doc_tokens < budget always
+        last = grp.sort_values("doc_id").n_tokens.iloc[-1]
+        assert grp.n_tokens.sum() - last < 8
+    assert st.n_docs.sum() == len(DOCS)
+
+
+def test_pack_sequences_validates_args(spark, docs):
+    with pytest.raises(ValueError):
+        pack_sequences(docs, budget=0)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, group_size=0)
+
+
+# --------------------------------------------------------------------------
+# sample_stratified / domain_mix
+# --------------------------------------------------------------------------
+
+def test_sample_stratified_exact_per_stratum(spark, docs):
+    out = sample_stratified(docs, ["lang"], 0.5, "doc_id").toPandas()
+    import math
+
+    by_lang = {}
+    for d, t, lang in DOCS:
+        by_lang.setdefault(lang, []).append(d)
+    for lang, ids in by_lang.items():
+        want_n = math.ceil(len(ids) * 0.5)
+        keep = sorted(ids, key=lambda d: (_md5_rank("strat", d), d))[:want_n]
+        got = sorted(out[out.lang == lang].doc_id)
+        assert got == sorted(keep), lang
+
+
+def test_sample_stratified_single_exchange(spark, docs):
+    plan = (
+        sample_stratified(docs, ["lang"], 0.5, "doc_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # both windows share one hashpartitioning(lang) exchange
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_domain_mix_hits_target_mixture(spark, docs):
+    # en:4 docs per unit weight is scarcest? avail: en=5, de=2, fr=1
+    weights = {"en": 0.5, "de": 0.25, "fr": 0.25}
+    out = domain_mix(docs, "lang", weights, "doc_id").toPandas()
+    # T = min(5/.5, 2/.25, 1/.25) = min(10, 8, 4) = 4
+    want = {"en": int(4 * 0.5), "de": int(4 * 0.25), "fr": int(4 * 0.25)}
+    got = out.groupby("lang").size().to_dict()
+    assert got == want
+    # selected rows are the smallest-md5-rank ones per domain
+    for lang, n in want.items():
+        ids = [d for d, _, lg in DOCS if lg == lang]
+        keep = sorted(ids, key=lambda d: (_md5_rank("mix", d), d))[:n]
+        assert sorted(out[out.lang == lang].doc_id) == sorted(keep)
+
+
+def test_domain_mix_drops_unweighted_domains(spark, docs):
+    out = domain_mix(docs, "lang", {"de": 1.0}, "doc_id").toPandas()
+    assert set(out.lang) == {"de"}
+    with pytest.raises(ValueError):
+        domain_mix(docs, "lang", {}, "doc_id")
+    with pytest.raises(ValueError):
+        domain_mix(docs, "lang", {"en": -1.0}, "doc_id")
+
+
+# --------------------------------------------------------------------------
+# quality_funnel
+# --------------------------------------------------------------------------
+
+def test_quality_funnel_monotone_and_total(spark, docs):
+    out = quality_funnel(docs).toPandas().sort_values("stage_idx")
+    assert list(out.stage) == ["total", "len", "alpha", "quality"]
+    ns = list(out.n_rows)
+    assert ns[0] == len(DOCS)
+    assert all(a >= b for a, b in zip(ns, ns[1:]))
+    # stage 1 recompute: docs with >= 5 whitespace tokens
+    assert ns[1] == sum(1 for _, t, _ in DOCS if len(t.split()) >= 5)
