@@ -93,6 +93,23 @@ def refresh_agg_mv(
     return to_version
 
 
+def transcript_stats_agg(key_col: str = "conv_id") -> Callable[[DataFrame], DataFrame]:
+    """Aggregate view over the north-star transcripts schema
+    (schema.TRANSCRIPTS: conv_id, turn_idx, role, text, tool, ts):
+    per-conversation turn count, highest turn index, and total text
+    size. The default view the streaming pipeline's ``mv_path`` option
+    maintains."""
+
+    def agg(live: DataFrame) -> DataFrame:
+        return live.groupBy(key_col).agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.max("turn_idx").alias("max_turn"),
+            F.sum(F.length(F.col("text"))).alias("sum_chars"),
+        )
+
+    return agg
+
+
 def conv_stats_agg(key_col: str = "conv_id") -> Callable[[DataFrame], DataFrame]:
     """The transcript-pipeline view: per-conversation turn count, max
     seq, and total text size — the dashboard row a CDC ingest keeps

@@ -67,6 +67,10 @@ class CdcPipeline:
         txn_abandon_after_batches: int | None = None,
         expire_every: int = 0,
         expire_keep_n: int = 64,
+        mv_path: str | None = None,
+        mv_refresh_every: int = 1,
+        mv_key_cols: list[str] | None = None,
+        mv_agg_fn=None,
     ):
         """``txn_consistent``: the feed is transaction-delimited
         (schema.CHANGE_EVENTS_TXN — every event carries ``txn_id``, the
@@ -122,6 +126,28 @@ class CdcPipeline:
         self.expire_every = expire_every
         self.expire_keep_n = expire_keep_n
         self._since_expire = 0
+        # Live downstream aggregate view (operators/mv.py): every
+        # ``mv_refresh_every`` committed batches, the changelog since the
+        # view's last synced version is folded into the MV by partial
+        # recompute. The cursor IS the MV's last committed batch_id
+        # (refresh commits with batch_id=to_version), so it is durable,
+        # transactional with the view commit, and restart-safe without a
+        # side file. None = off. With inline expiry on, keep
+        # mv_refresh_every well under expire_keep_n: the refresh reads
+        # changes(from=cursor) and raises (loudly, not silently) if the
+        # cursor version has been expired out of the commit log.
+        self.mv_path = mv_path
+        self.mv_refresh_every = max(int(mv_refresh_every), 1)
+        self.mv_key_cols = mv_key_cols or ["conv_id"]
+        self._mv_agg_fn = mv_agg_fn
+        self._mv = None
+        self._since_mv = 0
+        if mv_path is not None:
+            self._mv = LakeTable(spark, mv_path, n_buckets=n_buckets)
+            if self._mv_agg_fn is None:
+                from nifi_spark.operators.mv import transcript_stats_agg
+
+                self._mv_agg_fn = transcript_stats_agg(self.mv_key_cols[0])
         self.watermark_delay_s = watermark_delay_s
         self.from_json_payload = from_json_payload
         self.txn_consistent = txn_consistent
@@ -700,6 +726,7 @@ class CdcPipeline:
                 if mxs:
                     self._store_watermark(int(max(mxs)))
                 self._maybe_expire(metrics)
+                self._maybe_refresh_mv(metrics)
         finally:
             flagged.unpersist()
         return metrics
@@ -845,7 +872,28 @@ class CdcPipeline:
                     metrics["compacted"] = len(mor)
                 self._since_compact = 0
         self._maybe_expire(metrics)
+        self._maybe_refresh_mv(metrics)
         return metrics
+
+    def _maybe_refresh_mv(self, metrics: dict) -> None:
+        """Refresh the downstream aggregate view every
+        ``mv_refresh_every`` committed batches (single-writer loop, like
+        the inline compaction). Cursor = the view's last committed
+        batch_id; a crash between table commit and view refresh is healed
+        by the next refresh spanning the missed range (idempotent)."""
+        if self._mv is None:
+            return
+        self._since_mv += 1
+        if self._since_mv < self.mv_refresh_every:
+            return
+        self._since_mv = 0
+        from nifi_spark.operators.mv import refresh_agg_mv
+
+        from_v = self._mv.last_batch_id() or 0
+        synced = refresh_agg_mv(
+            self.table, self._mv, self.mv_key_cols, self._mv_agg_fn, int(from_v)
+        )
+        metrics["mv_synced_to"] = synced
 
     def _maybe_expire(self, metrics: dict) -> None:
         """Inline commit-log expiry every ``expire_every`` committed
@@ -973,6 +1021,11 @@ def _cli(argv: list[str] | None = None) -> None:
     p.add_argument("--txn-abandon-after-batches", type=int, default=None,
                    help="JVM gate: route a txn still open after N carried "
                         "batches to the DLQ (reason txn-abandoned)")
+    p.add_argument("--mv-path", default=None,
+                   help="maintain a live per-conversation stats view at this "
+                        "path (changelog-driven partial recompute)")
+    p.add_argument("--mv-refresh-every", type=int, default=1,
+                   help="refresh the stats view every N committed batches")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--available-now", action="store_true",
                    help="drain the feed and stop (batch replay); else run continuous")
@@ -997,6 +1050,8 @@ def _cli(argv: list[str] | None = None) -> None:
         txn_abandon_after_batches=args.txn_abandon_after_batches,
         expire_every=args.expire_every,
         expire_keep_n=args.expire_keep_n,
+        mv_path=args.mv_path,
+        mv_refresh_every=args.mv_refresh_every,
     )
     if args.bootstrap_from:
         if args.bootstrap_seq is None:

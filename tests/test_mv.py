@@ -116,3 +116,74 @@ def test_mv_agg_must_keep_keys(spark, tmp_path):
     with pytest.raises(ValueError, match="key columns"):
         refresh_agg_mv(src, mv, ["conv_id"],
                        lambda d: d.groupBy().count(), 0)
+
+
+# --------------------------------------------------------------------------
+# Streaming integration: CdcPipeline(mv_path=...) keeps the view live
+# --------------------------------------------------------------------------
+
+def _mv_pd(mv):
+    return {
+        r.conv_id: (r.n_turns, r.max_turn, r.sum_chars)
+        for r in mv.read().select("conv_id", "n_turns", "max_turn", "sum_chars").collect()
+    }
+
+
+def _table_stats(table):
+    from nifi_spark.operators.mv import transcript_stats_agg
+
+    return {
+        r.conv_id: (r.n_turns, r.max_turn, r.sum_chars)
+        for r in transcript_stats_agg()(table.read()).collect()
+    }
+
+
+@pytest.mark.parametrize("sink_mode", ["merge", "append"])
+def test_pipeline_maintains_live_view(spark, tmp_path, sink_mode):
+    from nifi_spark.feedgen import generate_change_feed, materialize_feed
+    from nifi_spark.streaming.job import CdcPipeline
+
+    feed = generate_change_feed(spark, n_conversations=40, max_turns=6, max_edits=3)
+    feed_dir = str(tmp_path / "feed")
+    materialize_feed(feed, feed_dir, n_segments=3)
+
+    p = CdcPipeline(
+        spark, str(tmp_path / "table"), str(tmp_path / "ckpt"), n_buckets=8,
+        sink_mode=sink_mode, mv_path=str(tmp_path / "view"), mv_refresh_every=1,
+    )
+    q = p.start(feed_dir, available_now=True, max_files_per_trigger=1)
+    q.awaitTermination()
+
+    assert _mv_pd(p._mv) == _table_stats(p.table)
+    # the cursor is the view's last committed batch id = the table head
+    assert p._mv.last_batch_id() == p.table.current_version()
+
+
+def test_pipeline_view_survives_restart(spark, tmp_path):
+    import os
+    import shutil
+
+    from nifi_spark.feedgen import generate_change_feed, materialize_feed
+    from nifi_spark.streaming.job import CdcPipeline
+
+    feed = generate_change_feed(spark, n_conversations=30, max_turns=6, max_edits=3)
+    seg_dir = str(tmp_path / "segs")
+    materialize_feed(feed, seg_dir, n_segments=2)
+    parts = sorted(
+        f for f in os.listdir(seg_dir) if f.endswith(".parquet") and not f.startswith(".")
+    )
+    feed_dir = str(tmp_path / "feed")
+    os.makedirs(feed_dir)
+    shutil.copy(os.path.join(seg_dir, parts[0]), feed_dir)
+
+    kw = dict(n_buckets=8, mv_path=str(tmp_path / "view"), mv_refresh_every=1)
+    p1 = CdcPipeline(spark, str(tmp_path / "table"), str(tmp_path / "ckpt"), **kw)
+    p1.start(feed_dir, available_now=True).awaitTermination()
+    assert _mv_pd(p1._mv) == _table_stats(p1.table)
+
+    # restart: fresh pipeline object re-derives the cursor from the view
+    shutil.copy(os.path.join(seg_dir, parts[1]), feed_dir)
+    p2 = CdcPipeline(spark, str(tmp_path / "table"), str(tmp_path / "ckpt"), **kw)
+    p2.start(feed_dir, available_now=True).awaitTermination()
+    assert _mv_pd(p2._mv) == _table_stats(p2.table)
+    assert p2._mv.last_batch_id() == p2.table.current_version()
