@@ -1648,6 +1648,21 @@ def q_sample_stratified(spark, sf_dir):
     )
 
 
+def q_sample_threshold(spark, sf_dir):
+    """Corpus-scale sampling path: keep a row iff its 60-bit md5 rank is
+    below the per-language fraction of the hash space — a pure map-side
+    filter (zero exchange on the corpus; per-domain thresholds ride a
+    broadcast). Count is binomial, decisions are bit-deterministic, so
+    the oracle value-checks every kept row."""
+    from nifi_spark.operators.traindata import sample_hash_threshold
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return sample_hash_threshold(
+        docs, "doc_id", domain_col="lang",
+        fractions={"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25, "zh": 0.25},
+    ).select("doc_id", "lang")
+
+
 def q_domain_mix(spark, sf_dir):
     """Domain mixing: resample the corpus to a target language mixture,
     capped by the scarcest domain (T = min avail/w); fully declarative —
@@ -1758,6 +1773,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "sample_stratified": q_sample_stratified,
+        "sample_threshold": q_sample_threshold,
         "domain_mix": q_domain_mix,
         "quality_funnel": q_quality_funnel,
         "cdc_agg_mv": q_cdc_agg_mv,
@@ -3160,6 +3176,16 @@ def oracle_sql() -> dict[str, str]:
                        count(*) OVER (PARTITION BY lang) AS ns
                 FROM documents
             ) WHERE rn <= ceil(ns * 0.25)
+        """,
+        # int(f * 2^60) thresholds: 0.5 -> 2^59, 0.25 -> 2^58 — exact in
+        # both engines, so the keep decision is bit-identical.
+        "sample_threshold": """
+            WITH thr(lang, t) AS (VALUES
+                ('de', 288230376151711744), ('en', 576460752303423488),
+                ('es', 288230376151711744), ('fr', 288230376151711744),
+                ('zh', 288230376151711744))
+            SELECT doc_id, d.lang FROM documents d JOIN thr ON d.lang = thr.lang
+            WHERE ('0x' || substr(md5('thr|' || doc_id::VARCHAR), 1, 15))::BIGINT < t
         """,
         "domain_mix": """
             WITH w(lang, w) AS (VALUES

@@ -84,6 +84,7 @@ def decontaminate(
     shingle_n: int = 3,
     min_hits: int = 1,
     broadcast_bench: bool = True,
+    include_clean: bool = True,
 ) -> DataFrame:
     """Flag training documents sharing >= ``min_hits`` distinct token
     n-grams with a benchmark set (eval-leakage guard).
@@ -99,6 +100,12 @@ def decontaminate(
     never shuffled by shingle. ``broadcast_bench=False`` selects a
     shuffle hash join instead (both sides exploded on the shingle hash)
     for benchmark sets too large to broadcast.
+
+    ``include_clean=False`` is the corpus-scale output shape: only the
+    documents with >= 1 hit are returned (contamination is sparse —
+    ~1e-4 of a web corpus), skipping the final id left join entirely;
+    the default True attaches an n_hits=0 row for every clean document
+    so the audit is total (and the oracle can value-check all rows).
     """
     _guard_internal(docs, ["_sh_h", "n_hits", "contaminated"], "decontaminate")
     bench_sh = benchmark_shingle_set(bench, text_col, shingle_n)
@@ -116,6 +123,12 @@ def decontaminate(
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    if not include_clean:
+        return hits.select(
+            id_col,
+            F.col("n_hits").cast("long").alias("n_hits"),
+            (F.col("n_hits") >= min_hits).alias("contaminated"),
+        )
     return (
         docs.select(id_col)
         .join(hits, id_col, "left")
@@ -232,6 +245,56 @@ def sample_stratified(
         .withColumn("_ns", F.count(F.lit(1)).over(wa))
         .filter(F.col("_rn") <= F.ceil(F.col("_ns") * F.lit(fraction)))
         .drop("_rn", "_ns")
+    )
+
+
+def sample_hash_threshold(
+    df: DataFrame,
+    id_col: str,
+    fraction: float | None = None,
+    domain_col: str | None = None,
+    fractions: dict[str, float] | None = None,
+    tag: str = "thr",
+) -> DataFrame:
+    """Shuffle-free deterministic sampling: keep a row iff its 60-bit
+    md5 rank is below ``fraction`` of the hash space.
+
+    The corpus-scale counterpart of :func:`sample_stratified`: that one
+    is EXACT per stratum but pays a per-stratum window — at 10^10 rows
+    with a handful of strata the window serializes each stratum onto
+    one reducer. This one is a pure map-side filter (no exchange at
+    all); the kept count is binomial around ``fraction * n`` instead of
+    exact. Decisions are still bit-deterministic (same rows every
+    replay, same rows in the SQL oracle), only the count is
+    approximate — the standard tradeoff for web-corpus sampling.
+
+    Either a global ``fraction``, or per-domain ``fractions`` keyed by
+    ``domain_col`` values (≙ ``df.sampleBy`` made replay-stable);
+    per-domain thresholds ride a broadcast join, so the plan stays
+    exchange-free on the corpus side. Domains absent from ``fractions``
+    are dropped.
+    """
+    if (fraction is None) == (fractions is None):
+        raise ValueError("pass exactly one of fraction / fractions")
+    _guard_internal(df, ["_thr"], "sample_hash_threshold")
+    scale = 1 << 60  # md5_long's domain: first 15 hex chars = 60 bits
+    rank = md5_long(F.concat(F.lit(tag + "|"), F.col(id_col).cast("string")))
+    if fractions is None:
+        if not 0.0 < fraction <= 1.0:
+            raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+        return df.filter(rank < F.lit(int(fraction * scale)))
+    if domain_col is None:
+        raise ValueError("fractions requires domain_col")
+    if any(not 0.0 < v <= 1.0 for v in fractions.values()):
+        raise ValueError(f"fractions must be in (0, 1], got {fractions}")
+    thr = df.sparkSession.createDataFrame(
+        [(k, int(v * scale)) for k, v in sorted(fractions.items())],
+        f"{domain_col} string, _thr long",
+    )
+    return (
+        df.join(F.broadcast(thr), domain_col, "inner")
+        .filter(rank < F.col("_thr"))
+        .drop("_thr")
     )
 
 

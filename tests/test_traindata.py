@@ -201,3 +201,81 @@ def test_quality_funnel_monotone_and_total(spark, docs):
     assert all(a >= b for a, b in zip(ns, ns[1:]))
     # stage 1 recompute: docs with >= 5 whitespace tokens
     assert ns[1] == sum(1 for _, t, _ in DOCS if len(t.split()) >= 5)
+
+
+# --------------------------------------------------------------------------
+# scale-path variants: sparse decontamination output, threshold sampling
+# --------------------------------------------------------------------------
+
+def test_decontaminate_sparse_output_matches_dense(spark, docs):
+    from pyspark.sql import functions as F
+
+    bench = docs.filter(F.col("doc_id") == 0).select("text")
+    dense = decontaminate(docs, bench, min_hits=2).toPandas()
+    sparse = decontaminate(docs, bench, min_hits=2, include_clean=False).toPandas()
+    # sparse = exactly the dense rows with >= 1 hit
+    want = dense[dense.n_hits > 0].sort_values("doc_id").reset_index(drop=True)
+    got = sparse.sort_values("doc_id").reset_index(drop=True)
+    assert got.to_dict("records") == want.to_dict("records")
+
+
+def test_sample_hash_threshold_deterministic_and_mapside(spark, docs):
+    from nifi_spark.operators.dedup_fuzzy import md5_long as _  # noqa: F401
+    from nifi_spark.operators.traindata import sample_hash_threshold
+
+    a = sample_hash_threshold(docs, "doc_id", fraction=0.5).toPandas()
+    b = sample_hash_threshold(docs, "doc_id", fraction=0.5).toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    # independent recompute of the keep decision
+    import hashlib
+
+    keep = {
+        d for d, _, _ in DOCS
+        if int(hashlib.md5(f"thr|{d}".encode()).hexdigest()[:15], 16) < (1 << 59)
+    }
+    assert set(a.doc_id) == keep
+    # pure map-side: no exchange anywhere in the plan
+    plan = (
+        sample_hash_threshold(docs, "doc_id", fraction=0.5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_sample_hash_threshold_per_domain(spark, docs):
+    import hashlib
+
+    from nifi_spark.operators.traindata import sample_hash_threshold
+
+    out = sample_hash_threshold(
+        docs, "doc_id", domain_col="lang", fractions={"en": 1.0, "de": 0.5}
+    ).toPandas()
+    assert set(out.lang) <= {"en", "de"}  # fr dropped (no fraction)
+    assert sorted(out[out.lang == "en"].doc_id) == sorted(
+        d for d, _, lg in DOCS if lg == "en"
+    )
+    keep_de = {
+        d for d, _, lg in DOCS if lg == "de"
+        and int(hashlib.md5(f"thr|{d}".encode()).hexdigest()[:15], 16) < (1 << 59)
+    }
+    assert set(out[out.lang == "de"].doc_id) == keep_de
+    # corpus side stays exchange-free: only a broadcast for the thresholds
+    plan = (
+        sample_hash_threshold(docs, "doc_id", domain_col="lang", fractions={"en": 0.5})
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_sample_hash_threshold_validates_args(spark, docs):
+    from nifi_spark.operators.traindata import sample_hash_threshold
+
+    with pytest.raises(ValueError):
+        sample_hash_threshold(docs, "doc_id")
+    with pytest.raises(ValueError):
+        sample_hash_threshold(docs, "doc_id", fraction=0.5, fractions={"en": 0.5})
+    with pytest.raises(ValueError):
+        sample_hash_threshold(docs, "doc_id", fraction=1.5)
+    with pytest.raises(ValueError):
+        sample_hash_threshold(docs, "doc_id", fractions={"en": 0.5})
