@@ -187,3 +187,32 @@ def test_pipeline_view_survives_restart(spark, tmp_path):
     p2.start(feed_dir, available_now=True).awaitTermination()
     assert _mv_pd(p2._mv) == _table_stats(p2.table)
     assert p2._mv.last_batch_id() == p2.table.current_version()
+
+
+def test_pipeline_view_with_txn_gate_and_expiry(spark, tmp_path):
+    """Composition: transaction-consistent ingest + inline snapshot
+    expiry + live view in one stream. The view must equal the aggregate
+    of the COMMITTED-ONLY table, and the MV cursor must stay inside the
+    expiry window (refresh_every=1 << expire_keep_n)."""
+    from nifi_spark.feedgen import (
+        generate_change_feed,
+        materialize_feed,
+        with_transactions,
+    )
+    from nifi_spark.streaming.job import CdcPipeline
+
+    feed = generate_change_feed(spark, n_conversations=30, max_turns=6, max_edits=3)
+    txn_feed = with_transactions(feed, txn_seq_span=500_000, dangling_mod=7)
+    feed_dir = str(tmp_path / "feed")
+    materialize_feed(txn_feed, feed_dir, n_segments=3)
+
+    p = CdcPipeline(
+        spark, str(tmp_path / "table"), str(tmp_path / "ckpt"), n_buckets=8,
+        txn_consistent=True,
+        expire_every=1, expire_keep_n=8,
+        mv_path=str(tmp_path / "view"), mv_refresh_every=1,
+    )
+    p.start(feed_dir, max_files_per_trigger=1, available_now=True).awaitTermination()
+
+    assert _mv_pd(p._mv) == _table_stats(p.table)
+    assert p._mv.last_batch_id() == p.table.current_version()
