@@ -3147,6 +3147,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id,
                    len(list_intersect(sh, bs))::BIGINT AS n_hits,
+                   round(len(list_intersect(sh, bs)) / len(sh), 6) AS containment,
                    len(list_intersect(sh, bs)) >= 2 AS contaminated
             FROM sh CROSS JOIN bench
         """,

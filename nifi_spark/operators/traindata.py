@@ -89,9 +89,11 @@ def decontaminate(
     """Flag training documents sharing >= ``min_hits`` distinct token
     n-grams with a benchmark set (eval-leakage guard).
 
-    Output: one row per input document — ``(id_col, n_hits,
-    contaminated)``. Callers drop ``contaminated`` rows or keep the flag
-    for audit.
+    Output: one row per input document — ``(id_col, n_hits, containment,
+    contaminated)`` where ``containment = n_hits / n_doc_shingles`` (the
+    ratio thresholded contamination rules actually use — a short doc
+    fully inside the benchmark scores 1.0 even with few absolute hits).
+    Callers drop ``contaminated`` rows or keep the columns for audit.
 
     Plan shape at 100 TB: the benchmark shingle set is broadcast
     (n-grams of an eval suite are ~10^5-10^6 longs — a few MB); each
@@ -107,35 +109,45 @@ def decontaminate(
     the default True attaches an n_hits=0 row for every clean document
     so the audit is total (and the oracle can value-check all rows).
     """
-    _guard_internal(docs, ["_sh_h", "n_hits", "contaminated"], "decontaminate")
+    _guard_internal(
+        docs, ["_sh_h", "_n_sh", "n_hits", "containment", "contaminated"],
+        "decontaminate",
+    )
     bench_sh = benchmark_shingle_set(bench, text_col, shingle_n)
     if broadcast_bench:
         bench_sh = F.broadcast(bench_sh)
 
+    # one row per (doc, distinct hashed shingle), with the doc's shingle
+    # count carried along so containment = hits / n_sh needs no re-scan
+    sh_arr = F.array_distinct(
+        F.transform(shingles(F.col(text_col), shingle_n), lambda s: md5_long(s))
+    )
     doc_sh = docs.select(
-        F.col(id_col),
-        F.explode(shingles(F.col(text_col), shingle_n)).alias("_s"),
-    ).select(id_col, md5_long(F.col("_s")).alias("_sh_h"))
+        F.col(id_col), F.size(sh_arr).alias("_n_sh"), F.explode(sh_arr).alias("_sh_h")
+    )
 
-    # shingles() is array_distinct per doc, so count(*) == distinct hits
+    # shingle hashes are distinct per doc, so count(*) == distinct hits
     hits = (
         doc_sh.join(bench_sh, doc_sh["_sh_h"] == bench_sh["bench_sh"], "inner")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    if not include_clean:
-        return hits.select(
-            id_col,
-            F.col("n_hits").cast("long").alias("n_hits"),
-            (F.col("n_hits") >= min_hits).alias("contaminated"),
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.first("_n_sh").alias("_n_sh"),
         )
+    )
+    out_cols = lambda n_hits, n_sh: [  # noqa: E731
+        n_hits.cast("long").alias("n_hits"),
+        F.round(n_hits / n_sh, 6).alias("containment"),
+        (n_hits >= min_hits).alias("contaminated"),
+    ]
+    if not include_clean:
+        return hits.select(id_col, *out_cols(F.col("n_hits"), F.col("_n_sh")))
     return (
-        docs.select(id_col)
-        .join(hits, id_col, "left")
+        docs.select(id_col, F.size(sh_arr).alias("_n_sh"))
+        .join(hits.drop("_n_sh"), id_col, "left")
         .select(
             id_col,
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
+            *out_cols(F.coalesce(F.col("n_hits"), F.lit(0)), F.col("_n_sh")),
         )
     )
 

@@ -66,6 +66,10 @@ def test_decontaminate_matches_python_recompute(spark, docs):
     }
     got = dict(zip(out.doc_id, out.n_hits))
     assert got == expect
+    # containment = hits / distinct shingles of the doc
+    for _, r in out.iterrows():
+        n_sh = len(_py_shingles(DOCS[int(r.doc_id)][1]))
+        assert abs(r.containment - round(r.n_hits / n_sh, 6)) < 1e-9
     flagged = set(out[out.contaminated].doc_id)
     assert flagged == {d for d, n in expect.items() if n >= 2}
     # every input doc present exactly once, clean docs carry n_hits=0
