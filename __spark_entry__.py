@@ -1625,6 +1625,21 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, shingle_n=3, min_hits=2)
 
 
+def q_decontaminate_bloom(spark, sf_dir):
+    """Bloom-filter decontamination (benchmark too large to broadcast
+    exactly): the benchmark compresses to its distinct set-bit positions
+    (Kirsch-Mitzenmacher double hashing, md5-derived), corpus shingles
+    probe map-side. Never false negatives; the deterministic FP
+    decisions are part of what the oracle value-checks. Small n_bits
+    here deliberately forces FPs so the approximation itself is under
+    test, not just the happy path."""
+    from nifi_spark.operators.traindata import decontaminate_bloom
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src0").select("text")
+    return decontaminate_bloom(docs, bench, min_hits=2, n_bits=1 << 14)
+
+
 def q_pack_sequences(spark, sf_dir):
     """Sequence packing for training loaders: quota packing within
     128-doc shards against a 64-token budget — one window sum per shard
@@ -1771,6 +1786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jolt_transform_v3": q_jolt_transform_v3,
         "embedding_ann_ivf_pq": q_embedding_ann_ivf_pq,
         "decontaminate": q_decontaminate,
+        "decontaminate_bloom": q_decontaminate_bloom,
         "pack_sequences": q_pack_sequences,
         "sample_stratified": q_sample_stratified,
         "sample_threshold": q_sample_threshold,
@@ -3150,6 +3166,43 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_intersect(sh, bs)) / len(sh), 6) AS containment,
                    len(list_intersect(sh, bs)) >= 2 AS contaminated
             FROM sh CROSS JOIN bench
+        """,
+        # Mirrors decontaminate_bloom: Kirsch-Mitzenmacher positions
+        # h1 + i*h2 mod 2^14 over md5-hashed shingle keys; a doc shingle
+        # counts iff ALL 5 of its positions are set by the benchmark.
+        "decontaminate_bloom": f"""
+            WITH sh AS (
+                SELECT doc_id, source,
+                       list_distinct(list_transform({_DD_SH},
+                           s -> {_DD_H.format(x='s')}::VARCHAR)) AS sh
+                FROM documents
+            ),
+            bk AS (SELECT DISTINCT unnest(sh) AS k FROM sh WHERE source = 'src0'),
+            bits AS (
+                SELECT DISTINCT
+                       (('0x' || substr(md5(k), 1, 15))::BIGINT
+                        + i * ('0x' || substr(md5('b2|' || k), 1, 15))::BIGINT)
+                       % 16384 AS p
+                FROM bk, range(0, 5) t(i)
+            ),
+            pk AS (SELECT doc_id, unnest(sh) AS k FROM sh),
+            pp AS (
+                SELECT doc_id, k,
+                       (('0x' || substr(md5(k), 1, 15))::BIGINT
+                        + i * ('0x' || substr(md5('b2|' || k), 1, 15))::BIGINT)
+                       % 16384 AS p
+                FROM pk, range(0, 5) t(i)
+            ),
+            per_sh AS (
+                SELECT doc_id, k, count(b.p) AS c
+                FROM pp LEFT JOIN bits b USING (p)
+                GROUP BY doc_id, k
+            )
+            SELECT doc_id,
+                   count(*)::BIGINT AS n_hits,
+                   count(*) >= 2 AS contaminated
+            FROM per_sh WHERE c = 5
+            GROUP BY doc_id
         """,
         "pack_sequences": rf"""
             WITH d AS (

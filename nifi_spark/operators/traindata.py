@@ -152,6 +152,68 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame,
+    bench: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    min_hits: int = 1,
+    n_bits: int = 1 << 22,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-filter decontamination — :func:`decontaminate` for
+    benchmark sets too large to broadcast exactly.
+
+    At 10^8+ benchmark shingles the exact distinct-hash set is GBs; the
+    Bloom form broadcasts only the DISTINCT SET BIT POSITIONS (hard cap
+    ``n_bits`` ≙ 4M defaults to a ≤32 MB int set, usually far less) and
+    probes map-side. Never false negatives — every true overlap is
+    counted; false positives inflate ``n_hits`` at the usual Bloom rate
+    and are themselves md5-deterministic (aggregate._bloom_positions,
+    Kirsch–Mitzenmacher double hashing), so even the FP decisions are
+    value-checkable cross-engine. Use min_hits ≥ 2 to absorb FPs, or
+    treat the output as a candidate set and re-verify exactly.
+
+    Output: ``(id_col, n_hits, contaminated)`` — hit docs only (the
+    sparse shape; clean docs are absent, like ``include_clean=False``).
+    """
+    from nifi_spark.operators.aggregate import _bloom_positions
+
+    _guard_internal(
+        docs, ["_sh_h", "_p", "_hit", "n_hits", "contaminated"], "decontaminate_bloom"
+    )
+    bits = (
+        bench.select(F.explode(shingles(F.col(text_col), shingle_n)).alias("_s"))
+        .select(md5_long(F.col("_s")).cast("string").alias("_k"))
+        .distinct()
+        .select(F.explode(_bloom_positions(F.col("_k"), n_bits, n_hashes)).alias("_p"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    probed = (
+        docs.select(
+            F.col(id_col), F.explode(shingles(F.col(text_col), shingle_n)).alias("_s")
+        )
+        .select(id_col, md5_long(F.col("_s")).cast("string").alias("_sh_h"))
+        .select(
+            id_col, "_sh_h",
+            F.explode(_bloom_positions(F.col("_sh_h"), n_bits, n_hashes)).alias("_p"),
+        )
+        .join(F.broadcast(bits), "_p", "left")
+        .groupBy(id_col, "_sh_h")
+        .agg((F.count("_hit") == n_hashes).alias("_in"))
+    )
+    return (
+        probed.filter(F.col("_in"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .select(
+            id_col, "n_hits", (F.col("n_hits") >= min_hits).alias("contaminated")
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Sequence packing
 # --------------------------------------------------------------------------

@@ -283,3 +283,50 @@ def test_sample_hash_threshold_validates_args(spark, docs):
         sample_hash_threshold(docs, "doc_id", fraction=1.5)
     with pytest.raises(ValueError):
         sample_hash_threshold(docs, "doc_id", fractions={"en": 0.5})
+
+
+# --------------------------------------------------------------------------
+# bloom decontamination (benchmark too large to broadcast exactly)
+# --------------------------------------------------------------------------
+
+def _py_md5_long(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_bloom_pos(k, n_bits, n_hashes=5):
+    h1 = _py_md5_long(k)
+    h2 = _py_md5_long("b2|" + k)
+    return {(h1 + i * h2) % n_bits for i in range(n_hashes)}
+
+
+def test_decontaminate_bloom_matches_python_recompute(spark, docs):
+    from nifi_spark.operators.traindata import decontaminate_bloom
+
+    n_bits = 1 << 10  # small filter to force some false positives
+    bench = docs.filter(F.col("doc_id") == 0).select("text")
+    out = decontaminate_bloom(docs, bench, min_hits=2, n_bits=n_bits).toPandas()
+
+    bench_keys = {str(_py_md5_long(s)) for s in _py_shingles(DOCS[0][1])}
+    bits = set().union(*(_py_bloom_pos(k, n_bits) for k in bench_keys))
+    expect = {}
+    for d, t, _ in DOCS:
+        keys = {str(_py_md5_long(s)) for s in _py_shingles(t)}
+        n = sum(1 for k in keys if _py_bloom_pos(k, n_bits) <= bits)
+        if n:
+            expect[d] = n
+    assert dict(zip(out.doc_id, out.n_hits)) == expect
+    assert set(out[out.contaminated].doc_id) == {
+        d for d, n in expect.items() if n >= 2
+    }
+
+
+def test_decontaminate_bloom_never_false_negative(spark, docs):
+    from nifi_spark.operators.traindata import decontaminate, decontaminate_bloom
+
+    bench = docs.filter(F.col("doc_id") == 0).select("text")
+    exact = decontaminate(docs, bench, min_hits=1).toPandas()
+    bloom = decontaminate_bloom(docs, bench, min_hits=1, n_bits=1 << 10).toPandas()
+    b = dict(zip(bloom.doc_id, bloom.n_hits))
+    for _, r in exact.iterrows():
+        if r.n_hits > 0:
+            assert b.get(r.doc_id, 0) >= r.n_hits  # superset, never below
