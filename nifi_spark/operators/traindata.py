@@ -5,17 +5,20 @@ near-dup removal (operators/dedup_fuzzy.py) and quality features
 (operators/text.py), four more curation stages — each here as a
 first-class operator over the `documents` table:
 
-- **benchmark decontamination** (:func:`decontaminate`) — drop/flag
-  training documents that share n-grams with an evaluation benchmark,
-  the standard leakage guard (the n-gram-overlap rule popularized by
-  GPT-3/PaLM data cards).
+- **benchmark decontamination** (:func:`decontaminate`,
+  :func:`decontaminate_bloom`) — drop/flag training documents that
+  share n-grams with an evaluation benchmark, the standard leakage
+  guard (the n-gram-overlap rule popularized by GPT-3/PaLM data
+  cards); exact broadcast set by default, Bloom set-bit compression
+  when the benchmark is too large to broadcast exactly.
 - **sequence packing** (:func:`pack_sequences`) — assign documents to
   fixed-token-budget training sequences (quota packing: contiguous
   next-boundary rule, computed with one window sum — the scalable
   approximation of bin packing used by sharded packing jobs).
-- **stratified sampling** (:func:`sample_stratified`) — exact
-  per-stratum fraction with a deterministic md5 rank, the replay-stable
-  version of `df.sampleBy`.
+- **stratified sampling** (:func:`sample_stratified`, exact windowed
+  form; :func:`sample_hash_threshold`, the zero-exchange map-side form
+  for corpus scale) — deterministic md5-rank sampling, the
+  replay-stable version of `df.sampleBy`.
 - **domain mixing** (:func:`domain_mix`) — resample the corpus to a
   target domain mixture (weights over a domain column), capped by the
   scarcest domain; fully declarative (no driver-side counts).
