@@ -432,7 +432,7 @@ def stream_bench() -> dict:
     with open(txn_marker) as f:
         n_txn = int(f.read().strip())
 
-    def drain(sink_mode: str, txn: bool = False) -> dict:
+    def drain(sink_mode: str, txn: bool = False, mv: bool = False) -> dict:
         work = tempfile.mkdtemp(prefix=f"bench_stream_{sink_mode}_")
         try:
             pipe = CdcPipeline(
@@ -444,6 +444,8 @@ def stream_bench() -> dict:
                 sink_mode=sink_mode,
                 compact_every=16,
                 txn_consistent=txn,
+                mv_path=os.path.join(work, "view") if mv else None,
+                mv_refresh_every=1,
             )
             t0 = time.time()
             pipe.run_to_completion(
@@ -471,6 +473,11 @@ def stream_bench() -> dict:
         "append": drain("append"),
         "merge": drain("merge"),
         "txn": drain("append", txn=True),
+        # live downstream aggregate view maintained every batch — the
+        # worst-case cadence (mv_refresh_every=1); the delta vs plain
+        # append is the per-refresh price of the changelog-driven
+        # partial recompute
+        "mv": drain("append", mv=True),
     }
     out.update(out["append"])  # headline numbers = append mode
     return out
@@ -558,6 +565,9 @@ def _stream_section(result: dict) -> str:
         if "txn" in s:
             modes += f"""
 | append + txn_consistent (BEGIN/COMMIT atomicity) | {s['txn']['wall_sec']} | {s['txn']['sec_per_batch']} | {s['txn']['events_per_sec']:,} |"""
+        if "mv" in s:
+            modes += f"""
+| append + live aggregate view (mv_refresh_every=1) | {s['mv']['wall_sec']} | {s['mv']['sec_per_batch']} | {s['mv']['events_per_sec']:,} |"""
         modes += """
 
 Append mode commits O(batch) delta files per micro-batch (never rewrites

@@ -66,7 +66,24 @@ def refresh_agg_mv(
 
     ch = src.changes(from_version, to_version)
     touched = ch.select(*key_cols).distinct()
-    live = src.read(version=to_version).join(touched, key_cols, "left_semi")
+    # Bucket-prune the live scan: when the view key is the table's
+    # bucketing key, the touched keys' bucket ids (a bounded driver
+    # collect, <= n_buckets values) skip every untouched bucket's files
+    # — the refresh reads O(touched buckets), never O(table).
+    buckets = None
+    table_keys = (src._manifest() or {}).get("key_cols") or []
+    if table_keys and key_cols[0] == table_keys[0]:
+        buckets = [
+            int(r["_b"])
+            for r in touched.select(
+                F.pmod(
+                    F.xxhash64(F.col(key_cols[0])), F.lit(src.n_buckets)
+                ).cast("int").alias("_b")
+            ).distinct().collect()
+        ]
+    live = src.read(version=to_version, buckets=buckets).join(
+        touched, key_cols, "left_semi"
+    )
     fresh = agg_fn(live)
     missing = [c for c in key_cols if c not in fresh.columns]
     if missing:

@@ -474,11 +474,18 @@ class LakeTable:
             .select(*key_cols, "_w.*")
         )
 
-    def read(self, version: int | None = None) -> DataFrame:
+    def read(
+        self, version: int | None = None, buckets: list[int] | None = None
+    ) -> DataFrame:
         """Live rows, user columns only (the queryable table).
 
         ``version`` reads an older snapshot (time travel — every commit's
         manifest is immutable, ≙ Iceberg `VERSION AS OF`).
+
+        ``buckets`` prunes the scan to those hash buckets (the keyed-read
+        fast path: a caller that knows which keys it needs — e.g. the MV
+        refresh's touched-keys recompute — derives their bucket ids and
+        skips every other bucket's files entirely).
 
         Buckets with unfolded merge-on-read deltas (manifest
         ``mor_buckets``, written by :meth:`append_events`) are LWW-folded
@@ -488,9 +495,14 @@ class LakeTable:
         version = version or self.current_version()
         m = self._manifest(version)
         mor = sorted(int(b) for b in (m or {}).get("mor_buckets", []))
+        if buckets is not None:
+            want = {int(b) for b in buckets}
+            mor = [b for b in mor if b in want]
         if mor:
             clean = [
-                int(b) for b in self._bucket_files(version) if int(b) not in mor
+                int(b) for b in self._bucket_files(version)
+                if int(b) not in mor
+                and (buckets is None or int(b) in {int(x) for x in buckets})
             ]
             df = self.read_raw(buckets=clean, version=version).unionByName(
                 self._lww_fold_read(
@@ -498,7 +510,7 @@ class LakeTable:
                 )
             )
         else:
-            df = self.read_raw(version=version)
+            df = self.read_raw(buckets=buckets, version=version)
         if "_deleted" in df.columns:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
