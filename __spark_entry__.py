@@ -1735,6 +1735,48 @@ def q_cdc_agg_mv(spark, sf_dir):
     return mv.read().select("conv_id", "n_turns", "max_seq", "sum_type_chars")
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The composed curation pipeline — the four stages a pretraining
+    data job chains, in one lazy plan: (1) quality gate (funnel stage-3
+    predicate), (2) benchmark decontamination vs the src0 eval set,
+    (3) MinHash-LSH near-dup canonicalization keeping each cluster's
+    min doc_id, (4) deterministic 50% threshold sample. Every stage is
+    individually oracle-verified elsewhere; this entry verifies the
+    COMPOSITION (filters feed the next stage's candidate generation, so
+    e.g. LSH buckets form over survivors only). One Catalyst plan end
+    to end — no driver materialization between stages."""
+    from nifi_spark.operators.dedup_fuzzy import minhash_dedup_pairs
+    from nifi_spark.operators.graph import connected_components
+    from nifi_spark.operators.text import quality_score
+    from nifi_spark.operators.traindata import decontaminate, sample_hash_threshold
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    qual = (
+        quality_score(docs)
+        .filter(
+            (F.col("n_tokens_q") >= 5)
+            & (F.col("alpha_ratio") >= 0.5)
+            & (F.col("q_score") >= 0.5)
+        )
+        .select("doc_id", "text", "lang")
+    )
+    bench = docs.filter(F.col("source") == "src0").select("text")
+    flags = decontaminate(qual, bench, shingle_n=3, min_hits=2)
+    clean = qual.join(
+        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+    )
+    pairs = minhash_dedup_pairs(
+        clean, "doc_id", "text", n_hashes=16, shingle_n=3, n_bands=4, threshold=0.5
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    keep = (
+        clean.join(cc, clean["doc_id"] == cc["node"], "left")
+        .filter(F.coalesce("component", "doc_id") == F.col("doc_id"))
+        .select("doc_id", "lang")
+    )
+    return sample_hash_threshold(keep, "doc_id", fraction=0.5, tag="cur")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -1792,6 +1834,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_threshold": q_sample_threshold,
         "domain_mix": q_domain_mix,
         "quality_funnel": q_quality_funnel,
+        "curate_corpus": q_curate_corpus,
         "cdc_agg_mv": q_cdc_agg_mv,
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_lww_fold_salted": q_cdc_lww_fold_salted,
@@ -3286,6 +3329,101 @@ def oracle_sql() -> dict[str, str]:
             SELECT 2, 'alpha', count(*) FILTER (WHERE b2)::BIGINT FROM b
             UNION ALL
             SELECT 3, 'quality', count(*) FILTER (WHERE b3)::BIGINT FROM b
+        """,
+        # Composed curation pipeline: quality gate -> decontamination ->
+        # MinHash-LSH cluster canonicalization over SURVIVORS ONLY ->
+        # 50% md5-threshold sample. Chains the per-stage oracle
+        # fragments verbatim; equality proves the composition, not just
+        # the stages.
+        "curate_corpus": f"""
+            WITH RECURSIVE qual AS (
+                SELECT doc_id, text, lang FROM (
+                    SELECT doc_id, text, lang,
+                           len({_DD_TOKS}) AS ntok,
+                           len(text) AS nc,
+                           len(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS na,
+                           len(list_filter({_DD_TOKS},
+                               t -> list_contains({stop_list!r}, lower(t)))) AS nstop
+                    FROM documents
+                )
+                WHERE ntok >= 5 AND na / nc >= 0.5
+                  AND (CASE WHEN ntok < 5 THEN 0.0 ELSE
+                       least(1.0, ntok / 64.0) * 0.4
+                       + least(1.0, (nstop / ntok) * 4) * 0.3
+                       + (na / nc) * 0.3 END) >= 0.5
+            ),
+            dsh AS (
+                SELECT doc_id,
+                       list_distinct(list_transform({_DD_SH},
+                           s -> {_DD_H.format(x='s')})) AS sh
+                FROM documents
+            ),
+            bset AS (
+                SELECT list_distinct(flatten(list(d.sh))) AS bs
+                FROM dsh d JOIN documents x USING (doc_id)
+                WHERE x.source = 'src0'
+            ),
+            clean AS (
+                SELECT q.doc_id, q.text, q.lang
+                FROM qual q JOIN dsh USING (doc_id) CROSS JOIN bset
+                WHERE len(list_intersect(dsh.sh, bs)) < 2
+            ),
+            sh AS (
+                SELECT doc_id, {_DD_SH} AS sh FROM clean
+            ),
+            hs AS (
+                SELECT doc_id, sh,
+                       list_transform(sh, s -> {_DD_H.format(x='s')}) AS hs
+                FROM sh
+            ),
+            sig AS (
+                SELECT doc_id, sh, [{_mh_sig_exprs()}] AS sig FROM hs
+            ),
+            bands AS (
+                SELECT doc_id, b,
+                       md5(array_to_string(list_transform(sig[b*4+1 : b*4+4],
+                           x -> x::VARCHAR), ',')) AS bhash
+                FROM sig, unnest([0, 1, 2, 3]) AS t(b)
+            ),
+            buckets AS (
+                SELECT b, bhash, list_sort(list(doc_id)) AS ids
+                FROM bands GROUP BY b, bhash
+                HAVING count(*) > 1 AND count(*) <= 64
+            ),
+            cand AS (
+                SELECT DISTINCT x.ia AS id_a, y.ib AS id_b
+                FROM buckets, unnest(ids) AS x(ia), unnest(ids) AS y(ib)
+                WHERE x.ia < y.ib
+            ),
+            shd AS (
+                SELECT doc_id, list_distinct(hs) AS sh FROM hs
+            ),
+            pairs AS (
+                SELECT p.id_a, p.id_b
+                FROM cand p
+                JOIN shd a ON a.doc_id = p.id_a
+                JOIN shd b ON b.doc_id = p.id_b
+                WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                      / len(list_distinct(a.sh || b.sh)) >= 0.5
+            ),
+            sym AS (
+                SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach AS (
+                SELECT a, b FROM sym
+                UNION
+                SELECT r.a, s.b FROM reach r JOIN sym s ON r.b = s.a
+            ),
+            comp AS (
+                SELECT a AS node, least(a, min(b)) AS component
+                FROM reach GROUP BY a
+            )
+            SELECT c.doc_id, c.lang
+            FROM clean c LEFT JOIN comp ON c.doc_id = comp.node
+            WHERE coalesce(comp.component, c.doc_id) = c.doc_id
+              AND ('0x' || substr(md5('cur|' || c.doc_id::VARCHAR), 1, 15))::BIGINT
+                  < 576460752303423488
         """,
         # Full-recompute oracle for the incremental view: LWW-fold the
         # whole feed, drop deletes, aggregate per conversation — equal to
