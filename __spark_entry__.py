@@ -1744,7 +1744,13 @@ def q_curate_corpus(spark, sf_dir):
     individually oracle-verified elsewhere; this entry verifies the
     COMPOSITION (filters feed the next stage's candidate generation, so
     e.g. LSH buckets form over survivors only). One Catalyst plan end
-    to end — no driver materialization between stages."""
+    to end — no driver materialization between stages.
+
+    Decontamination thresholds on CONTAINMENT (fraction of the doc's
+    3-grams in the benchmark), not absolute hits — this synthetic
+    corpus shares a median of ~20 3-grams with any 5% benchmark slice,
+    so an absolute cutoff degenerates; ratio >= 0.5 isolates genuine
+    overlap (the behavior real n-gram decontamination rules use)."""
     from nifi_spark.operators.dedup_fuzzy import minhash_dedup_pairs
     from nifi_spark.operators.graph import connected_components
     from nifi_spark.operators.text import quality_score
@@ -1761,9 +1767,10 @@ def q_curate_corpus(spark, sf_dir):
         .select("doc_id", "text", "lang")
     )
     bench = docs.filter(F.col("source") == "src0").select("text")
-    flags = decontaminate(qual, bench, shingle_n=3, min_hits=2)
+    flags = decontaminate(qual, bench, shingle_n=3, min_hits=1)
     clean = qual.join(
-        flags.filter(~F.col("contaminated")).select("doc_id"), "doc_id", "left_semi"
+        flags.filter(F.col("containment") < 0.5).select("doc_id"),
+        "doc_id", "left_semi",
     )
     pairs = minhash_dedup_pairs(
         clean, "doc_id", "text", n_hashes=16, shingle_n=3, n_bands=4, threshold=0.5
@@ -3366,7 +3373,7 @@ def oracle_sql() -> dict[str, str]:
             clean AS (
                 SELECT q.doc_id, q.text, q.lang
                 FROM qual q JOIN dsh USING (doc_id) CROSS JOIN bset
-                WHERE len(list_intersect(dsh.sh, bs)) < 2
+                WHERE round(len(list_intersect(dsh.sh, bs)) / len(dsh.sh), 6) < 0.5
             ),
             sh AS (
                 SELECT doc_id, {_DD_SH} AS sh FROM clean
