@@ -1771,7 +1771,9 @@ def q_curate_corpus(spark, sf_dir):
     clean = qual.join(
         flags.filter(F.col("containment") < 0.5).select("doc_id"),
         "doc_id", "left_semi",
-    )
+    ).localCheckpoint(eager=False)  # clean feeds 3 consumers (pair gen,
+    # canonical join, sample); cut the quality+decon lineage so it
+    # computes once — same practice as connected_components' internals
     pairs = minhash_dedup_pairs(
         clean, "doc_id", "text", n_hashes=16, shingle_n=3, n_bands=4, threshold=0.5
     )
