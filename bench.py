@@ -96,6 +96,7 @@ HEADLINE_QUERIES = [
     "pack_sequences",
     "sample_stratified",
     "domain_mix",
+    "curate_corpus",
 ]
 
 

@@ -138,19 +138,26 @@ def decontaminate(
             F.first("_n_sh").alias("_n_sh"),
         )
     )
-    out_cols = lambda n_hits, n_sh: [  # noqa: E731
-        n_hits.cast("long").alias("n_hits"),
-        F.round(n_hits / n_sh, 6).alias("containment"),
-        (n_hits >= min_hits).alias("contaminated"),
-    ]
     if not include_clean:
-        return hits.select(id_col, *out_cols(F.col("n_hits"), F.col("_n_sh")))
+        return hits.select(
+            id_col,
+            F.col("n_hits").cast("long").alias("n_hits"),
+            F.round(F.col("n_hits") / F.col("_n_sh"), 6).alias("containment"),
+            (F.col("n_hits") >= min_hits).alias("contaminated"),
+        )
+    # clean docs have containment 0 by definition, so the denominator is
+    # only needed for hit docs and rides the hits agg — the total-audit
+    # join never re-shingles the corpus (one text pass, not two)
     return (
-        docs.select(id_col, F.size(sh_arr).alias("_n_sh"))
-        .join(hits.drop("_n_sh"), id_col, "left")
+        docs.select(id_col)
+        .join(hits, id_col, "left")
         .select(
             id_col,
-            *out_cols(F.coalesce(F.col("n_hits"), F.lit(0)), F.col("_n_sh")),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits") / F.col("_n_sh"), F.lit(0.0)), 6
+            ).alias("containment"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
 
