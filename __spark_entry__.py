@@ -1735,6 +1735,53 @@ def q_cdc_agg_mv(spark, sf_dir):
     return mv.read().select("conv_id", "n_turns", "max_seq", "sum_type_chars")
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time enrichment (operators/temporal.asof_join): each
+    purchase event picks up the user's most recent click at-or-before
+    it (ts ties broken by max click id). One keyed window over the
+    tagged union — no join operator in the plan (≙ the time-versioned
+    LookupRecord NiFi flows approximate with scripts; LookupRecord.java
+    only serves current-value lookups)."""
+    from nifi_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("cid")
+    )
+    out = asof_join(
+        buys,
+        clicks,
+        ["user_id"],
+        right_cols={"cid": "click_id"},
+        tiebreak_col="cid",
+        matched_ts_name="click_ts",
+    )
+    return out.select("user_id", "event_id", "ts", "click_ts", "click_id")
+
+
+def q_range_join_agg(spark, sf_dir):
+    """Point-in-interval join (operators/temporal.range_join): lineitem
+    shipments landing inside each order's first week, aggregated per
+    order. Binned equi-join (bin = 7-day bucket) + exact residual — the
+    plan Spark would otherwise run as a nested-loop theta join."""
+    from nifi_spark.operators.temporal import range_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_shipdate", "l_quantity")
+    iv = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("ws"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("we"),
+    )
+    j = range_join(li, iv, "l_shipdate", "ws", "we", bin_width=7 * 86400)
+    return j.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_ship"),
+        F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("qty_cents"),
+    )
+
+
 def q_curate_corpus(spark, sf_dir):
     """The composed curation pipeline — the four stages a pretraining
     data job chains, in one lazy plan: (1) quality gate (funnel stage-3
@@ -1845,6 +1892,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": q_quality_funnel,
         "curate_corpus": q_curate_corpus,
         "cdc_agg_mv": q_cdc_agg_mv,
+        "asof_join": q_asof_join,
+        "range_join_agg": q_range_join_agg,
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_lww_fold_salted": q_cdc_lww_fold_salted,
         "cdc_replay_transcripts": q_cdc_replay_transcripts,
@@ -3460,5 +3509,34 @@ def oracle_sql() -> dict[str, str]:
                    sum(len(last_type))::BIGINT AS sum_type_chars
             FROM latest WHERE op <> 'D'
             GROUP BY conv_id
+        """,
+        # Backward-inclusive as-of: greatest click ts <= purchase ts per
+        # user, exact ties broken by max click id — the same ordering the
+        # Spark carry-forward window encodes.
+        "asof_join": """
+            WITH buys AS (
+                SELECT event_id, user_id, ts FROM events
+                WHERE event_type = 'purchase'
+            ),
+            clicks AS (
+                SELECT event_id AS cid, user_id, ts FROM events
+                WHERE event_type = 'click'
+            )
+            SELECT b.user_id, b.event_id, b.ts, c.click_ts, c.click_id
+            FROM buys b LEFT JOIN LATERAL (
+                SELECT c.ts AS click_ts, c.cid AS click_id
+                FROM clicks c
+                WHERE c.user_id = b.user_id AND c.ts <= b.ts
+                ORDER BY c.ts DESC, c.cid DESC LIMIT 1
+            ) c ON TRUE
+        """,
+        "range_join_agg": """
+            SELECT o_orderkey,
+                   count(*)::BIGINT AS n_ship,
+                   sum(CAST(round(l_quantity * 100) AS BIGINT))::BIGINT AS qty_cents
+            FROM orders JOIN lineitem
+              ON l_shipdate >= o_orderdate
+             AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+            GROUP BY o_orderkey
         """,
     }
