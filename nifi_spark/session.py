@@ -54,6 +54,11 @@ def get_spark(
         # subset co-partitioning by default only as a skew heuristic.
         .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # INT96 (the legacy default) carries NO parquet min/max statistics,
+        # which would blind LakeTable's file-skipping (file_stats) on every
+        # timestamp column; Iceberg mandates int64 micros for the same
+        # reason. Readers (Spark, DuckDB, pyarrow) handle both transparently.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -102,7 +102,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..fsio import FsIO, join as pjoin
+from ..fsio import FsIO, _local_path, join as pjoin
 
 _COMMITS = "_commits"
 _DATA = "data"
@@ -113,6 +113,47 @@ INTERNAL_COLS = ["_seq", "_deleted", "_bucket"]
 # many small JSON reads (warm = 0: manifests are immutable, cached by
 # version).
 MAX_MANIFEST_DEPTH = 16
+
+
+def _stat_norm(v):
+    """JSON-storable, totally-ordered image of a stats value: timestamps
+    and dates → epoch micros (UTC-naive doctrine — session TZ is pinned
+    UTC); numbers and strings pass through; anything else → None
+    (unsupported → no bound recorded → the file is never skipped)."""
+    import datetime as _dt
+
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        import pandas as _pd
+
+        return int(_pd.Timestamp(v).value // 1000)
+    if isinstance(v, (int, float, str)):
+        return v
+    return None
+
+
+def _stats_pass(file_stats: dict | None, norm_filter: dict) -> bool:
+    """True when the file may contain rows matching every bound — i.e.
+    [min,max] intersects [lo,hi] for each filtered column. Missing stats
+    for a column → keep (can't prove absence). NULL rows never satisfy a
+    range predicate, so null counts are irrelevant to this test."""
+    if not file_stats:
+        return True
+    if file_stats.get("_nrows") == 0:
+        return False  # zero-row file: nothing to match, always skippable
+    for col, (lo, hi) in norm_filter.items():
+        s = file_stats.get(col)
+        if not s:
+            continue
+        mn, mx = s
+        if lo is not None and mx < lo:
+            return False
+        if hi is not None and mn > hi:
+            return False
+    return True
 
 
 class CommitConflict(Exception):
@@ -262,15 +303,23 @@ def _evolve_schema(
 
 
 class LakeTable:
-    def __init__(self, spark: SparkSession, path: str, n_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        n_buckets: int = 16,
+        stats_cols: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self._req_buckets = n_buckets
+        self._req_stats_cols = list(stats_cols or [])
         self._nb: int | None = None
         self._io = FsIO(spark, self.path)
         # Immutable-by-version caches: manifest JSON and resolved file maps.
         self._mcache: dict[int, dict] = {}
         self._fcache: dict[int, dict[str, list[str]]] = {}
+        self._scache: dict[int, dict[str, dict]] = {}
 
     @property
     def n_buckets(self) -> int:
@@ -421,8 +470,179 @@ class LakeTable:
     def _bucket_files(self, version: int | None = None) -> dict[str, list[str]]:
         return self._resolve_files(version or self.current_version())
 
+    # ---------- file-level column stats (data skipping, ≙ Iceberg
+    # manifest lower_bounds/upper_bounds; reference lands via PutIceberg
+    # whose tables get this from Iceberg's own manifests) ----------
+
+    @property
+    def stats_cols(self) -> list[str]:
+        """Columns whose per-file [min,max] every commit records in the
+        manifest (``file_stats``). The manifest's list wins for an
+        existing table (same doctrine as :attr:`n_buckets`); the
+        constructor value seeds new tables — and upgrades an old table
+        that never recorded stats (files written before the upgrade have
+        no entries and are simply never skipped)."""
+        if not self.exists():
+            return self._req_stats_cols
+        m = self._manifest() or {}
+        return list(m.get("stats_cols") or self._req_stats_cols)
+
+    def _collect_stats(
+        self, files: dict[str, list[str]] | list[str]
+    ) -> dict[str, dict]:
+        """Per-file {col: [min,max]} for ``stats_cols`` over just-written
+        files. Local paths read parquet footers (pyarrow row-group
+        statistics — no data IO); any remote/URI path falls back to ONE
+        column-pruned Spark scan of the new files (exact, works on any
+        Hadoop scheme). Footer string bounds may be truncated by the
+        writer — the parquet spec keeps truncated bounds valid bounds,
+        which is all skipping needs."""
+        cols = self.stats_cols
+        if not cols:
+            return {}
+        paths = (
+            [f for fl in files.values() for f in fl]
+            if isinstance(files, dict)
+            else list(files)
+        )
+        if not paths:
+            return {}
+        localized = [(p, _local_path(p)) for p in paths]
+        if all(lp is not None for _, lp in localized):
+            return self._footer_stats(localized, cols)
+        return self._scan_stats(paths, cols)
+
+    @staticmethod
+    def _footer_stats(
+        localized: list[tuple[str, str]], cols: list[str]
+    ) -> dict[str, dict]:
+        import pyarrow.parquet as pq
+
+        out: dict[str, dict] = {}
+        for path, lp in localized:
+            try:
+                md = pq.ParquetFile(lp).metadata
+            except Exception:
+                continue  # unreadable footer → no stats, never skipped
+            if md.num_rows == 0:
+                out[path] = {"_nrows": 0}  # empty part file: always skip
+                continue
+            idx = {
+                md.schema.column(i).path: i for i in range(md.num_columns)
+            }
+            st: dict[str, list] = {}
+            for c in cols:
+                ci = idx.get(c)
+                if ci is None:
+                    continue
+                mns, mxs = [], []
+                for rg in range(md.num_row_groups):
+                    s = md.row_group(rg).column(ci).statistics
+                    if s is None or not s.has_min_max:
+                        mns = []  # one statless row group voids the bound
+                        break
+                    mns.append(_stat_norm(s.min))
+                    mxs.append(_stat_norm(s.max))
+                if mns and None not in mns and None not in mxs:
+                    st[c] = [min(mns), max(mxs)]
+            if st:
+                out[path] = st
+        return out
+
+    def _scan_stats(self, paths: list[str], cols: list[str]) -> dict[str, dict]:
+        from urllib.parse import unquote
+
+        df = self.spark.read.parquet(*paths)
+        present = [c for c in cols if c in df.columns]
+        if not present:
+            return {}
+        aggs = []
+        for c in present:
+            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+        rows = df.groupBy(F.input_file_name().alias("_f")).agg(*aggs).collect()
+        # match scanner URIs back to manifest paths by the last two path
+        # components — the version-tag dir is uuid-unique per commit
+        key = lambda p: "/".join(unquote(p).split("/")[-2:])  # noqa: E731
+        by_key = {key(p): p for p in paths}
+        out: dict[str, dict] = {}
+        for r in rows:
+            p = by_key.get(key(r["_f"]))
+            if p is None:
+                continue
+            st = {}
+            for c in present:
+                mn, mx = _stat_norm(r[f"_mn_{c}"]), _stat_norm(r[f"_mx_{c}"])
+                if mn is not None and mx is not None:
+                    st[c] = [mn, mx]
+            if st:
+                out[p] = st
+        return out
+
+    def _resolve_stats(self, version: int) -> dict[str, dict]:
+        """path → stats at ``version``, following delta-manifest base
+        pointers like :meth:`_resolve_files`. Entries for rewritten files
+        may linger in the chain — harmless, lookups are by live path."""
+        if not version:
+            return {}
+        cached = self._scache.get(version)
+        if cached is None:
+            m = self._manifest(version) or {}
+            base = m.get("base")
+            cached = dict(self._resolve_stats(base)) if base else {}
+            cached.update(m.get("file_stats") or {})
+            self._scache[version] = cached
+        return cached
+
+    def _merged_stats(
+        self,
+        new_stats: dict[str, dict],
+        head: dict | None,
+        files: dict[str, list[str]],
+        delta_files: list[str] | None,
+        flattened: bool,
+    ) -> dict[str, dict]:
+        """The manifest ``file_stats`` entry: just the new files' stats on
+        a delta manifest (resolution walks the chain), the full live map
+        when the chain flattens (base=None would otherwise orphan every
+        older file's stats)."""
+        if not flattened:
+            return new_stats
+        live = {f for fl in files.values() for f in fl} | set(delta_files or [])
+        carried = {
+            p: s
+            for p, s in self._resolve_stats((head or {}).get("version", 0)).items()
+            if p in live
+        }
+        carried.update(new_stats)
+        return carried
+
+    @staticmethod
+    def _norm_filter(stats_filter: dict) -> dict:
+        out = {}
+        for c, (lo, hi) in stats_filter.items():
+            out[c] = (_stat_norm(lo), _stat_norm(hi))
+        return out
+
+    def skip_report(
+        self, stats_filter: dict, version: int | None = None
+    ) -> dict[str, int]:
+        """How many files a ``stats_filter`` would skip at ``version`` —
+        the observability hook for tuning stats_cols / compaction layout.
+        Returns {"total": n, "kept": k, "skipped": n-k}."""
+        version = version or self.current_version()
+        m = self._manifest(version) or {}
+        paths = [f for fl in self._bucket_files(version).values() for f in fl]
+        paths += m.get("delta_files", [])
+        nf = self._norm_filter(stats_filter)
+        stats = self._resolve_stats(version)
+        kept = sum(1 for p in paths if _stats_pass(stats.get(p), nf))
+        return {"total": len(paths), "kept": kept, "skipped": len(paths) - kept}
+
     def read_raw(
-        self, buckets: list[int] | None = None, version: int | None = None
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        stats_filter: dict | None = None,
     ) -> DataFrame:
         """All rows incl. tombstones + internal cols, optionally bucket-pruned
         and/or pinned to an older snapshot version.
@@ -432,7 +652,15 @@ class LakeTable:
         files whose rows mix buckets. Their rows are surfaced ONLY for
         buckets still in ``mor_buckets`` — once a bucket is compacted its
         delta rows are stale copies — via a ``_bucket`` filter the parquet
-        reader can push down."""
+        reader can push down.
+
+        ``stats_filter`` ({col: (lo, hi)}, either bound None for open)
+        skips files whose recorded [min,max] cannot intersect the range —
+        the Iceberg data-skipping contract: the CALLER still applies the
+        exact (null-rejecting) predicate; skipping only narrows the scan.
+        Do NOT fold (LWW) over a stats-pruned raw read: dropping a file
+        that held a key's newest version would resurrect an older row —
+        :meth:`read` therefore only stats-prunes clean buckets."""
         version = version or self.current_version()
         schema = self.schema(version)
         if schema is None:
@@ -445,6 +673,11 @@ class LakeTable:
         mor = {int(b) for b in m.get("mor_buckets", [])}
         want = mor if buckets is None else mor & {int(b) for b in buckets}
         delta = m.get("delta_files", []) if want else []
+        if stats_filter:
+            nf = self._norm_filter(stats_filter)
+            stats = self._resolve_stats(version)
+            files = [f for f in files if _stats_pass(stats.get(f), nf)]
+            delta = [f for f in delta if _stats_pass(stats.get(f), nf)]
         parts: list[DataFrame] = []
         if files:
             # explicit schema => additive evolution for free (null-fill)
@@ -475,9 +708,19 @@ class LakeTable:
         )
 
     def read(
-        self, version: int | None = None, buckets: list[int] | None = None
+        self,
+        version: int | None = None,
+        buckets: list[int] | None = None,
+        stats_filter: dict | None = None,
     ) -> DataFrame:
         """Live rows, user columns only (the queryable table).
+
+        ``stats_filter`` skips files whose recorded column ranges cannot
+        match (see :meth:`read_raw`). Applied only to CLEAN buckets: a
+        merge-on-read bucket must fold over every generation before any
+        predicate, so its files all scan (the caller's exact filter still
+        applies to the folded rows). The caller MUST re-apply the exact
+        predicate — skipping narrows IO, it does not filter rows.
 
         ``version`` reads an older snapshot (time travel — every commit's
         manifest is immutable, ≙ Iceberg `VERSION AS OF`).
@@ -504,13 +747,17 @@ class LakeTable:
                 if int(b) not in mor
                 and (buckets is None or int(b) in {int(x) for x in buckets})
             ]
-            df = self.read_raw(buckets=clean, version=version).unionByName(
+            df = self.read_raw(
+                buckets=clean, version=version, stats_filter=stats_filter
+            ).unionByName(
                 self._lww_fold_read(
                     self.read_raw(buckets=mor, version=version), m["key_cols"]
                 )
             )
         else:
-            df = self.read_raw(buckets=buckets, version=version)
+            df = self.read_raw(
+                buckets=buckets, version=version, stats_filter=stats_filter
+            )
         if "_deleted" in df.columns:
             df = df.filter(~F.coalesce(F.col("_deleted"), F.lit(False)))
         return df.drop(*[c for c in INTERNAL_COLS if c in df.columns])
@@ -721,6 +968,7 @@ class LakeTable:
                 )
             )
         files = self._write_buckets(df, f"v{uuid.uuid4().hex[:12]}")
+        new_stats = self._collect_stats(files)
         base_schema = json.dumps(self.schema(base_version).jsonValue())
         base_summary = self.snapshot_summary(base_version)
 
@@ -738,6 +986,8 @@ class LakeTable:
                 "depth": 0,  # compaction writes a full manifest: chain reset
                 "mor_buckets": [],
                 "delta_files": [],  # all deltas folded into bucket files
+                "stats_cols": self.stats_cols,
+                "file_stats": new_stats,
                 "summary": {**base_summary, "compaction": True},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
@@ -780,6 +1030,9 @@ class LakeTable:
                 )
             )
         new_files = self._write_buckets(df, f"v{uuid.uuid4().hex[:12]}")
+        new_stats = self._collect_stats(
+            {str(b): new_files.get(str(b), []) for b in buckets}
+        )
 
         def build(head: dict | None) -> dict:
             if head is None:
@@ -808,6 +1061,7 @@ class LakeTable:
             mor = sorted(
                 {int(x) for x in head.get("mor_buckets", [])} - set(buckets)
             )
+            keep_delta = [] if not mor else head.get("delta_files", [])
             return {
                 "schema": head["schema"],
                 "n_buckets": self.n_buckets,
@@ -819,7 +1073,11 @@ class LakeTable:
                 # flat delta files absorb into bucket files only when NO
                 # mor bucket still needs them (their remaining rows are
                 # stale copies, read-filtered by mor membership)
-                "delta_files": [] if not mor else head.get("delta_files", []),
+                "delta_files": keep_delta,
+                "stats_cols": self.stats_cols,
+                "file_stats": self._merged_stats(
+                    new_stats, head, files, keep_delta, base is None
+                ),
                 "summary": {**head.get("summary", {}), "compaction": True},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
@@ -1009,6 +1267,8 @@ class LakeTable:
                 "depth": 0,
                 "mor_buckets": [],
                 "delta_files": [],
+                "stats_cols": self.stats_cols,
+                "file_stats": self._collect_stats(files),
                 "summary": {
                     "rebucketed_from": self.n_buckets,
                     "batch_id": h.get("summary", {}).get("batch_id"),
@@ -1042,6 +1302,8 @@ class LakeTable:
                 "files": files,
                 "depth": 0,
                 "mor_buckets": [],
+                "stats_cols": self.stats_cols,
+                "file_stats": self._collect_stats(files),
                 "summary": summary or {},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
@@ -1104,6 +1366,10 @@ class LakeTable:
                 "depth": depth,
                 "mor_buckets": head.get("mor_buckets", []),
                 "delta_files": head.get("delta_files", []),
+                "stats_cols": self.stats_cols,
+                "file_stats": self._merged_stats(
+                    {}, head, files, head.get("delta_files", []), base is None
+                ),
                 "summary": {
                     **(extra_summary or {}),
                     "ddl_added": sorted(new),
@@ -1305,6 +1571,7 @@ class LakeTable:
         )
         src_types = {f.name: f.dataType for f in delta.schema.fields}
         new_paths = self._write_flat(delta, f"v{uuid.uuid4().hex[:12]}")
+        new_stats = self._collect_stats(new_paths)
         if not new_paths:
             return None  # nothing survived the filter (all-late/bad batch)
         if callable(touched):
@@ -1363,6 +1630,10 @@ class LakeTable:
                 "depth": depth,
                 "mor_buckets": mor,
                 "delta_files": delta_files,
+                "stats_cols": self.stats_cols,
+                "file_stats": self._merged_stats(
+                    new_stats, head, files, delta_files, base is None
+                ),
                 "summary": {**(extra_summary or {}), "batch_id": batch_id},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
@@ -1383,6 +1654,7 @@ class LakeTable:
         files = self._write_partitioned(merged, f"v{uuid.uuid4().hex[:12]}")
         if not files:
             return None  # empty first batch — don't commit an empty table
+        new_stats = self._collect_stats(files)
 
         def build(head: dict | None) -> dict | None:
             if head is not None:
@@ -1396,6 +1668,8 @@ class LakeTable:
                 "files": files,
                 "depth": 0,
                 "mor_buckets": [],
+                "stats_cols": self.stats_cols,
+                "file_stats": new_stats,
                 "summary": {**(extra_summary or {}), "batch_id": batch_id},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }
@@ -1494,6 +1768,7 @@ class LakeTable:
         ).select(*key_cols, "_w.*")
 
         new_files = self._write_partitioned(merged, f"v{uuid.uuid4().hex[:12]}")
+        new_stats = self._collect_stats(new_files)
         our_user_types = {
             f.name: f.dataType for f in evolved.fields if f.name not in INTERNAL_COLS
         }
@@ -1546,6 +1821,7 @@ class LakeTable:
             mor = sorted(
                 {int(x) for x in head.get("mor_buckets", [])} - set(touched)
             )
+            keep_delta = [] if not mor else head.get("delta_files", [])
             return {
                 "schema": schema_json,
                 "n_buckets": self.n_buckets,
@@ -1554,7 +1830,11 @@ class LakeTable:
                 "base": base,
                 "depth": depth,
                 "mor_buckets": mor,
-                "delta_files": [] if not mor else head.get("delta_files", []),
+                "delta_files": keep_delta,
+                "stats_cols": self.stats_cols,
+                "file_stats": self._merged_stats(
+                    new_stats, head, files, keep_delta, base is None
+                ),
                 "summary": {**(extra_summary or {}), "batch_id": batch_id},
                 "created_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             }

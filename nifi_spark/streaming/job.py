@@ -71,6 +71,7 @@ class CdcPipeline:
         mv_refresh_every: int = 1,
         mv_key_cols: list[str] | None = None,
         mv_agg_fn=None,
+        stats_cols: list[str] | None = None,
     ):
         """``txn_consistent``: the feed is transaction-delimited
         (schema.CHANGE_EVENTS_TXN — every event carries ``txn_id``, the
@@ -111,7 +112,15 @@ class CdcPipeline:
         if sink_mode not in ("merge", "append"):
             raise ValueError(f"sink_mode must be 'merge' or 'append', got {sink_mode!r}")
         self.spark = spark
-        self.table = LakeTable(spark, table_path, n_buckets=n_buckets)
+        # stats_cols: per-file [min,max] bounds recorded at every commit
+        # (LakeTable file_stats) so downstream time/seq-range readers skip
+        # files — e.g. stats_cols=["ts"] lets a "last 24h of transcripts"
+        # scan touch only recent files. Off by default: bounds collection
+        # is one footer read (local) or one column-pruned scan (remote)
+        # per micro-batch commit.
+        self.table = LakeTable(
+            spark, table_path, n_buckets=n_buckets, stats_cols=stats_cols
+        )
         self.checkpoint_dir = checkpoint_dir
         self.salt_buckets = salt_buckets
         self.fold_mode = fold_mode
