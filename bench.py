@@ -97,6 +97,11 @@ HEADLINE_QUERIES = [
     "sample_stratified",
     "domain_mix",
     "curate_corpus",
+    # temporal joins: asof is one keyed window; range_join materializes
+    # ~290M point-interval pairs at sf0.1 (the intended inequality-join
+    # work) spread over the pinned bin partitioning.
+    "asof_join",
+    "range_join_agg",
 ]
 
 

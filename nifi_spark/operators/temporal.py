@@ -192,6 +192,15 @@ def range_join(
 
     p = points.withColumn("_rj_bin", p_bin)
     i = intervals.withColumn("_rj_bin", F.explode(i_bins))
+    # Pin the join's partitioning explicitly: both pre-join shuffles are
+    # tiny relative to the join's OUTPUT (each bin multiplies points ×
+    # intervals), so AQE — which coalesces on pre-join shuffle bytes —
+    # would funnel the explosion into a handful of tasks. A user
+    # repartition on the join key is exempt from AQE coalescing and
+    # spreads the per-bin products across the full parallelism.
+    n_part = int(points.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    p = p.repartition(n_part, *on, "_rj_bin")
+    i = i.repartition(n_part, *on, "_rj_bin")
 
     lo_ok = (
         F.col(point_col) >= F.col(start_col)
