@@ -939,7 +939,12 @@ class LakeTable:
 
     # ---------- maintenance ----------
 
-    def compact(self, purge_tombstones_below_seq: int | None = None) -> int:
+    def compact(
+        self,
+        purge_tombstones_below_seq: int | None = None,
+        sort_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
+    ) -> int:
         """Rewrite every bucket into fewer files; optionally purge tombstones.
 
         ≙ Iceberg data-file compaction (rewrite_data_files) + the
@@ -952,6 +957,15 @@ class LakeTable:
         snapshot this compaction read and its own commit, the compaction
         ABORTS with :class:`CommitConflict` (its rewrite would drop the
         concurrent merge's rows) — compaction is cheap to re-run.
+
+        ``sort_by`` clusters each bucket's rows by the given columns
+        before writing (≙ Iceberg's table sort order applied by
+        rewrite_data_files): with ``max_records_per_file`` capping file
+        size, a bucket splits into files with DISJOINT sort-column ranges,
+        which is what makes ``stats_cols`` skipping bite inside a bucket —
+        unsorted, every file of a bucket spans the whole value range and
+        nothing can be skipped. One local sort per bucket partition; no
+        extra shuffle.
         """
         base_version = self.current_version()
         base_m = self._manifest(base_version) or {}
@@ -967,7 +981,12 @@ class LakeTable:
                     & (F.col("_seq") < purge_tombstones_below_seq)
                 )
             )
-        files = self._write_buckets(df, f"v{uuid.uuid4().hex[:12]}")
+        files = self._write_buckets(
+            df,
+            f"v{uuid.uuid4().hex[:12]}",
+            sort_by=sort_by,
+            max_records_per_file=max_records_per_file,
+        )
         new_stats = self._collect_stats(files)
         base_schema = json.dumps(self.schema(base_version).jsonValue())
         base_summary = self.snapshot_summary(base_version)
@@ -1163,7 +1182,12 @@ class LakeTable:
         return F.pmod(F.xxhash64(F.col(key_col)), F.lit(self.n_buckets)).cast("int")
 
     def _write_partitioned(
-        self, df: DataFrame, version_tag: str, codec: str = "zstd"
+        self,
+        df: DataFrame,
+        version_tag: str,
+        codec: str = "zstd",
+        sort_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
     ) -> dict[str, list[str]]:
         """Write df (already carrying + partitioned by ``_bucket``) into
         per-bucket dirs; return bucket→files. No exchange is added: the
@@ -1178,13 +1202,17 @@ class LakeTable:
         setup across n_buckets files) and deltas are short-lived —
         compaction rewrites them zstd."""
         out_dir = pjoin(self.path, _DATA, version_tag)
-        (
-            df.withColumn("_pb", F.col("_bucket"))
-            .write.partitionBy("_pb")
-            .option("compression", codec)
-            .mode("overwrite")
-            .parquet(out_dir)
-        )
+        w = df.withColumn("_pb", F.col("_bucket"))
+        if sort_by:
+            # Sort keyed on _pb FIRST so the dynamic-partition writer's
+            # required ordering ([_pb]) is a satisfied prefix — otherwise
+            # it would inject its own (unstable) sort and destroy the
+            # within-bucket order this exists to create.
+            w = w.sortWithinPartitions("_pb", *sort_by)
+        writer = w.write.partitionBy("_pb").option("compression", codec)
+        if max_records_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_records_per_file))
+        writer.mode("overwrite").parquet(out_dir)
         mapping: dict[str, list[str]] = {}
         for entry in self._io.list_names(out_dir):
             if entry.startswith("_pb="):
@@ -1197,10 +1225,19 @@ class LakeTable:
                 ]
         return mapping
 
-    def _write_buckets(self, df: DataFrame, version_tag: str) -> dict[str, list[str]]:
+    def _write_buckets(
+        self,
+        df: DataFrame,
+        version_tag: str,
+        sort_by: list[str] | None = None,
+        max_records_per_file: int | None = None,
+    ) -> dict[str, list[str]]:
         """Repartition on _bucket then write (for dfs not already aligned)."""
         return self._write_partitioned(
-            df.repartition(self.n_buckets, F.col("_bucket")), version_tag
+            df.repartition(self.n_buckets, F.col("_bucket")),
+            version_tag,
+            sort_by=sort_by,
+            max_records_per_file=max_records_per_file,
         )
 
     def _write_flat(

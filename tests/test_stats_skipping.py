@@ -217,3 +217,55 @@ def test_pipeline_records_stats_end_to_end(spark, tmp_path):
     want = t.read().filter(pred).count()
     got = t.read(stats_filter={"ts": (lo, hi)}).filter(pred).count()
     assert got == want > 0
+
+
+def test_sorted_compaction_enables_intra_bucket_skipping(spark, tmp_path):
+    """compact(sort_by=..., max_records_per_file=...) splits each bucket
+    into files with disjoint sort-column ranges — a narrow range filter
+    then skips files even INSIDE a bucket, which unsorted compaction
+    cannot (every file spans the whole range)."""
+    def mk(prefix, s0):
+        # unique key per row (nothing LWW-folds away), ts spread 0..999
+        rows = [
+            (s0 + i, "U", f"{prefix}{i}", (i * 1000) // 80, float(i))
+            for i in range(80)
+        ]
+        return spark.createDataFrame(
+            rows, "seq long, op string, k string, ts long, v double"
+        )
+
+    def build(path, **compact_kw):
+        t = LakeTable(spark, path, n_buckets=2, stats_cols=["ts"])
+        # two epochs interleaved across appends → unsorted bucket files
+        # span the full ts range
+        t.append_events(mk("a", 0), ["k"], batch_id=0)
+        t.append_events(mk("b", 5000), ["k"], batch_id=1)
+        t.compact(**compact_kw)
+        return t
+
+    t_plain = build(str(tmp_path / "plain"))
+    t_sorted = build(
+        str(tmp_path / "sorted"), sort_by=["ts"], max_records_per_file=10
+    )
+    # identical live data either way
+    key = lambda t: sorted(  # noqa: E731
+        (r["k"], r["ts"], r["v"]) for r in t.read().collect()
+    )
+    assert key(t_plain) == key(t_sorted)
+    narrow = {"ts": (0, 99)}
+
+    def empties(t):  # zero-row part files always skip, sorted or not
+        return sum(
+            1
+            for s in t._resolve_stats(t.current_version()).values()
+            if s.get("_nrows") == 0
+        )
+
+    rep_sorted = t_sorted.skip_report(narrow)
+    rep_plain = t_plain.skip_report(narrow)
+    assert rep_sorted["total"] > 2  # maxRecordsPerFile split the buckets
+    # unsorted: every non-empty file spans the whole ts range → only the
+    # empty part files skip; sorted: disjoint ranges prune real files too
+    assert rep_plain["skipped"] == empties(t_plain)
+    assert rep_sorted["skipped"] > empties(t_sorted)
+    _assert_equiv(t_sorted, 0, 99)
