@@ -1735,6 +1735,50 @@ def q_cdc_agg_mv(spark, sf_dir):
     return mv.read().select("conv_id", "n_turns", "max_seq", "sum_type_chars")
 
 
+def q_cdc_time_slice(spark, sf_dir):
+    """Time-range read through the file-stats-pruned path
+    (sinks/laketable file_stats, ≙ Iceberg lower/upper_bounds skipping):
+    land the events feed in two batches with ts bounds recorded per file,
+    sorted-compact so files cluster by ts, then read a narrow window via
+    read(stats_filter=...) + the exact residual. The oracle computes the
+    same window over the LWW fold directly — equality proves pruning
+    never drops a live matching row."""
+    from nifi_spark.sinks.laketable import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    feed = ev.select(
+        F.col("event_id").alias("seq"),
+        F.lit("U").alias("op"),
+        # unique key per event: the fold is identity, so the window
+        # carries ~uniform density and the slice is non-trivial
+        F.concat(F.lit("e-"), F.col("event_id").cast("string")).alias("k"),
+        "ts",
+        F.col("value").alias("v"),
+    )
+    t = LakeTable(
+        spark, _work_dir("cdc_time_slice", sf_dir) + "/t",
+        n_buckets=8, stats_cols=["ts"],
+    )
+    if not t.exists():
+        for b in range(2):
+            t.append_events(
+                feed.filter(F.pmod(F.col("seq"), F.lit(2)) == b),
+                ["k"], batch_id=b,
+            )
+        # cap chosen so buckets split into several ts-disjoint files even
+        # at the driver's sf0.01 gate — the pruned path must actually
+        # prune there, not just fall through to a full scan
+        t.compact(sort_by=["ts"], max_records_per_file=400)
+    lo, hi = "2024-01-10 00:00:00", "2024-01-12 00:00:00"
+    win = (F.col("ts") >= F.lit(lo).cast("timestamp")) & (
+        F.col("ts") < F.lit(hi).cast("timestamp")
+    )
+    import datetime as _dt
+
+    sf = {"ts": (_dt.datetime(2024, 1, 10), _dt.datetime(2024, 1, 12))}
+    return t.read(stats_filter=sf).filter(win).select("k", "ts", "v")
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time enrichment (operators/temporal.asof_join): each
     purchase event picks up the user's most recent click at-or-before
@@ -1894,6 +1938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_agg_mv": q_cdc_agg_mv,
         "asof_join": q_asof_join,
         "range_join_agg": q_range_join_agg,
+        "cdc_time_slice": q_cdc_time_slice,
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_lww_fold_salted": q_cdc_lww_fold_salted,
         "cdc_replay_transcripts": q_cdc_replay_transcripts,
@@ -3529,6 +3574,15 @@ def oracle_sql() -> dict[str, str]:
                 WHERE c.user_id = b.user_id AND c.ts <= b.ts
                 ORDER BY c.ts DESC, c.cid DESC LIMIT 1
             ) c ON TRUE
+        """,
+        # Unique key per event → the LWW fold is identity; the window cut
+        # matches the Spark side's stats-pruned file scan — equality
+        # proves pruning dropped no live matching row.
+        "cdc_time_slice": """
+            SELECT 'e-' || event_id::VARCHAR AS k, ts, value AS v
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-12 00:00:00'
         """,
         "range_join_agg": """
             SELECT o_orderkey,
