@@ -1779,6 +1779,26 @@ def q_cdc_time_slice(spark, sf_dir):
     return t.read(stats_filter=sf).filter(win).select("k", "ts", "v")
 
 
+def q_assemble_transcripts(spark, sf_dir):
+    """SFT sample assembly (operators/transcript.assemble_transcripts):
+    one training sample per conversation — turns rendered in stable
+    turn order with a role template, tool-call and token counters, and
+    a conversation-level md5 train/val split. ONE hash aggregate with
+    map-side partials; the split is shuffle-free (≙ MergeRecord
+    correlation binning, MergeContent.java:115-127, + UpdateRecord
+    counters in a single operator)."""
+    from nifi_spark.operators.transcript import assemble_transcripts
+
+    turns = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_type") == "click", F.lit("browser")).alias("tool"),
+    )
+    return assemble_transcripts(turns)
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time enrichment (operators/temporal.asof_join): each
     purchase event picks up the user's most recent click at-or-before
@@ -1920,7 +1940,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "grouped_pandas_stats": q_grouped_pandas_stats,
         "el_functions": q_el_functions,
-        "el_functions_v2": q_el_functions_v2,
         "el_selection": q_el_selection,
         "recordpath_nested": q_recordpath_nested,
         "merge_record_bins": q_merge_record_bins,
@@ -1939,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join": q_asof_join,
         "range_join_agg": q_range_join_agg,
         "cdc_time_slice": q_cdc_time_slice,
+        "assemble_transcripts": q_assemble_transcripts,
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_lww_fold_salted": q_cdc_lww_fold_salted,
         "cdc_replay_transcripts": q_cdc_replay_transcripts,
@@ -1989,6 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
+        "el_functions_v2": q_el_functions_v2,
     }
 
 
@@ -3583,6 +3604,28 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
               AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+        """,
+        "assemble_transcripts": """
+            WITH turns AS (
+                SELECT 'u-' || user_id::VARCHAR AS conv_id,
+                       event_id AS turn_idx,
+                       event_type AS role,
+                       props AS text,
+                       CASE WHEN event_type = 'click' THEN 'browser' END AS tool
+                FROM events
+            )
+            SELECT conv_id,
+                   string_agg(role || ': ' || text, chr(10)
+                              ORDER BY turn_idx, role, text) AS transcript,
+                   count(*) AS n_turns,
+                   sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_tool_turns,
+                   sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+                       AS total_tokens,
+                   CASE WHEN ('0x' || substr(md5('split|' || conv_id), 1, 15))::BIGINT
+                             < 1037629354146162304
+                        THEN 'train' ELSE 'val' END AS split
+            FROM turns GROUP BY conv_id
         """,
         "range_join_agg": """
             SELECT o_orderkey,

@@ -227,3 +227,72 @@ def test_pq_encode_and_adc_recall(spark):
     approx_set = set(map(tuple, approx[["query_id", "neighbor_id"]].values))
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.25, f"refined-PQ recall too low: {recall}"
+
+
+# --------------------------------------------------------------------------
+# assemble_transcripts (operators/transcript.py)
+# --------------------------------------------------------------------------
+
+def _turns_df(spark):
+    rows = [
+        ("c1", 0, "user", "hello there", None),
+        ("c1", 1, "assistant", "hi how can I help", None),
+        ("c1", 2, "tool", "search(q)", "browser"),
+        ("c1", 3, "assistant", "found it", None),
+        ("c2", 0, "user", "one  two", None),  # double space: \s+ tokenizing
+        ("c2", 1, "assistant", "three", "calc"),
+    ]
+    return spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string"
+    )
+
+
+def test_assemble_transcripts_render_and_counters(spark):
+    from nifi_spark.operators.transcript import assemble_transcripts
+
+    out = assemble_transcripts(_turns_df(spark)).orderBy("conv_id").collect()
+    c1, c2 = out
+    assert c1["transcript"] == (
+        "user: hello there\nassistant: hi how can I help\n"
+        "tool: search(q)\nassistant: found it"
+    )
+    assert (c1["n_turns"], c1["n_tool_turns"], c1["total_tokens"]) == (4, 1, 10)
+    assert c2["transcript"] == "user: one  two\nassistant: three"
+    assert (c2["n_turns"], c2["n_tool_turns"], c2["total_tokens"]) == (2, 1, 3)
+    assert {r["split"] for r in out} <= {"train", "val"}
+
+
+def test_assemble_transcripts_order_is_turn_not_input(spark):
+    from nifi_spark.operators.transcript import assemble_transcripts
+
+    df = _turns_df(spark).orderBy(F.desc("turn_idx"))  # scramble input order
+    out = {
+        r["conv_id"]: r["transcript"]
+        for r in assemble_transcripts(df).collect()
+    }
+    assert out["c1"].startswith("user: hello there")
+    assert out["c1"].endswith("assistant: found it")
+
+
+def test_assemble_transcripts_split_deterministic_and_frac(spark):
+    from nifi_spark.operators.transcript import assemble_transcripts
+
+    df = _turns_df(spark)
+    a = {r["conv_id"]: r["split"] for r in assemble_transcripts(df).collect()}
+    b = {r["conv_id"]: r["split"] for r in assemble_transcripts(df).collect()}
+    assert a == b  # replay-stable
+    allv = {
+        r["conv_id"]: r["split"]
+        for r in assemble_transcripts(df, train_frac=1.0).collect()
+    }
+    assert set(allv.values()) == {"train"}
+    with pytest.raises(ValueError):
+        assemble_transcripts(df, train_frac=0.0)
+
+
+def test_assemble_transcripts_no_tool_col(spark):
+    from nifi_spark.operators.transcript import assemble_transcripts
+
+    df = _turns_df(spark).drop("tool")
+    out = assemble_transcripts(df, tool_col=None).collect()
+    assert all(r["n_tool_turns"] == 0 for r in out)
