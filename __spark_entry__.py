@@ -1779,6 +1779,54 @@ def q_cdc_time_slice(spark, sf_dir):
     return t.read(stats_filter=sf).filter(win).select("k", "ts", "v")
 
 
+def q_cdc_multi_table(spark, sf_dir):
+    """Multi-table binlog fan-out (streaming/multi.MultiTableCdcPipeline):
+    ONE change feed carrying two tables' events interleaved (routed by
+    ``table_name``, ≙ CaptureChangeMySQL's cdc.table.name attribute +
+    RouteOnAttribute + one PutDatabaseRecord per table), applied in two
+    ordered batches through the shared fan-out — one cached scan per
+    batch, per-table idempotent merges on the shared batch id. Returns
+    both tables' final states tagged by table. The oracle folds each
+    routed slice independently — equal iff routing is exact (no leakage,
+    no loss) and each table's LWW/tombstone state machine is intact."""
+    from nifi_spark.streaming.multi import MultiTableCdcPipeline
+
+    ev = _t(spark, sf_dir, "events")
+    feed = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("ts"),
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(5)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.lit("binlog.0").alias("source_file"),
+        F.col("event_id").alias("source_pos"),
+        F.lit(None).cast("string").alias("payload_json"),
+        F.when(F.pmod(F.col("user_id"), F.lit(2)) == 0, F.lit("ta"))
+        .otherwise(F.lit("tb"))
+        .alias("table_name"),
+    )
+    root = _work_dir("cdc_multi_table", sf_dir)
+    multi = MultiTableCdcPipeline(
+        spark,
+        {t: f"{root}/{t}" for t in ("ta", "tb")},
+        f"{root}/ckpt",
+        n_buckets=4,
+    )
+    if not multi.pipes["ta"].table.exists():
+        for b in range(2):
+            multi.apply_batch(feed.filter(F.pmod(F.col("seq"), F.lit(2)) == b), b)
+    parts = [
+        multi.pipes[t]
+        .table.read()
+        .select(F.lit(t).alias("tbl"), "conv_id", "turn_idx", "role", "text", "ts")
+        for t in ("ta", "tb")
+    ]
+    return parts[0].unionByName(parts[1])
+
+
 def q_assemble_transcripts(spark, sf_dir):
     """SFT sample assembly (operators/transcript.assemble_transcripts):
     one training sample per conversation — turns rendered in stable
@@ -1940,7 +1988,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window": q_session_window,
         "grouped_pandas_stats": q_grouped_pandas_stats,
         "el_functions": q_el_functions,
-        "el_selection": q_el_selection,
         "recordpath_nested": q_recordpath_nested,
         "merge_record_bins": q_merge_record_bins,
         # round-4 additions (kept inside the driver's 50-entry snapshot)
@@ -1959,6 +2006,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_agg": q_range_join_agg,
         "cdc_time_slice": q_cdc_time_slice,
         "assemble_transcripts": q_assemble_transcripts,
+        "cdc_multi_table": q_cdc_multi_table,
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_lww_fold_salted": q_cdc_lww_fold_salted,
         "cdc_replay_transcripts": q_cdc_replay_transcripts,
@@ -2010,6 +2058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": q_embedding_cosine_topk,
         "embedding_ann_lsh": q_embedding_ann_lsh,
         "el_functions_v2": q_el_functions_v2,
+        "el_selection": q_el_selection,
     }
 
 
@@ -3604,6 +3653,26 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
               AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+        """,
+        "cdc_multi_table": """
+            WITH feed AS (
+                SELECT event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       ts,
+                       'u-' || user_id::VARCHAR AS conv_id,
+                       CAST(event_id % 5 AS INTEGER) AS turn_idx,
+                       event_type AS role,
+                       props AS text,
+                       CASE WHEN user_id % 2 = 0 THEN 'ta' ELSE 'tb' END AS tbl
+                FROM events
+            )
+            SELECT tbl, conv_id, turn_idx,
+                   arg_max(role, seq) AS role,
+                   arg_max(text, seq) AS text,
+                   arg_max(ts, seq)   AS ts
+            FROM feed
+            GROUP BY tbl, conv_id, turn_idx
+            HAVING arg_max(op, seq) <> 'D'
         """,
         "assemble_transcripts": """
             WITH turns AS (

@@ -40,11 +40,37 @@ from pyspark.sql import functions as F
 
 from ..fsio import FsIO
 from ..fsio import join as fsio_join
-from ..normalize import normalize_json
+from ..normalize import _EVENT_JSON_SCHEMA, normalize_json
 from ..operators.ordering import lww_fold_salted
 from ..schema import CHANGE_EVENTS, KEY_COLS
 from ..sinks.laketable import LakeTable
 from ..lineage import write_lineage_rows
+
+
+def build_parse_exprs(keep: list[str]) -> tuple[list, list]:
+    """(parse_cols, norm_cols) for the JSON-payload envelope: from_json →
+    typed event columns, carrying ``keep`` metadata columns (source
+    coordinates, txn id, a table-routing column, …) through unchanged.
+    Built once per pipeline and reused every micro-batch — Columns are
+    immutable expression trees, so this removes ~25 Py4J round-trips per
+    batch of pure driver-side plan construction."""
+    parse_cols = [
+        F.from_json(F.col("payload_json"), _EVENT_JSON_SCHEMA).alias("e"),
+        *[F.col(c) for c in keep],
+    ]
+    norm_cols = [
+        F.col("e.seq").alias("seq"),
+        F.col("e.type").alias("op"),
+        F.col("e.timestamp").alias("ts"),
+        F.col("e.conv_id").alias("conv_id"),
+        F.col("e.turn_idx").alias("turn_idx"),
+        F.col("e.role").alias("role"),
+        F.col("e.text").alias("text"),
+        F.col("e.tool").alias("tool"),
+        F.col("e.tool_meta").alias("tool_meta"),
+        *[F.col(c) for c in keep],
+    ]
+    return parse_cols, norm_cols
 
 
 class CdcPipeline:
@@ -185,27 +211,10 @@ class CdcPipeline:
         # measured ~0.2 s/batch of pure driver-side plan construction at a
         # thousand-batch stream's fixed cost (profiled: normalize+observe
         # plan build was ~2/3 the size of the write job itself).
-        from ..normalize import _EVENT_JSON_SCHEMA
-
         keep = ["source_file", "source_pos", "payload_json"]
         if txn_consistent:
             keep.append("txn_id")
-        self._parse_cols = [
-            F.from_json(F.col("payload_json"), _EVENT_JSON_SCHEMA).alias("e"),
-            *[F.col(c) for c in keep],
-        ]
-        self._norm_cols = [
-            F.col("e.seq").alias("seq"),
-            F.col("e.type").alias("op"),
-            F.col("e.timestamp").alias("ts"),
-            F.col("e.conv_id").alias("conv_id"),
-            F.col("e.turn_idx").alias("turn_idx"),
-            F.col("e.role").alias("role"),
-            F.col("e.text").alias("text"),
-            F.col("e.tool").alias("tool"),
-            F.col("e.tool_meta").alias("tool_meta"),
-            *[F.col(c) for c in keep],
-        ]
+        self._parse_cols, self._norm_cols = build_parse_exprs(keep)
         # op='ddl' rows are schema-change events (statement in `text`),
         # key-less by nature — excused from the bad-row flag and excluded
         # from the merge payload; apply_batch routes them to
@@ -1000,7 +1009,15 @@ def _cli(argv: list[str] | None = None) -> None:
 
     p = argparse.ArgumentParser(description="nifi_spark CDC apply pipeline")
     p.add_argument("--feed-dir", required=True, help="change-feed parquet directory")
-    p.add_argument("--table", required=True, help="target lake table path")
+    p.add_argument("--table", default=None, help="target lake table path")
+    p.add_argument("--tables", default=None,
+                   help="multi-table fan-out: name=path[,name=path...] — one "
+                        "binlog stream routed by --table-col to N lake tables "
+                        "(mutually exclusive with --table)")
+    p.add_argument("--table-col", default="table_name",
+                   help="routing column for --tables mode")
+    p.add_argument("--parallel-tables", action="store_true",
+                   help="apply per-table batches from a thread pool")
     p.add_argument("--checkpoint", required=True, help="streaming checkpoint dir")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--salt-buckets", type=int, default=0)
@@ -1043,6 +1060,37 @@ def _cli(argv: list[str] | None = None) -> None:
     from ..session import get_spark
 
     spark = get_spark("nifi_spark_cdc")
+    if bool(args.table) == bool(args.tables):
+        p.error("pass exactly one of --table / --tables")
+    if args.tables:
+        from .multi import MultiTableCdcPipeline
+
+        if args.bootstrap_from:
+            p.error("--bootstrap-from is single-table only")
+        tables = dict(kv.split("=", 1) for kv in args.tables.split(","))
+        multi = MultiTableCdcPipeline(
+            spark,
+            tables,
+            args.checkpoint,
+            table_col=args.table_col,
+            parallel=args.parallel_tables,
+            n_buckets=args.n_buckets,
+            salt_buckets=args.salt_buckets,
+            watermark_delay_s=args.watermark_delay_s,
+            from_json_payload=args.from_json_payload,
+            sink_mode=args.sink_mode,
+            compact_every=args.compact_every,
+            txn_consistent=args.txn_consistent,
+            txn_abandon_after_batches=args.txn_abandon_after_batches,
+            expire_every=args.expire_every,
+            expire_keep_n=args.expire_keep_n,
+        )
+        multi.run_to_completion(
+            args.feed_dir,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=args.available_now,
+        )
+        return
     pipe = CdcPipeline(
         spark,
         table_path=args.table,
