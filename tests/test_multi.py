@@ -202,3 +202,32 @@ def test_multi_table_cli_wiring(spark, tmp_path):
             .toPandas()
         )
         assert_final_state_equal(got, pandas_fold(slices[name]))
+
+
+def test_multi_table_ddl_routes_to_one_table(spark, tmp_path):
+    """An in-stream DDL event routed to one table evolves ONLY that
+    table's schema; data flow and final states are unaffected."""
+    from nifi_spark.feedgen import with_ddl
+
+    feed = generate_change_feed(spark, n_conversations=20, max_turns=4, max_edits=2)
+    max_seq = feed.agg(F.max("seq")).collect()[0][0]
+    fed = with_ddl(
+        spark, feed,
+        [(int(max_seq) + 1000, "ALTER TABLE conversations ADD COLUMN note string")],
+    )
+    routed = fed.withColumn(
+        "table_name",
+        F.when(F.col("op") == "ddl", F.lit("convs_a")).otherwise(_route_col()),
+    )
+    feed_dir = str(tmp_path / "feed")
+    materialize_feed(routed, feed_dir, n_segments=2)
+
+    multi = _mk(spark, tmp_path, from_json_payload=True)
+    multi.run_to_completion(feed_dir)
+
+    a_fields = [f.name for f in multi.pipes["convs_a"].table.schema().fields]
+    b_fields = [f.name for f in multi.pipes["convs_b"].table.schema().fields]
+    assert "note" in a_fields and "note" not in b_fields
+    slices = _route_pd(feed.toPandas())
+    for name in TABLES:
+        assert_final_state_equal(_table_pd(multi, name), pandas_fold(slices[name]))
