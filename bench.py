@@ -438,6 +438,29 @@ def stream_bench() -> dict:
     with open(txn_marker) as f:
         n_txn = int(f.read().strip())
 
+    # routed variant for the multi-table fan-out row: same feed plus a
+    # table_name column derived (once, at materialization) from the
+    # payload's conv_id — two tables, ~even split
+    routed_feed_dir = STREAM_FEED_DIR.rstrip("/") + "_routed"
+    routed_marker = os.path.join(routed_feed_dir, "_COUNT")
+    if not os.path.exists(routed_marker):
+        import pyspark.sql.functions as F
+
+        base = spark.read.parquet(STREAM_FEED_DIR)
+        route = F.when(
+            F.pmod(
+                F.xxhash64(F.get_json_object("payload_json", "$.conv_id")),
+                F.lit(2),
+            )
+            == 0,
+            "ta",
+        ).otherwise("tb")
+        base.withColumn("table_name", route).write.mode("overwrite").parquet(
+            routed_feed_dir
+        )
+        with open(routed_marker, "w") as f:
+            f.write(str(n))
+
     def drain(sink_mode: str, txn: bool = False, mv: bool = False) -> dict:
         work = tempfile.mkdtemp(prefix=f"bench_stream_{sink_mode}_")
         try:
@@ -469,6 +492,33 @@ def stream_bench() -> dict:
             "sec_per_batch": round(wall / STREAM_BATCHES, 3),
         }
 
+    def drain_multi() -> dict:
+        from nifi_spark.streaming.multi import MultiTableCdcPipeline
+
+        work = tempfile.mkdtemp(prefix="bench_stream_multi_")
+        try:
+            pipe = MultiTableCdcPipeline(
+                spark,
+                {t: os.path.join(work, t) for t in ("ta", "tb")},
+                os.path.join(work, "ckpt"),
+                parallel=True,
+                n_buckets=32,
+                from_json_payload=True,
+                sink_mode="append",
+                compact_every=16,
+            )
+            t0 = time.time()
+            pipe.run_to_completion(routed_feed_dir, max_files_per_trigger=1)
+            wall = time.time() - t0
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        return {
+            "wall_sec": round(wall, 3),
+            "batches_per_sec": round(STREAM_BATCHES / wall, 3),
+            "events_per_sec": round(n / wall),
+            "sec_per_batch": round(wall / STREAM_BATCHES, 3),
+        }
+
     # append (merge-on-read + compaction cadence) is the production
     # steady-state shape — the headline; copy-on-write merge alongside
     # shows the per-batch cost the MOR path removes; txn shows the
@@ -484,6 +534,11 @@ def stream_bench() -> dict:
         # append is the per-refresh price of the changelog-driven
         # partial recompute
         "mv": drain("append", mv=True),
+        # ONE stream fanned out to 2 lake tables (streaming/multi.py,
+        # parallel apply); the delta vs plain append is the fan-out's
+        # per-batch surcharge — per-table jobs overlap, so 2 tables
+        # should cost well under 2x one
+        "multi2": drain_multi(),
     }
     out.update(out["append"])  # headline numbers = append mode
     return out
