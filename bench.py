@@ -102,6 +102,10 @@ HEADLINE_QUERIES = [
     # work) spread over the pinned bin partitioning.
     "asof_join",
     "range_join_agg",
+    # transcript assembly: one hash agg over the events table
+    # (cdc_multi_table is deliberately absent for the same reason as
+    # cdc_agg_mv: its LakeTables are process-lifetime-cached)
+    "assemble_transcripts",
 ]
 
 
