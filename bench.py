@@ -633,6 +633,9 @@ def _stream_section(result: dict) -> str:
         if "mv" in s:
             modes += f"""
 | append + live aggregate view (mv_refresh_every=1) | {s['mv']['wall_sec']} | {s['mv']['sec_per_batch']} | {s['mv']['events_per_sec']:,} |"""
+        if "multi2" in s:
+            modes += f"""
+| append, fanned out to 2 tables (streaming/multi.py, parallel) | {s['multi2']['wall_sec']} | {s['multi2']['sec_per_batch']} | {s['multi2']['events_per_sec']:,} |"""
         modes += """
 
 Append mode commits O(batch) delta files per micro-batch (never rewrites
