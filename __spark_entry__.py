@@ -1847,6 +1847,67 @@ def q_assemble_transcripts(spark, sf_dir):
     return assemble_transcripts(turns)
 
 
+def q_truncate_context(spark, sf_dir):
+    """Context-window truncation (operators/transcript.truncate_context):
+    keep the longest SUFFIX of each conversation that fits a 150-token
+    budget, never splitting a turn, always keeping the newest turn. ONE
+    window per conversation (reverse running token sum) — a single hash
+    exchange on conv_id at any turn count (no reference processor takes
+    a suffix in turn order; MergeContent.java bins by size only)."""
+    from nifi_spark.operators.transcript import truncate_context
+
+    turns = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("c-"), F.pmod(F.col("doc_id"), F.lit(40)).cast("string")).alias(
+            "conv_id"
+        ),
+        F.col("doc_id").alias("turn_idx"),
+        F.col("text"),
+    )
+    return truncate_context(turns, budget=150)
+
+
+def q_validate_turns(spark, sf_dir):
+    """Role-protocol audit (operators/transcript.validate_turns):
+    per-conversation invariants an SFT loader assumes — first-role
+    check, consecutive-same-role repeats, turn-index gaps (injected
+    here by dropping 'error' turns AFTER numbering). Lag window and
+    final aggregate share one conv_id exchange (≙ ValidateRecord.java
+    lifted to conversation granularity, which the reference cannot
+    express without a scripted processor)."""
+    from nifi_spark.operators.transcript import validate_turns
+
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    numbered = ev.select(
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("long").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+    )
+    turns = numbered.filter(F.col("role") != "error")
+    return validate_turns(turns, allowed_first=("click", "view"))
+
+
+def q_preference_pairs(spark, sf_dir):
+    """DPO pair assembly (operators/transcript.preference_pairs): for
+    each (conversation, turn) with >= 2 candidate responses, the
+    (chosen, rejected) pair by score with deterministic tiebreaks —
+    both extreme picks and the pair fold ride ONE hash exchange on
+    (conv_id, turn_idx). Scores are integer cents so the margin is
+    value-hash exact cross-engine."""
+    from nifi_spark.operators.transcript import preference_pairs
+
+    cands = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("turn_idx"),
+        F.col("event_id").alias("cand_id"),
+        F.col("props").alias("text"),
+        F.round(F.col("value") * 100).cast("long").alias("score"),
+    )
+    return preference_pairs(cands)
+
+
 def q_asof_join(spark, sf_dir):
     """Point-in-time enrichment (operators/temporal.asof_join): each
     purchase event picks up the user's most recent click at-or-before
@@ -2006,6 +2067,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_agg": q_range_join_agg,
         "cdc_time_slice": q_cdc_time_slice,
         "assemble_transcripts": q_assemble_transcripts,
+        "truncate_context": q_truncate_context,
+        "validate_turns": q_validate_turns,
+        "preference_pairs": q_preference_pairs,
         "cdc_multi_table": q_cdc_multi_table,
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_lww_fold_salted": q_cdc_lww_fold_salted,
@@ -3695,6 +3759,87 @@ def oracle_sql() -> dict[str, str]:
                              < 1037629354146162304
                         THEN 'train' ELSE 'val' END AS split
             FROM turns GROUP BY conv_id
+        """,
+        "truncate_context": """
+            WITH t AS (
+                SELECT 'c-' || (doc_id % 40)::VARCHAR AS conv_id,
+                       doc_id AS turn_idx,
+                       len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT
+                           AS n_tokens
+                FROM documents
+            )
+            SELECT conv_id, turn_idx, n_tokens,
+                   (sum(n_tokens) OVER (
+                        PARTITION BY conv_id ORDER BY turn_idx DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) <= 150
+                    OR row_number() OVER (
+                        PARTITION BY conv_id ORDER BY turn_idx DESC
+                    ) = 1) AS kept
+            FROM t
+        """,
+        "validate_turns": """
+            WITH numbered AS (
+                SELECT 'u-' || user_id::VARCHAR AS conv_id,
+                       (row_number() OVER (
+                            PARTITION BY user_id ORDER BY event_id
+                        ) - 1)::BIGINT AS turn_idx,
+                       event_type AS role
+                FROM events
+            ), turns AS (
+                SELECT * FROM numbered WHERE role <> 'error'
+            ), flagged AS (
+                SELECT conv_id, turn_idx, role,
+                       lag(role) OVER w AS prev_role,
+                       lag(turn_idx) OVER w AS prev_turn,
+                       first_value(role) OVER w AS first_role
+                FROM turns
+                WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            ), agg AS (
+                SELECT conv_id,
+                       count(*) AS n_turns,
+                       sum(CASE WHEN prev_role = role THEN 1 ELSE 0 END)::BIGINT
+                           AS n_role_repeats,
+                       sum(CASE WHEN prev_turn IS NOT NULL
+                                 AND turn_idx <> prev_turn + 1
+                                THEN 1 ELSE 0 END)::BIGINT AS n_gaps,
+                       min(first_role) AS first_role
+                FROM flagged GROUP BY conv_id
+            )
+            SELECT conv_id, n_turns, n_role_repeats, n_gaps,
+                   first_role IN ('click', 'view') AS starts_ok,
+                   (first_role IN ('click', 'view')
+                    AND n_role_repeats = 0 AND n_gaps = 0) AS valid
+            FROM agg
+        """,
+        "preference_pairs": """
+            WITH cands AS (
+                SELECT 'u-' || user_id::VARCHAR AS conv_id,
+                       CAST(event_id % 4 AS INTEGER) AS turn_idx,
+                       event_id AS cand_id,
+                       props AS text,
+                       CAST(round(value * 100) AS BIGINT) AS score
+                FROM events
+            ), flagged AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY conv_id, turn_idx
+                           ORDER BY score DESC, cand_id ASC
+                       ) AS rn_c,
+                       row_number() OVER (
+                           PARTITION BY conv_id, turn_idx
+                           ORDER BY score ASC, cand_id DESC
+                       ) AS rn_r,
+                       count(*) OVER (PARTITION BY conv_id, turn_idx) AS n
+                FROM cands
+            )
+            SELECT c.conv_id, c.turn_idx,
+                   c.cand_id AS chosen_id, r.cand_id AS rejected_id,
+                   c.text AS chosen_text, r.text AS rejected_text,
+                   c.score - r.score AS margin
+            FROM (SELECT * FROM flagged WHERE rn_c = 1 AND n >= 2) c
+            JOIN (SELECT * FROM flagged WHERE rn_r = 1 AND n >= 2) r
+              USING (conv_id, turn_idx)
         """,
         "range_join_agg": """
             SELECT o_orderkey,

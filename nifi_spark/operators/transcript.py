@@ -1,11 +1,21 @@
-"""Transcript assembly: per-conversation SFT samples in one aggregate.
+"""Transcript operators: per-conversation SFT shaping over turn rows.
 
 The engine's payload is multi-turn conversation / agent transcripts
 keyed by (conv_id, turn_idx). Once the CDC apply has folded the change
-feed into per-turn rows, the training pipeline consumes them one
-SAMPLE per conversation: turns rendered in stable turn order with a
-role template, plus the counters (turns, tool calls, tokens) and a
-deterministic train/val split every SFT data loader wants up front.
+feed into per-turn rows, the training pipeline consumes them through
+four conversation-level stages, each here as a first-class operator:
+
+- :func:`assemble_transcripts` — one rendered SAMPLE per conversation
+  (turns in stable order, counters, deterministic train/val split).
+- :func:`truncate_context` — context-window truncation: keep the
+  longest SUFFIX of turns that fits a token budget (what a trainer
+  does when a conversation exceeds the model's context).
+- :func:`validate_turns` — role-protocol audit per conversation
+  (first-role check, consecutive-same-role repeats, turn-index gaps)
+  — the ValidateRecord counterpart at conversation granularity.
+- :func:`preference_pairs` — DPO/RLHF pair assembly: for every
+  (conversation, turn) with multiple candidate responses, emit the
+  (chosen, rejected) pair by score with deterministic tiebreaks.
 
 ≙ MergeRecord with a correlation attribute (reference
 MergeContent.java:115-127) followed by UpdateRecord for the counters —
@@ -25,10 +35,10 @@ sessionization of un-keyed streams see
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from nifi_spark.operators.dedup_fuzzy import md5_long
+from nifi_spark.operators.dedup_fuzzy import _guard_internal, md5_long
 from nifi_spark.operators.text import tokens
 
 _SCALE = 1 << 60  # md5_long's domain: first 15 hex chars = 60 bits
@@ -83,4 +93,201 @@ def assemble_transcripts(
     return out.withColumn(
         "split",
         F.when(rank < F.lit(int(train_frac * _SCALE)), "train").otherwise("val"),
+    )
+
+
+def truncate_context(
+    turns: DataFrame,
+    budget: int,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    text_col: str = "text",
+    keep_all: bool = True,
+) -> DataFrame:
+    """Context-window truncation: keep the longest SUFFIX of each
+    conversation whose total whitespace-token count fits ``budget``.
+
+    The standard trainer-side rule when a conversation exceeds the
+    model's context: drop the OLDEST turns, never the newest, and never
+    split a turn. The most recent turn is always kept even if it alone
+    exceeds the budget (the loader then hard-truncates tokens; this
+    operator's contract is turn-granular).
+
+    Output: ``(conv_col, turn_col, n_tokens, kept)`` — every input turn
+    with its token count and the keep decision (``keep_all=False``
+    returns only the kept rows, the pipeline shape; the total form is
+    the audit/oracle shape).
+
+    Plan: ONE window per conversation — the reverse running token sum
+    ``sum(n_tokens) over (partition by conv order by turn desc)`` — so
+    the whole operator is a single hash exchange on conv_id; groups are
+    conversation-bounded (thousands of turns at most), no skew risk at
+    10^10 turns. ≙ the truncation step NiFi flows push into scripts;
+    no reference processor covers it (cited gap: MergeContent.java
+    bins by size but cannot take a suffix in turn order).
+    """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    _guard_internal(turns, ["n_tokens", "_rev_cum", "_rn", "kept"], "truncate_context")
+    with_n = turns.select(
+        conv_col,
+        turn_col,
+        F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col(turn_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rev_cum = F.sum("n_tokens").over(w)
+    rn = F.row_number().over(Window.partitionBy(conv_col).orderBy(F.col(turn_col).desc()))
+    out = with_n.select(
+        conv_col,
+        turn_col,
+        "n_tokens",
+        ((rev_cum <= F.lit(budget)) | (rn == 1)).alias("kept"),
+    )
+    return out if keep_all else out.filter(F.col("kept")).drop("kept")
+
+
+def validate_turns(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    allowed_first: tuple[str, ...] = ("system", "user"),
+) -> DataFrame:
+    """Role-protocol audit, one row per conversation.
+
+    Checks the invariants an SFT loader assumes of a transcript:
+
+    - ``starts_ok`` — the first turn's role is in ``allowed_first``
+    - ``n_role_repeats`` — count of consecutive same-role turns (a
+      well-formed chat alternates; repeats mark merge/ordering bugs)
+    - ``n_gaps`` — count of non-contiguous turn_idx steps (missing or
+      duplicated turns upstream)
+    - ``valid`` — all of the above clean
+
+    ≙ ValidateRecord (ValidateRecord.java routes row-level schema
+    violations) lifted to conversation granularity, which the reference
+    cannot express without a scripted processor.
+
+    Plan: one hash exchange on conv_id shared by the lag window and the
+    final per-conversation aggregate (same partitioning key, Catalyst
+    reuses the exchange); no join, no second shuffle.
+    """
+    _guard_internal(
+        turns, ["_prev_role", "_prev_turn", "_first_role"], "validate_turns"
+    )
+    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    flagged = turns.select(
+        conv_col,
+        F.col(turn_col).cast("long").alias(turn_col),
+        F.col(role_col).cast("string").alias(role_col),
+    ).select(
+        conv_col,
+        turn_col,
+        role_col,
+        F.lag(role_col).over(w).alias("_prev_role"),
+        F.lag(turn_col).over(w).alias("_prev_turn"),
+        F.first(role_col).over(w).alias("_first_role"),
+    )
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    agg = flagged.groupBy(conv_col).agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.sum(
+            F.when(F.col("_prev_role") == F.col(role_col), one).otherwise(zero)
+        ).alias("n_role_repeats"),
+        F.sum(
+            F.when(
+                F.col("_prev_turn").isNotNull()
+                & (F.col(turn_col) != F.col("_prev_turn") + 1),
+                one,
+            ).otherwise(zero)
+        ).alias("n_gaps"),
+        F.first("_first_role").alias("_first_role"),
+    )
+    starts_ok = F.col("_first_role").isin(*allowed_first)
+    return agg.select(
+        conv_col,
+        "n_turns",
+        "n_role_repeats",
+        "n_gaps",
+        starts_ok.alias("starts_ok"),
+        (
+            starts_ok & (F.col("n_role_repeats") == 0) & (F.col("n_gaps") == 0)
+        ).alias("valid"),
+    )
+
+
+def preference_pairs(
+    cands: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    cand_col: str = "cand_id",
+    text_col: str = "text",
+    score_col: str = "score",
+) -> DataFrame:
+    """DPO/RLHF preference-pair assembly: for each (conversation, turn)
+    holding >= 2 candidate responses, emit ONE (chosen, rejected) pair.
+
+    chosen = highest ``score_col`` (ties -> smallest ``cand_col``);
+    rejected = lowest score (ties -> largest ``cand_col``) — fully
+    deterministic, so the pair set is replay-stable and value-checkable
+    cross-engine. Groups with a single candidate are dropped (no pair).
+
+    Output: ``(conv_col, turn_col, chosen_id, rejected_id, chosen_text,
+    rejected_text, margin)`` with ``margin = chosen.score -
+    rejected.score`` (0 margin pairs are kept — filtering is the
+    caller's policy).
+
+    Plan: both extreme picks ride the SAME hash exchange on
+    (conv, turn): two row_number windows over opposite orderings, then
+    a groupBy on the identical key folds the two flagged rows into one
+    pair row — Catalyst reuses the single exchange for all three, so
+    the operator is one shuffle at any corpus size. Candidate counts
+    per turn are bounded (k response samples), so no skew. ≙ the
+    best-of-k selection NiFi flows approximate with EnforceOrder +
+    RouteOnAttribute per flowfile group; no reference processor pairs
+    records within a group.
+    """
+    _guard_internal(cands, ["_rn_c", "_rn_r", "_n"], "preference_pairs")
+    w = Window.partitionBy(conv_col, turn_col)
+    flagged = cands.select(
+        conv_col,
+        turn_col,
+        F.col(cand_col).alias(cand_col),
+        F.col(text_col).cast("string").alias(text_col),
+        F.col(score_col).alias(score_col),
+        F.row_number()
+        .over(w.orderBy(F.col(score_col).desc(), F.col(cand_col).asc()))
+        .alias("_rn_c"),
+        F.row_number()
+        .over(w.orderBy(F.col(score_col).asc(), F.col(cand_col).desc()))
+        .alias("_rn_r"),
+        F.count(F.lit(1)).over(w).alias("_n"),
+    ).filter(F.col("_n") >= 2)
+    pick = lambda rn: F.max(  # noqa: E731 — one flagged row per group
+        F.when(
+            F.col(rn) == 1,
+            F.struct(
+                F.col(cand_col).alias("i"),
+                F.col(text_col).alias("t"),
+                F.col(score_col).alias("s"),
+            ),
+        )
+    )
+    return (
+        flagged.groupBy(conv_col, turn_col)
+        .agg(pick("_rn_c").alias("_c"), pick("_rn_r").alias("_r"))
+        .select(
+            conv_col,
+            turn_col,
+            F.col("_c.i").alias("chosen_id"),
+            F.col("_r.i").alias("rejected_id"),
+            F.col("_c.t").alias("chosen_text"),
+            F.col("_r.t").alias("rejected_text"),
+            (F.col("_c.s") - F.col("_r.s")).alias("margin"),
+        )
     )

@@ -296,3 +296,81 @@ def test_assemble_transcripts_no_tool_col(spark):
     df = _turns_df(spark).drop("tool")
     out = assemble_transcripts(df, tool_col=None).collect()
     assert all(r["n_tool_turns"] == 0 for r in out)
+
+
+# --------------------------------------------------------------------------
+# truncate_context / validate_turns / preference_pairs (operators/transcript.py)
+# --------------------------------------------------------------------------
+
+def test_truncate_context_suffix_and_overbudget_head(spark):
+    from nifi_spark.operators.transcript import truncate_context
+
+    rows = [
+        ("c1", 0, "a b c d e"),       # 5 tokens — oldest, dropped
+        ("c1", 1, "f g h"),           # 3 tokens — kept (3+2 <= 5)
+        ("c1", 2, "i j"),             # 2 tokens — kept
+        ("c2", 0, "one two three four five six"),  # 6 > budget, sole turn: kept
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    out = {
+        (r["conv_id"], r["turn_idx"]): (r["n_tokens"], r["kept"])
+        for r in truncate_context(df, budget=5).collect()
+    }
+    assert out[("c1", 0)] == (5, False)
+    assert out[("c1", 1)] == (3, True)
+    assert out[("c1", 2)] == (2, True)
+    assert out[("c2", 0)] == (6, True)  # newest turn always kept
+
+    kept_only = truncate_context(df, budget=5, keep_all=False)
+    assert kept_only.count() == 3 and "kept" not in kept_only.columns
+    with pytest.raises(ValueError):
+        truncate_context(df, budget=0)
+
+
+def test_validate_turns_flags(spark):
+    from nifi_spark.operators.transcript import validate_turns
+
+    rows = [
+        # clean conversation
+        ("ok", 0, "user"), ("ok", 1, "assistant"), ("ok", 2, "user"),
+        # starts with assistant + a role repeat
+        ("bad1", 0, "assistant"), ("bad1", 1, "assistant"), ("bad1", 2, "user"),
+        # gap in turn numbering
+        ("bad2", 0, "user"), ("bad2", 2, "assistant"),
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string")
+    out = {
+        r["conv_id"]: r
+        for r in validate_turns(df, allowed_first=("system", "user")).collect()
+    }
+    ok = out["ok"]
+    assert (ok["n_role_repeats"], ok["n_gaps"], ok["starts_ok"], ok["valid"]) == (
+        0, 0, True, True,
+    )
+    b1 = out["bad1"]
+    assert (b1["n_role_repeats"], b1["starts_ok"], b1["valid"]) == (1, False, False)
+    b2 = out["bad2"]
+    assert (b2["n_gaps"], b2["starts_ok"], b2["valid"]) == (1, True, False)
+
+
+def test_preference_pairs_ties_and_singletons(spark):
+    from nifi_spark.operators.transcript import preference_pairs
+
+    rows = [
+        # normal group: distinct scores
+        ("c", 0, 10, "best", 9), ("c", 0, 11, "mid", 5), ("c", 0, 12, "worst", 1),
+        # all-tied group: chosen = min cand_id, rejected = max cand_id
+        ("c", 1, 20, "t20", 7), ("c", 1, 21, "t21", 7), ("c", 1, 22, "t22", 7),
+        # singleton: no pair
+        ("c", 2, 30, "solo", 4),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, cand_id long, text string, score long"
+    )
+    out = {(r["conv_id"], r["turn_idx"]): r for r in preference_pairs(df).collect()}
+    assert set(out) == {("c", 0), ("c", 1)}
+    g0 = out[("c", 0)]
+    assert (g0["chosen_id"], g0["rejected_id"], g0["margin"]) == (10, 12, 8)
+    assert (g0["chosen_text"], g0["rejected_text"]) == ("best", "worst")
+    g1 = out[("c", 1)]
+    assert (g1["chosen_id"], g1["rejected_id"], g1["margin"]) == (20, 22, 0)
