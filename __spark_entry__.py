@@ -1735,6 +1735,42 @@ def q_cdc_agg_mv(spark, sf_dir):
     return mv.read().select("conv_id", "n_turns", "max_seq", "sum_type_chars")
 
 
+def q_cdc_sft_mv(spark, sf_dir):
+    """Live SFT-sample view (operators/mv.sft_sample_agg): the flagship
+    transcripts composition — land the north-star turn feed in 3
+    batches; after each commit, refresh a view of RENDERED training
+    samples (assemble_transcripts as the MV aggregate) from the
+    changelog, re-rendering only touched conversations (partial
+    recompute — the ordered string render is non-invertible, so +/-
+    delta maintenance cannot express it). The oracle re-renders from
+    scratch over the full LWW fold: equal iff every incremental refresh
+    (including deletes of vanished conversations) was right."""
+    from nifi_spark.operators.mv import refresh_agg_mv, sft_sample_agg
+    from nifi_spark.sinks.laketable import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    feed = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(5)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.when(F.col("event_type") == "click", F.lit("browser")).alias("tool"),
+    )
+    keys = ["conv_id", "turn_idx"]
+    src = LakeTable(spark, _work_dir("cdc_sft_mv_src", sf_dir), n_buckets=8)
+    mv = LakeTable(spark, _work_dir("cdc_sft_mv_view", sf_dir), n_buckets=8)
+    cursor = 0
+    for b in range(3):
+        batch = feed.filter(F.pmod(F.col("seq"), F.lit(3)) == b)
+        src.merge_events(batch, keys, batch_id=b)
+        cursor = refresh_agg_mv(src, mv, ["conv_id"], sft_sample_agg(), cursor)
+    return mv.read().select(
+        "conv_id", "transcript", "n_turns", "n_tool_turns", "total_tokens", "split"
+    )
+
+
 def q_cdc_time_slice(spark, sf_dir):
     """Time-range read through the file-stats-pruned path
     (sinks/laketable file_stats, ≙ Iceberg lower/upper_bounds skipping):
@@ -1845,6 +1881,24 @@ def q_assemble_transcripts(spark, sf_dir):
         F.when(F.col("event_type") == "click", F.lit("browser")).alias("tool"),
     )
     return assemble_transcripts(turns)
+
+
+def q_sft_loss_spans(spark, sf_dir):
+    """Loss-mask spans (operators/transcript.sft_loss_spans): per-turn
+    character offsets inside the rendered transcript — offset-compatible
+    with assemble_transcripts's render by construction — plus the
+    trainable flag (role in train_roles). One exclusive-prefix-sum
+    window per conversation: a single conv_id hash exchange at 10^10
+    turns."""
+    from nifi_spark.operators.transcript import sft_loss_spans
+
+    turns = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    return sft_loss_spans(turns, train_roles=("click", "purchase"))
 
 
 def q_truncate_context(spark, sf_dir):
@@ -2041,8 +2095,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_pq": q_embedding_ann_pq,
         "embedding_ann_pq_refined": q_embedding_ann_pq_refined,
         "multimodal_decode": q_multimodal_decode,
-        "normalize_arrow": q_normalize_arrow,
-        "fork_record": q_fork_record,
         "scan_membership": q_scan_membership,
         "validate_record": q_validate_record,
         "wait_notify": q_wait_notify,
@@ -2063,11 +2115,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": q_quality_funnel,
         "curate_corpus": q_curate_corpus,
         "cdc_agg_mv": q_cdc_agg_mv,
+        "cdc_sft_mv": q_cdc_sft_mv,
         "asof_join": q_asof_join,
         "range_join_agg": q_range_join_agg,
         "cdc_time_slice": q_cdc_time_slice,
         "assemble_transcripts": q_assemble_transcripts,
         "truncate_context": q_truncate_context,
+        "sft_loss_spans": q_sft_loss_spans,
         "validate_turns": q_validate_turns,
         "preference_pairs": q_preference_pairs,
         "cdc_multi_table": q_cdc_multi_table,
@@ -2075,6 +2129,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_fold_salted": q_cdc_lww_fold_salted,
         "cdc_replay_transcripts": q_cdc_replay_transcripts,
         "cdc_changelog": q_cdc_changelog,
+        # r02-driver-recorded entries demoted from the snapshot window to
+        # make room for never-recorded round-4 queries (r4 rotation rule)
+        "normalize_arrow": q_normalize_arrow,
+        "fork_record": q_fork_record,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_before_after": q_cdc_before_after,
         "txn_filter": q_txn_filter,
@@ -3689,6 +3747,40 @@ def oracle_sql() -> dict[str, str]:
             FROM latest WHERE op <> 'D'
             GROUP BY conv_id
         """,
+        "cdc_sft_mv": """
+            WITH feed AS (
+                SELECT event_id AS seq,
+                       CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                       'u-' || user_id::VARCHAR AS conv_id,
+                       (event_id % 5)::INT AS turn_idx,
+                       event_type AS role,
+                       props AS text,
+                       CASE WHEN event_type = 'click' THEN 'browser' END AS tool
+                FROM events
+            ),
+            folded AS (
+                SELECT conv_id, turn_idx,
+                       arg_max(role, seq) AS role,
+                       arg_max(text, seq) AS text,
+                       nullif(arg_max(coalesce(tool, chr(1)), seq), chr(1))
+                           AS tool
+                FROM feed
+                GROUP BY conv_id, turn_idx
+                HAVING arg_max(op, seq) <> 'D'
+            )
+            SELECT conv_id,
+                   string_agg(role || ': ' || text, chr(10)
+                              ORDER BY turn_idx, role, text) AS transcript,
+                   count(*) AS n_turns,
+                   sum(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                       AS n_tool_turns,
+                   sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT
+                       AS total_tokens,
+                   CASE WHEN ('0x' || substr(md5('split|' || conv_id), 1, 15))::BIGINT
+                             < 1037629354146162304
+                        THEN 'train' ELSE 'val' END AS split
+            FROM folded GROUP BY conv_id
+        """,
         # Backward-inclusive as-of: greatest click ts <= purchase ts per
         # user, exact ties broken by max click id — the same ordering the
         # Spark carry-forward window encodes.
@@ -3759,6 +3851,27 @@ def oracle_sql() -> dict[str, str]:
                              < 1037629354146162304
                         THEN 'train' ELSE 'val' END AS split
             FROM turns GROUP BY conv_id
+        """,
+        "sft_loss_spans": """
+            WITH turns AS (
+                SELECT 'u-' || user_id::VARCHAR AS conv_id,
+                       event_id AS turn_idx,
+                       event_type AS role,
+                       props AS text
+                FROM events
+            ), sized AS (
+                SELECT conv_id, turn_idx, role, text,
+                       (len(role) + 2 + len(text))::BIGINT AS piece_len
+                FROM turns
+            )
+            SELECT conv_id, turn_idx, role,
+                   (sum(piece_len + 1) OVER w - (piece_len + 1)) AS span_start,
+                   (sum(piece_len + 1) OVER w - 1) AS span_end,
+                   role IN ('click', 'purchase') AS trainable
+            FROM sized
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, role,
+                         text ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
         """,
         "truncate_context": """
             WITH t AS (

@@ -106,6 +106,9 @@ HEADLINE_QUERIES = [
     # (cdc_multi_table is deliberately absent for the same reason as
     # cdc_agg_mv: its LakeTables are process-lifetime-cached)
     "assemble_transcripts",
+    # transcript shaping: one conversation-keyed exchange each
+    "truncate_context",
+    "preference_pairs",
 ]
 
 
@@ -523,6 +526,19 @@ def stream_bench() -> dict:
             "sec_per_batch": round(wall / STREAM_BATCHES, 3),
         }
 
+    def best2(thunk) -> dict:
+        """Min-of-2 for a stream row, metric-blind (fixed trial count,
+        like the cdc section's min-of-k): the host throttles aggregate
+        CPU in shifting windows (BENCH/SCALING.md), and a 30-70 s
+        single-trial row that lands in one reads 4-8x slow (the r4
+        mv row recorded 6.66 s/batch vs 0.846 for identical code one
+        run earlier). Both trial walls are published under "walls" so
+        a throttled trial stays visible; the row's headline keys keep
+        their definitions and report the better trial."""
+        a, b = thunk(), thunk()
+        best = a if a["wall_sec"] <= b["wall_sec"] else b
+        return {**best, "walls": [a["wall_sec"], b["wall_sec"]]}
+
     # append (merge-on-read + compaction cadence) is the production
     # steady-state shape — the headline; copy-on-write merge alongside
     # shows the per-batch cost the MOR path removes; txn shows the
@@ -530,21 +546,23 @@ def stream_bench() -> dict:
     out = {
         "n_batches": STREAM_BATCHES,
         "n_events": n,
-        "append": drain("append"),
-        "merge": drain("merge"),
-        "txn": drain("append", txn=True),
+        "append": best2(lambda: drain("append")),
+        "merge": best2(lambda: drain("merge")),
+        "txn": best2(lambda: drain("append", txn=True)),
         # live downstream aggregate view maintained every batch — the
         # worst-case cadence (mv_refresh_every=1); the delta vs plain
         # append is the per-refresh price of the changelog-driven
         # partial recompute
-        "mv": drain("append", mv=True),
+        "mv": best2(lambda: drain("append", mv=True)),
         # ONE stream fanned out to 2 lake tables (streaming/multi.py,
         # parallel apply); the delta vs plain append is the fan-out's
         # per-batch surcharge — per-table jobs overlap, so 2 tables
         # should cost well under 2x one
-        "multi2": drain_multi(),
+        "multi2": best2(drain_multi),
     }
-    out.update(out["append"])  # headline numbers = append mode
+    out.update(
+        {k: v for k, v in out["append"].items() if k != "walls"}
+    )  # headline numbers = append mode
     return out
 
 
@@ -620,23 +638,31 @@ def _stream_section(result: dict) -> str:
     s = result.get("stream")
     if not s:
         return ""
+    def _walls(row: dict) -> str:
+        return ", ".join(str(w) for w in row.get("walls", [row["wall_sec"]]))
+
     modes = ""
     if "append" in s and "merge" in s:
         modes = f"""
-| sink mode | wall s | s/batch | events/s |
-|---|---|---|---|
-| append (merge-on-read + compaction cadence) | {s['append']['wall_sec']} | {s['append']['sec_per_batch']} | {s['append']['events_per_sec']:,} |
-| merge (copy-on-write) | {s['merge']['wall_sec']} | {s['merge']['sec_per_batch']} | {s['merge']['events_per_sec']:,} |"""
+| sink mode | wall s | s/batch | events/s | trial walls |
+|---|---|---|---|---|
+| append (merge-on-read + compaction cadence) | {s['append']['wall_sec']} | {s['append']['sec_per_batch']} | {s['append']['events_per_sec']:,} | {_walls(s['append'])} |
+| merge (copy-on-write) | {s['merge']['wall_sec']} | {s['merge']['sec_per_batch']} | {s['merge']['events_per_sec']:,} | {_walls(s['merge'])} |"""
         if "txn" in s:
             modes += f"""
-| append + txn_consistent (BEGIN/COMMIT atomicity) | {s['txn']['wall_sec']} | {s['txn']['sec_per_batch']} | {s['txn']['events_per_sec']:,} |"""
+| append + txn_consistent (BEGIN/COMMIT atomicity) | {s['txn']['wall_sec']} | {s['txn']['sec_per_batch']} | {s['txn']['events_per_sec']:,} | {_walls(s['txn'])} |"""
         if "mv" in s:
             modes += f"""
-| append + live aggregate view (mv_refresh_every=1) | {s['mv']['wall_sec']} | {s['mv']['sec_per_batch']} | {s['mv']['events_per_sec']:,} |"""
+| append + live aggregate view (mv_refresh_every=1) | {s['mv']['wall_sec']} | {s['mv']['sec_per_batch']} | {s['mv']['events_per_sec']:,} | {_walls(s['mv'])} |"""
         if "multi2" in s:
             modes += f"""
-| append, fanned out to 2 tables (streaming/multi.py, parallel) | {s['multi2']['wall_sec']} | {s['multi2']['sec_per_batch']} | {s['multi2']['events_per_sec']:,} |"""
+| append, fanned out to 2 tables (streaming/multi.py, parallel) | {s['multi2']['wall_sec']} | {s['multi2']['sec_per_batch']} | {s['multi2']['events_per_sec']:,} | {_walls(s['multi2'])} |"""
         modes += """
+
+Each row is the better of TWO full 50-batch drains (min-of-2, fixed
+trial count — metric-blind like the cdc section's min-of-k); both trial
+walls are shown, so a host-throttled trial is visible instead of
+silently polluting the row.
 
 Append mode commits O(batch) delta files per micro-batch (never rewrites
 the base), LWW-folds on read, and repays merge-on-read debt via partial

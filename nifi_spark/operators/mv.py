@@ -127,6 +127,30 @@ def transcript_stats_agg(key_col: str = "conv_id") -> Callable[[DataFrame], Data
     return agg
 
 
+def sft_sample_agg(
+    key_col: str = "conv_id", **assemble_kwargs
+) -> Callable[[DataFrame], DataFrame]:
+    """Live SFT-sample view: :func:`~nifi_spark.operators.transcript.
+    assemble_transcripts` as the MV aggregate — the flagship end-to-end
+    composition for the transcripts payload: binlog tail → LWW-folded
+    turn rows → an incrementally-maintained table of RENDERED training
+    samples (transcript text, counters, train/val split), refreshed per
+    commit by partial recompute of only the touched conversations.
+
+    A conversation's sample is a non-invertible aggregate of its turns
+    (ordered string render), exactly the case partial recompute handles
+    and +/- delta arithmetic cannot. Usable directly as ``agg_fn`` for
+    :func:`refresh_agg_mv`; ``assemble_kwargs`` pass through (budget
+    knobs, train_frac, sep...).
+    """
+    from nifi_spark.operators.transcript import assemble_transcripts
+
+    def agg(live: DataFrame) -> DataFrame:
+        return assemble_transcripts(live, conv_col=key_col, **assemble_kwargs)
+
+    return agg
+
+
 def conv_stats_agg(key_col: str = "conv_id") -> Callable[[DataFrame], DataFrame]:
     """The transcript-pipeline view: per-conversation turn count, max
     seq, and total text size — the dashboard row a CDC ingest keeps

@@ -16,6 +16,9 @@ four conversation-level stages, each here as a first-class operator:
 - :func:`preference_pairs` — DPO/RLHF pair assembly: for every
   (conversation, turn) with multiple candidate responses, emit the
   (chosen, rejected) pair by score with deterministic tiebreaks.
+- :func:`sft_loss_spans` — per-turn character spans inside the
+  rendered transcript (offset-compatible with the assembler's render)
+  plus the trainable flag, for loss masking.
 
 ≙ MergeRecord with a correlation attribute (reference
 MergeContent.java:115-127) followed by UpdateRecord for the counters —
@@ -93,6 +96,60 @@ def assemble_transcripts(
     return out.withColumn(
         "split",
         F.when(rank < F.lit(int(train_frac * _SCALE)), "train").otherwise("val"),
+    )
+
+
+def sft_loss_spans(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = "\n",
+    train_roles: tuple[str, ...] = ("assistant",),
+) -> DataFrame:
+    """Per-turn character spans inside the rendered transcript, for
+    loss masking.
+
+    An SFT loader trains only on the model-authored spans of the packed
+    sample; this operator emits, for every turn, the ``[span_start,
+    span_end)`` character offsets its ``role: text`` piece occupies in
+    :func:`assemble_transcripts`'s render (same ``role: text`` template,
+    same ``sep``, same (turn_idx, role, text) order — the two operators
+    are offset-compatible by construction), plus ``trainable`` (role in
+    ``train_roles``). Offsets are 0-based; ``span_end`` excludes the
+    separator.
+
+    Output: ``(conv_col, turn_col, role_col, span_start, span_end,
+    trainable)``.
+
+    Plan: one window per conversation — the exclusive prefix sum of
+    rendered piece lengths — a single hash exchange on conv_id, same
+    scale shape as the assembler's hash aggregate.
+    """
+    _guard_internal(
+        turns, ["_piece_len", "span_start", "span_end", "trainable"],
+        "sft_loss_spans",
+    )
+    piece_len = (
+        F.length(F.col(role_col).cast("string"))
+        + F.lit(2)
+        + F.length(F.col(text_col).cast("string"))
+    ).cast("long")
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(turn_col, role_col, text_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # exclusive prefix of (piece + sep) lengths = this piece's offset
+    start = F.sum(piece_len + F.lit(len(sep))).over(w) - (piece_len + F.lit(len(sep)))
+    return turns.select(
+        conv_col,
+        turn_col,
+        F.col(role_col).cast("string").alias(role_col),
+        start.alias("span_start"),
+        (start + piece_len).alias("span_end"),
+        F.col(role_col).cast("string").isin(*train_roles).alias("trainable"),
     )
 
 
@@ -179,7 +236,9 @@ def validate_turns(
     _guard_internal(
         turns, ["_prev_role", "_prev_turn", "_first_role"], "validate_turns"
     )
-    w = Window.partitionBy(conv_col).orderBy(turn_col)
+    # role tiebreak: duplicate turn indexes (an upstream bug this audit
+    # exists to surface) must not make the lag/first picks run-dependent
+    w = Window.partitionBy(conv_col).orderBy(turn_col, role_col)
     flagged = turns.select(
         conv_col,
         F.col(turn_col).cast("long").alias(turn_col),

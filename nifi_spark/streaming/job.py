@@ -917,7 +917,13 @@ class CdcPipeline:
         """Inline commit-log expiry every ``expire_every`` committed
         batches (keep the newest ``expire_keep_n`` snapshots + their base
         closure) — bounds manifest count on a long-lived stream without a
-        separate maintenance process. No-op when ``expire_every`` is 0."""
+        separate maintenance process. No-op when ``expire_every`` is 0.
+
+        The downstream view (``mv_path``) is expired on the same cadence:
+        it commits one snapshot per refresh, so a thousand-batch stream
+        would otherwise grow its manifest count unbounded even though the
+        main table's is capped. Its cursor (``last_batch_id``) rides the
+        HEAD manifest, which expiry always keeps."""
         if not self.expire_every:
             return
         self._since_expire += 1
@@ -925,6 +931,10 @@ class CdcPipeline:
             out = self.table.expire_snapshots(keep_n=self.expire_keep_n)
             if out["manifests_deleted"]:
                 metrics["expired"] = out["manifests_deleted"]
+            if self._mv is not None and self._mv.exists():
+                mout = self._mv.expire_snapshots(keep_n=self.expire_keep_n)
+                if mout["manifests_deleted"]:
+                    metrics["mv_expired"] = mout["manifests_deleted"]
             self._since_expire = 0
 
     # ---------- streaming wiring ----------
@@ -1052,10 +1062,21 @@ def _cli(argv: list[str] | None = None) -> None:
                         "path (changelog-driven partial recompute)")
     p.add_argument("--mv-refresh-every", type=int, default=1,
                    help="refresh the stats view every N committed batches")
+    p.add_argument("--mv-agg", choices=("stats", "sft"), default="stats",
+                   help="view aggregate: per-conversation stats (default) or "
+                        "rendered SFT training samples (transcript text + "
+                        "counters + train/val split)")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--available-now", action="store_true",
                    help="drain the feed and stop (batch replay); else run continuous")
     args = p.parse_args(argv)
+
+    def _mv_agg_from_name(name: str):
+        if name == "sft":
+            from ..operators.mv import sft_sample_agg
+
+            return sft_sample_agg()
+        return None  # CdcPipeline defaults to transcript_stats_agg
 
     from ..session import get_spark
 
@@ -1109,6 +1130,7 @@ def _cli(argv: list[str] | None = None) -> None:
         expire_keep_n=args.expire_keep_n,
         mv_path=args.mv_path,
         mv_refresh_every=args.mv_refresh_every,
+        mv_agg_fn=_mv_agg_from_name(args.mv_agg),
     )
     if args.bootstrap_from:
         if args.bootstrap_seq is None:

@@ -216,6 +216,14 @@ def test_pipeline_view_with_txn_gate_and_expiry(spark, tmp_path):
 
     assert _mv_pd(p._mv) == _table_stats(p.table)
     assert p._mv.last_batch_id() == p.table.current_version()
+    # the view commits one snapshot per refresh; inline expiry must bound
+    # ITS commit log too (same cadence/keep_n as the main table)
+    mv_live = p._mv._versions()
+    assert len(mv_live) <= p.expire_keep_n + p.expire_every + 4, (
+        f"view commit log grew unbounded: {len(mv_live)} manifests"
+    )
+    # the cursor (last_batch_id) must survive expiry — it rides the head
+    assert p._mv.last_batch_id() is not None
 
 
 def test_read_bucket_pruning_and_mv_refresh_prunes(spark, tmp_path):
@@ -250,3 +258,93 @@ def test_read_bucket_pruning_and_mv_refresh_prunes(spark, tmp_path):
     src.merge(_batch(spark, [(100, "U", "c1", 0, "t1-v2")]), KEYS, batch_id=2)
     refresh_agg_mv(src, mv, ["conv_id"], _agg, src.current_version() - 1)
     assert _got(mv) == _expect(src)
+
+
+# --------------------------------------------------------------------------
+# sft_sample_agg: rendered-training-sample view (operators/mv.py)
+# --------------------------------------------------------------------------
+
+def _turn_batch(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "seq long, op string, conv_id string, turn_idx int, role string,"
+        " text string, tool string",
+    )
+
+
+def _sft_got(mv):
+    return {
+        r.conv_id: (r.transcript, r.n_turns, r.n_tool_turns, r.total_tokens)
+        for r in mv.read().select(
+            "conv_id", "transcript", "n_turns", "n_tool_turns", "total_tokens"
+        ).collect()
+    }
+
+
+def _sft_expect(src):
+    from nifi_spark.operators.mv import sft_sample_agg
+
+    return {
+        r.conv_id: (r.transcript, r.n_turns, r.n_tool_turns, r.total_tokens)
+        for r in sft_sample_agg()(src.read()).collect()
+    }
+
+
+def test_sft_sample_mv_tracks_renders_and_deletes(spark, tmp_path):
+    from nifi_spark.operators.mv import refresh_agg_mv, sft_sample_agg
+
+    src = LakeTable(spark, str(tmp_path / "src"), n_buckets=4)
+    mv = LakeTable(spark, str(tmp_path / "mv"), n_buckets=4)
+    cursor = 0
+
+    src.merge(_turn_batch(spark, [
+        (1, "I", "a", 0, "user", "hello there", None),
+        (2, "I", "a", 1, "assistant", "hi", None),
+        (3, "I", "b", 0, "user", "bye", None),
+    ]), KEYS, batch_id=1)
+    cursor = refresh_agg_mv(src, mv, ["conv_id"], sft_sample_agg(), cursor)
+    got = _sft_got(mv)
+    assert got == _sft_expect(src)
+    assert got["a"] == ("user: hello there\nassistant: hi", 2, 0, 3)
+
+    # edit a turn (render must change), tool-call turn added, b vanishes
+    src.merge(_turn_batch(spark, [
+        (4, "U", "a", 1, "assistant", "hi there", None),
+        (5, "I", "a", 2, "tool", "search(q)", "browser"),
+        (6, "D", "b", 0, None, None, None),
+    ]), KEYS, batch_id=2)
+    cursor = refresh_agg_mv(src, mv, ["conv_id"], sft_sample_agg(), cursor)
+    got = _sft_got(mv)
+    assert got == _sft_expect(src)
+    assert got["a"] == (
+        "user: hello there\nassistant: hi there\ntool: search(q)", 3, 1, 5,
+    )
+    assert "b" not in got  # vanished conversation deleted from the view
+
+
+def test_pipeline_maintains_live_sft_view(spark, tmp_path):
+    """Streaming composition: CdcPipeline(mv_agg_fn=sft_sample_agg())
+    keeps a rendered-training-sample view live; after the drain it must
+    equal a from-scratch assemble over the landed table."""
+    from nifi_spark.feedgen import generate_change_feed, materialize_feed
+    from nifi_spark.operators.mv import sft_sample_agg
+    from nifi_spark.streaming.job import CdcPipeline
+
+    feed = generate_change_feed(spark, n_conversations=40, max_turns=6, max_edits=3)
+    feed_dir = str(tmp_path / "feed")
+    materialize_feed(feed, feed_dir, n_segments=3)
+
+    p = CdcPipeline(
+        spark, str(tmp_path / "table"), str(tmp_path / "ckpt"), n_buckets=8,
+        mv_path=str(tmp_path / "view"), mv_refresh_every=1,
+        mv_agg_fn=sft_sample_agg(),
+    )
+    p.start(feed_dir, available_now=True, max_files_per_trigger=1).awaitTermination()
+
+    got = _sft_got(p._mv)
+    want = {
+        r.conv_id: (r.transcript, r.n_turns, r.n_tool_turns, r.total_tokens)
+        for r in sft_sample_agg()(p.table.read()).collect()
+    }
+    assert got == want
+    assert p._mv.last_batch_id() == p.table.current_version()

@@ -374,3 +374,27 @@ def test_preference_pairs_ties_and_singletons(spark):
     assert (g0["chosen_text"], g0["rejected_text"]) == ("best", "worst")
     g1 = out[("c", 1)]
     assert (g1["chosen_id"], g1["rejected_id"], g1["margin"]) == (20, 22, 0)
+
+
+def test_sft_loss_spans_offsets_match_render(spark):
+    """Slicing the assembled transcript at each turn's [span_start,
+    span_end) must yield exactly that turn's 'role: text' piece — the
+    offset-compatibility contract between sft_loss_spans and
+    assemble_transcripts."""
+    from nifi_spark.operators.transcript import assemble_transcripts, sft_loss_spans
+
+    df = _turns_df(spark)
+    rendered = {
+        r["conv_id"]: r["transcript"] for r in assemble_transcripts(df).collect()
+    }
+    spans = sft_loss_spans(df, train_roles=("assistant",)).collect()
+    assert len(spans) == df.count()
+    for r in spans:
+        piece = rendered[r["conv_id"]][r["span_start"]:r["span_end"]]
+        assert piece.startswith(r["role"] + ": "), (r, piece)
+        assert r["trainable"] == (r["role"] == "assistant")
+    # last span of c1 ends exactly at the transcript end (no trailing sep)
+    last = max(
+        (r for r in spans if r["conv_id"] == "c1"), key=lambda r: r["turn_idx"]
+    )
+    assert last["span_end"] == len(rendered["c1"])
