@@ -1901,6 +1901,72 @@ def q_sft_loss_spans(spark, sf_dir):
     return sft_loss_spans(turns, train_roles=("click", "purchase"))
 
 
+def q_best_of_n(spark, sf_dir):
+    """Rejection sampling (operators/transcript.best_of_n): per
+    (conversation, turn) keep ONLY the top-scoring candidate response
+    (ties -> smallest cand_id), gated on score >= 2000 cents — the
+    reward-model filter stage upstream of DPO pairing. The winner pick
+    and the group count share ONE hash exchange on (conv, turn)."""
+    from nifi_spark.operators.transcript import best_of_n
+
+    cands = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(4)).cast("int").alias("turn_idx"),
+        F.col("event_id").alias("cand_id"),
+        F.col("props").alias("text"),
+        F.round(F.col("value") * 100).cast("long").alias("score"),
+    )
+    return best_of_n(cands, min_score=2000)
+
+
+def q_pack_greedy(spark, sf_dir):
+    """EXACT greedy next-fit packing (operators/traindata.pack_greedy):
+    documents sharded by md5(id) into 8 shards, greedily packed into
+    128-token sequences — no pack overflows unless a single doc does.
+    Greedy is inherently sequential, so the per-shard pass is one
+    Arrow-batched applyInPandas group (per-SAMPLE loop inside a
+    vectorized batch; token counting stays JVM-side). The oracle is a
+    DuckDB recursive CTE computing the identical fold."""
+    from nifi_spark.operators.traindata import pack_greedy
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    return pack_greedy(docs, budget=128, n_shards=8)
+
+
+def q_dedup_transcripts(spark, sf_dir):
+    """Conversation-level near-dup (composition: transcript.
+    assemble_transcripts -> dedup_fuzzy.minhash_dedup_pairs): the corpus
+    is every conversation PLUS a truncated re-ingest of it (last turn
+    dropped — the re-crawl/re-export duplicate shape); minhash-LSH over
+    the RENDERED transcripts must pair each original with its truncated
+    twin. String doc ids, banded buckets, hashed-shingle verify — the
+    whole dedup stack lifted from documents to transcripts."""
+    from nifi_spark.operators.dedup_fuzzy import minhash_dedup_pairs
+    from nifi_spark.operators.transcript import assemble_transcripts
+
+    turns = _t(spark, sf_dir, "events").select(
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.col("event_id").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("conv_id")
+    truncated = (
+        turns.withColumn("_max_t", F.max("turn_idx").over(w))
+        .filter(F.col("turn_idx") < F.col("_max_t"))
+        .drop("_max_t")
+        .withColumn("conv_id", F.concat(F.lit("v"), F.expr("substring(conv_id, 2)")))
+    )
+    corpus = assemble_transcripts(turns.unionByName(truncated), tool_col=None).select(
+        F.col("conv_id").alias("doc_id"), F.col("transcript").alias("text")
+    )
+    return minhash_dedup_pairs(
+        corpus, "doc_id", "text", n_hashes=16, shingle_n=3, n_bands=4, threshold=0.5
+    )
+
+
 def q_truncate_context(spark, sf_dir):
     """Context-window truncation (operators/transcript.truncate_context):
     keep the longest SUFFIX of each conversation that fits a 150-token
@@ -2094,9 +2160,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_ann_pq": q_embedding_ann_pq,
         "embedding_ann_pq_refined": q_embedding_ann_pq_refined,
-        "multimodal_decode": q_multimodal_decode,
-        "scan_membership": q_scan_membership,
-        "validate_record": q_validate_record,
         "wait_notify": q_wait_notify,
         "session_window": q_session_window,
         "grouped_pandas_stats": q_grouped_pandas_stats,
@@ -2122,6 +2185,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "assemble_transcripts": q_assemble_transcripts,
         "truncate_context": q_truncate_context,
         "sft_loss_spans": q_sft_loss_spans,
+        "best_of_n": q_best_of_n,
+        "pack_greedy": q_pack_greedy,
+        "dedup_transcripts": q_dedup_transcripts,
         "validate_turns": q_validate_turns,
         "preference_pairs": q_preference_pairs,
         "cdc_multi_table": q_cdc_multi_table,
@@ -2133,6 +2199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # make room for never-recorded round-4 queries (r4 rotation rule)
         "normalize_arrow": q_normalize_arrow,
         "fork_record": q_fork_record,
+        "multimodal_decode": q_multimodal_decode,
+        "scan_membership": q_scan_membership,
+        "validate_record": q_validate_record,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_before_after": q_cdc_before_after,
         "txn_filter": q_txn_filter,
@@ -2205,6 +2274,56 @@ def _mh_sig_exprs(n_hashes: int = 16) -> str:
         f" + {MINHASH_AB[i][1]} * (h & 1073741823) + {i}) % {MINHASH_PRIME}))"
         for i in range(n_hashes)
     )
+
+
+def _mh_pairs_sql(corpus_sql: str) -> str:
+    """MinHash-LSH near-dup-pairs oracle over an arbitrary corpus: the
+    shingle -> universal-hash signature -> band buckets -> hashed-shingle
+    verify chain of operators/dedup_fuzzy.minhash_dedup_pairs, term for
+    term, with ``corpus_sql`` supplying (doc_id, text) rows."""
+    return f"""
+            WITH corpus AS ({corpus_sql}),
+            sh AS (
+                SELECT doc_id, {_DD_SH} AS sh FROM corpus
+            ),
+            hs AS (
+                SELECT doc_id, sh,
+                       list_transform(sh, s -> {_DD_H.format(x='s')}) AS hs
+                FROM sh
+            ),
+            sig AS (
+                SELECT doc_id, sh, [{_mh_sig_exprs()}] AS sig FROM hs
+            ),
+            bands AS (
+                SELECT doc_id, b,
+                       md5(array_to_string(list_transform(sig[b*4+1 : b*4+4],
+                           x -> x::VARCHAR), ',')) AS bhash
+                FROM sig, unnest([0, 1, 2, 3]) AS t(b)
+            ),
+            buckets AS (
+                SELECT b, bhash, list_sort(list(doc_id)) AS ids
+                FROM bands GROUP BY b, bhash
+                HAVING count(*) > 1 AND count(*) <= 64
+            ),
+            pairs AS (
+                SELECT DISTINCT x.ia AS id_a, y.ib AS id_b
+                FROM buckets, unnest(ids) AS x(ia), unnest(ids) AS y(ib)
+                WHERE x.ia < y.ib
+            ),
+            -- verify over distinct 60-bit shingle hashes, mirroring the
+            -- engine (minhash_dedup_pairs hashed verify)
+            shd AS (
+                SELECT doc_id, list_distinct(hs) AS sh FROM hs
+            )
+            SELECT p.id_a, p.id_b,
+                   round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+            FROM pairs p
+            JOIN shd a ON a.doc_id = p.id_a
+            JOIN shd b ON b.doc_id = p.id_b
+            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+                  / len(list_distinct(a.sh || b.sh)) >= 0.5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2673,48 +2792,32 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT path) AS n_paths
             FROM parsed GROUP BY host
         """,
-        "dedup_minhash_lsh": f"""
-            WITH sh AS (
-                SELECT doc_id, {_DD_SH} AS sh FROM documents
-            ),
-            hs AS (
-                SELECT doc_id, sh,
-                       list_transform(sh, s -> {_DD_H.format(x='s')}) AS hs
-                FROM sh
-            ),
-            sig AS (
-                SELECT doc_id, sh, [{_mh_sig_exprs()}] AS sig FROM hs
-            ),
-            bands AS (
-                SELECT doc_id, b,
-                       md5(array_to_string(list_transform(sig[b*4+1 : b*4+4],
-                           x -> x::VARCHAR), ',')) AS bhash
-                FROM sig, unnest([0, 1, 2, 3]) AS t(b)
-            ),
-            buckets AS (
-                SELECT b, bhash, list_sort(list(doc_id)) AS ids
-                FROM bands GROUP BY b, bhash
-                HAVING count(*) > 1 AND count(*) <= 64
-            ),
-            pairs AS (
-                SELECT DISTINCT x.ia AS id_a, y.ib AS id_b
-                FROM buckets, unnest(ids) AS x(ia), unnest(ids) AS y(ib)
-                WHERE x.ia < y.ib
-            ),
-            -- verify over distinct 60-bit shingle hashes, mirroring the
-            -- engine (minhash_dedup_pairs hashed verify)
-            shd AS (
-                SELECT doc_id, list_distinct(hs) AS sh FROM hs
-            )
-            SELECT p.id_a, p.id_b,
-                   round(len(list_intersect(a.sh, b.sh))::DOUBLE
-                         / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
-            FROM pairs p
-            JOIN shd a ON a.doc_id = p.id_a
-            JOIN shd b ON b.doc_id = p.id_b
-            WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
-                  / len(list_distinct(a.sh || b.sh)) >= 0.5
-        """,
+        "dedup_minhash_lsh": _mh_pairs_sql("SELECT doc_id, text FROM documents"),
+        # Same minhash-LSH stack over RENDERED transcripts: the corpus is
+        # every conversation plus a truncated re-ingest (last turn dropped),
+        # so each (u-N, v-N) twin must surface as a verified pair.
+        "dedup_transcripts": _mh_pairs_sql("""
+                WITH turns AS (
+                    SELECT 'u-' || user_id::VARCHAR AS conv_id,
+                           event_id AS turn_idx,
+                           event_type AS role, props AS text
+                    FROM events
+                ), trunc AS (
+                    SELECT 'v' || substr(conv_id, 2) AS conv_id,
+                           turn_idx, role, text
+                    FROM (SELECT *, max(turn_idx) OVER (PARTITION BY conv_id)
+                              AS mt FROM turns)
+                    WHERE turn_idx < mt
+                ), allturns AS (
+                    SELECT conv_id, turn_idx, role, text FROM turns
+                    UNION ALL
+                    SELECT conv_id, turn_idx, role, text FROM trunc
+                )
+                SELECT conv_id AS doc_id,
+                       string_agg(role || ': ' || text, chr(10)
+                                  ORDER BY turn_idx, role, text) AS text
+                FROM allturns GROUP BY conv_id
+        """),
         "dedup_clusters": f"""
             WITH RECURSIVE sh AS (
                 SELECT doc_id, {_DD_SH} AS sh FROM documents
@@ -3542,6 +3645,41 @@ def oracle_sql() -> dict[str, str]:
             FROM per_sh WHERE c = 5
             GROUP BY doc_id
         """,
+        # Exact greedy next-fit fold, one row per recursion step within
+        # each md5 shard — the sequential semantics pack_greedy's
+        # per-shard Arrow pass implements.
+        "pack_greedy": rf"""
+            WITH RECURSIVE d AS (
+                SELECT doc_id,
+                       len({_DD_TOKS})::BIGINT AS n_tokens,
+                       (('0x' || substr(md5('pack|' || doc_id::VARCHAR), 1, 15))::BIGINT
+                            % 8)::INT AS shard
+                FROM documents
+            ),
+            numbered AS (
+                SELECT *, row_number() OVER (PARTITION BY shard
+                           ORDER BY doc_id, n_tokens) AS rn
+                FROM d
+            ),
+            rec AS (
+                SELECT shard, rn, doc_id, n_tokens,
+                       0::BIGINT AS pk, n_tokens AS running, 1 AS slot
+                FROM numbered WHERE rn = 1
+                UNION ALL
+                SELECT n.shard, n.rn, n.doc_id, n.n_tokens,
+                       CASE WHEN r.running + n.n_tokens > 128
+                            THEN r.pk + 1 ELSE r.pk END,
+                       CASE WHEN r.running + n.n_tokens > 128
+                            THEN n.n_tokens ELSE r.running + n.n_tokens END,
+                       CASE WHEN r.running + n.n_tokens > 128
+                            THEN 1 ELSE r.slot + 1 END
+                FROM rec r JOIN numbered n
+                  ON n.shard = r.shard AND n.rn = r.rn + 1
+            )
+            SELECT doc_id, n_tokens, shard,
+                   shard::BIGINT * 1000000000 + pk AS pack_id, slot
+            FROM rec
+        """,
         "pack_sequences": rf"""
             WITH d AS (
                 SELECT doc_id,
@@ -3924,6 +4062,27 @@ def oracle_sql() -> dict[str, str]:
                    (first_role IN ('click', 'view')
                     AND n_role_repeats = 0 AND n_gaps = 0) AS valid
             FROM agg
+        """,
+        "best_of_n": """
+            WITH cands AS (
+                SELECT 'u-' || user_id::VARCHAR AS conv_id,
+                       CAST(event_id % 4 AS INTEGER) AS turn_idx,
+                       event_id AS cand_id,
+                       props AS text,
+                       CAST(round(value * 100) AS BIGINT) AS score
+                FROM events
+            ), flagged AS (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY conv_id, turn_idx
+                           ORDER BY score DESC, cand_id ASC
+                       ) AS rn,
+                       count(*) OVER (PARTITION BY conv_id, turn_idx) AS n
+                FROM cands
+            )
+            SELECT conv_id, turn_idx, cand_id, text, score,
+                   n::BIGINT AS n_cands
+            FROM flagged WHERE rn = 1 AND score >= 2000
         """,
         "preference_pairs": """
             WITH cands AS (

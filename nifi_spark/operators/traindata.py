@@ -284,6 +284,89 @@ def pack_sequences(
     )
 
 
+def pack_greedy(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    budget: int = 512,
+    n_shards: int = 32,
+    tag: str = "pack",
+) -> DataFrame:
+    """EXACT greedy next-fit packing within hash shards — the
+    never-overflow complement of :func:`pack_sequences`.
+
+    Documents are sharded by a 60-bit md5 of their id (``tag|id``,
+    deterministic, partition-independent), ordered by id inside the
+    shard, and greedily accumulated: a document opens a new pack iff
+    adding it would push the running token total past ``budget``. No
+    pack exceeds ``budget`` unless a SINGLE document does (it then sits
+    alone in its pack) — the invariant :func:`pack_sequences`'s quota
+    approximation trades away for a pure-window plan.
+
+    Greedy next-fit is inherently sequential, so the per-shard scan is
+    an Arrow-batched ``applyInPandas`` (grouped-map, one pandas frame
+    per shard): the loop runs per DOCUMENT row inside a vectorized
+    batch, never per token, and token counting stays JVM-side upstream.
+    At 10^10 turns the packing input is per-sample rows (~10^7-10^8),
+    sharded to thousands of groups — each group a sub-second numpy
+    pass.
+
+    Output: ``(id_col, n_tokens, shard, pack_id, slot)`` with
+    ``pack_id = shard * 1e9 + local_pack`` (globally unique, stable)
+    and ``slot`` the 1-based position inside the pack.
+
+    Scale: one hash exchange on the shard key; group sizes are
+    n/n_shards by md5 uniformity — no skew; no driver state, no global
+    sort. ≙ the bin-packing step NiFi flows push into MergeContent's
+    size-bound bins (MergeContent.java:115-127), which cannot order
+    bins deterministically across a cluster.
+    """
+    import pandas as pd
+
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1, got {budget}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    _guard_internal(docs, ["n_tokens", "shard", "pack_id", "slot"], "pack_greedy")
+
+    id_type = docs.schema[id_col].dataType.simpleString()
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    shard = F.pmod(
+        md5_long(F.concat(F.lit(tag + "|"), F.col(id_col).cast("string"))),
+        F.lit(n_shards),
+    ).cast("int")
+    with_n = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        shard.alias("shard"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values([id_col, "n_tokens"], kind="mergesort").reset_index(
+            drop=True
+        )
+        t = pdf["n_tokens"].to_numpy()
+        pack_ids = np.empty(len(t), dtype="int64")
+        slots = np.empty(len(t), dtype="int32")
+        running, pk, slot = 0, 0, 0
+        for i, ti in enumerate(t):
+            if slot and running + ti > budget:
+                pk, running, slot = pk + 1, 0, 0
+            running += int(ti)
+            slot += 1
+            pack_ids[i] = pk
+            slots[i] = slot
+        base = int(pdf["shard"].iloc[0]) * _PACK_SHARD_STRIDE
+        return pdf.assign(pack_id=base + pack_ids, slot=slots)
+
+    out_schema = (
+        f"{id_col} {id_type}, n_tokens long, shard int, pack_id long, slot int"
+    )
+    return with_n.groupBy("shard").applyInPandas(pack, schema=out_schema)
+
+
 def pack_stats(packed: DataFrame) -> DataFrame:
     """Per-pack occupancy: ``(pack_id, n_docs, sum_tokens)`` — the
     shape a packing audit reports (fill factor, overflow tail)."""

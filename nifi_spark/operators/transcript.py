@@ -19,6 +19,10 @@ four conversation-level stages, each here as a first-class operator:
 - :func:`sft_loss_spans` — per-turn character spans inside the
   rendered transcript (offset-compatible with the assembler's render)
   plus the trainable flag, for loss masking.
+- :func:`best_of_n` — rejection sampling: per (conversation, turn)
+  keep only the single highest-scoring candidate response, optionally
+  gated on a minimum score (the filter stage upstream of
+  :func:`preference_pairs`' pair stage).
 
 ≙ MergeRecord with a correlation attribute (reference
 MergeContent.java:115-127) followed by UpdateRecord for the counters —
@@ -350,3 +354,51 @@ def preference_pairs(
             (F.col("_c.s") - F.col("_r.s")).alias("margin"),
         )
     )
+
+
+def best_of_n(
+    cands: DataFrame,
+    conv_col: str = "conv_id",
+    turn_col: str = "turn_idx",
+    cand_col: str = "cand_id",
+    text_col: str = "text",
+    score_col: str = "score",
+    min_score: float | None = None,
+) -> DataFrame:
+    """Rejection sampling / best-of-n selection: per (conversation,
+    turn), keep ONLY the highest-scoring candidate response (ties ->
+    smallest ``cand_col``), optionally requiring ``score >= min_score``.
+
+    The standard RLHF-data filter stage: sample n responses, score with
+    a reward model, train on the winner. Deterministic tiebreaks make
+    the kept set replay-stable and value-checkable cross-engine.
+    Complements :func:`preference_pairs` (which keeps a winner AND a
+    loser): best-of-n is the SFT-style distillation shape, pairs the
+    DPO shape.
+
+    Output: ``(conv_col, turn_col, cand_col, text_col, score_col,
+    n_cands)`` — one row per surviving group; ``n_cands`` counts ALL
+    candidates in the group (pre-threshold), the audit column a
+    sampling report needs.
+
+    Plan: one row_number window and the group count share a single hash
+    exchange on (conv, turn); the threshold is a residual filter on the
+    winner row only. Candidate counts per turn are bounded (k sampled
+    responses), so no skew at 10^10 turns.
+    """
+    _guard_internal(cands, ["_rn_b", "n_cands"], "best_of_n")
+    w = Window.partitionBy(conv_col, turn_col)
+    out = cands.select(
+        conv_col,
+        turn_col,
+        cand_col,
+        F.col(text_col).cast("string").alias(text_col),
+        score_col,
+        F.row_number()
+        .over(w.orderBy(F.col(score_col).desc(), F.col(cand_col).asc()))
+        .alias("_rn_b"),
+        F.count(F.lit(1)).over(w).alias("n_cands"),
+    ).filter(F.col("_rn_b") == 1).drop("_rn_b")
+    if min_score is not None:
+        out = out.filter(F.col(score_col) >= F.lit(min_score))
+    return out

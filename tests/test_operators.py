@@ -398,3 +398,28 @@ def test_sft_loss_spans_offsets_match_render(spark):
         (r for r in spans if r["conv_id"] == "c1"), key=lambda r: r["turn_idx"]
     )
     assert last["span_end"] == len(rendered["c1"])
+
+
+def test_best_of_n_picks_winner_and_thresholds(spark):
+    from nifi_spark.operators.transcript import best_of_n
+
+    rows = [
+        # clear winner over threshold
+        ("c", 0, 10, "best", 9), ("c", 0, 11, "mid", 5), ("c", 0, 12, "worst", 1),
+        # tie: smallest cand_id wins
+        ("c", 1, 20, "t20", 7), ("c", 1, 21, "t21", 7),
+        # winner below threshold: group dropped entirely
+        ("c", 2, 30, "low", 2), ("c", 2, 31, "lower", 1),
+        # singleton above threshold: kept (best-of-1 is still the best)
+        ("c", 3, 40, "solo", 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, cand_id long, text string, score long"
+    )
+    out = {(r["conv_id"], r["turn_idx"]): r for r in best_of_n(df, min_score=4).collect()}
+    assert set(out) == {("c", 0), ("c", 1), ("c", 3)}
+    assert (out[("c", 0)]["cand_id"], out[("c", 0)]["n_cands"]) == (10, 3)
+    assert out[("c", 1)]["cand_id"] == 20  # tie -> smallest id
+    assert out[("c", 3)]["n_cands"] == 1
+    # no threshold: every group survives
+    assert best_of_n(df).count() == 4

@@ -140,6 +140,58 @@ def test_pack_sequences_validates_args(spark, docs):
         pack_sequences(docs, group_size=0)
 
 
+def test_pack_greedy_never_overflows(spark, docs):
+    from nifi_spark.operators.traindata import pack_greedy
+
+    out = pack_greedy(docs, budget=8, n_shards=2).toPandas()
+    assert len(out) == len(DOCS)
+    for pack_id, grp in out.groupby("pack_id"):
+        # the exact-greedy invariant pack_sequences trades away: a pack
+        # only exceeds the budget when a SINGLE doc does
+        assert grp.n_tokens.sum() <= 8 or len(grp) == 1
+        assert sorted(grp.slot) == list(range(1, len(grp) + 1))
+
+
+def test_pack_greedy_matches_python_recompute_and_partitioning(spark, docs):
+    from nifi_spark.operators.traindata import pack_greedy
+
+    got = {
+        r.doc_id: (r.shard, r.pack_id, r.slot)
+        for r in pack_greedy(docs, budget=8, n_shards=2).collect()
+    }
+    # independent greedy recompute over md5 shards
+    toks = {d: len(t.strip().split()) for d, t, _ in DOCS}
+    shard = {
+        d: int(hashlib.md5(f"pack|{d}".encode()).hexdigest()[:15], 16) % 2
+        for d in toks
+    }
+    expect = {}
+    for s in (0, 1):
+        running, pk, slot = 0, 0, 0
+        for d in sorted(x for x in toks if shard[x] == s):
+            if slot and running + toks[d] > 8:
+                pk, running, slot = pk + 1, 0, 0
+            running += toks[d]
+            slot += 1
+            expect[d] = (s, s * 1_000_000_000 + pk, slot)
+    assert got == expect
+    # assignment is partition-independent (md5 shard, in-shard sort)
+    got7 = {
+        r.doc_id: (r.shard, r.pack_id, r.slot)
+        for r in pack_greedy(docs.repartition(7), budget=8, n_shards=2).collect()
+    }
+    assert got7 == expect
+
+
+def test_pack_greedy_validates_args(spark, docs):
+    from nifi_spark.operators.traindata import pack_greedy
+
+    with pytest.raises(ValueError):
+        pack_greedy(docs, budget=0)
+    with pytest.raises(ValueError):
+        pack_greedy(docs, n_shards=0)
+
+
 # --------------------------------------------------------------------------
 # sample_stratified / domain_mix
 # --------------------------------------------------------------------------
