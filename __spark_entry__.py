@@ -621,6 +621,20 @@ def q_token_count(spark, sf_dir):
     return token_count(docs).select("doc_id", "n_tokens")
 
 
+def q_bpe_token_stats(spark, sf_dir):
+    """Token-counting pair (operators/text.bpe_token_count): whitespace
+    count alongside the GPT-2-style pretokenizer count (lookahead-free
+    regex, identical leftmost-first semantics in Java and RE2 — the
+    loader-budget estimate a packing job uses). Pure column
+    expressions, zero shuffle."""
+    from nifi_spark.operators.text import bpe_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_count(token_count(docs)).select(
+        "doc_id", "n_tokens", "n_bpe_tokens"
+    )
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Keyword extraction: top-5 terms per document ranked by tf/df
     (≡ tf·idf order without a transcendental, so the double compare is
@@ -2162,7 +2176,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_pq_refined": q_embedding_ann_pq_refined,
         "wait_notify": q_wait_notify,
         "session_window": q_session_window,
-        "grouped_pandas_stats": q_grouped_pandas_stats,
         "el_functions": q_el_functions,
         "recordpath_nested": q_recordpath_nested,
         "merge_record_bins": q_merge_record_bins,
@@ -2188,6 +2201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "best_of_n": q_best_of_n,
         "pack_greedy": q_pack_greedy,
         "dedup_transcripts": q_dedup_transcripts,
+        "bpe_token_stats": q_bpe_token_stats,
         "validate_turns": q_validate_turns,
         "preference_pairs": q_preference_pairs,
         "cdc_multi_table": q_cdc_multi_table,
@@ -2202,6 +2216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode": q_multimodal_decode,
         "scan_membership": q_scan_membership,
         "validate_record": q_validate_record,
+        "grouped_pandas_stats": q_grouped_pandas_stats,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_before_after": q_cdc_before_after,
         "txn_filter": q_txn_filter,
@@ -2650,6 +2665,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": """
             SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+            FROM documents
+        """,
+        # mirrors operators/text.BPE_PRETOKEN_RE term for term ('' = SQL
+        # escaping of the contraction apostrophe)
+        "bpe_token_stats": r"""
+            SELECT doc_id,
+                   len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+'
+                   )) AS n_bpe_tokens
             FROM documents
         """,
         "chunk_documents": """

@@ -41,6 +41,33 @@ def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens"
     return df.withColumn(out_col, F.size(tokens(F.col(text_col))))
 
 
+# GPT-2-style pretokenizer, lookahead-free so Java (Spark) and RE2
+# (DuckDB oracle) agree exactly: contractions first, then
+# optional-space + letter run / digit run / punctuation run. Both
+# engines use leftmost-first alternation, so the token streams are
+# identical by construction.
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+"
+
+
+def bpe_tokens(col: Column) -> Column:
+    """BPE-ish pretokenization: the GPT-2 pretokenizer split (without
+    the trailing-whitespace lookahead RE2 lacks). Subword merging is a
+    vocabulary lookup the trainer owns; the PRE-token count is what a
+    data pipeline budgets with, and it tracks real BPE token counts
+    within a small constant factor."""
+    return F.regexp_extract_all(col, F.lit(BPE_PRETOKEN_RE), 0)
+
+
+def bpe_token_count(
+    df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_tokens"
+) -> DataFrame:
+    """BPE-ish pretoken count per document — the second half of the
+    token-counting pair (whitespace :func:`token_count` is the
+    oracle-stable core; this is the loader-budget estimate). Pure
+    column expression, no shuffle."""
+    return df.withColumn(out_col, F.size(bpe_tokens(F.col(text_col))))
+
+
 def _marker_hits(toks: Column, markers: list[str]) -> Column:
     arr = F.array(*[F.lit(m) for m in markers])
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, F.lower(t))))

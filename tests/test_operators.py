@@ -423,3 +423,15 @@ def test_best_of_n_picks_winner_and_thresholds(spark):
     assert out[("c", 3)]["n_cands"] == 1
     # no threshold: every group survives
     assert best_of_n(df).count() == 4
+
+
+def test_bpe_token_count_contractions_and_punct(spark):
+    from nifi_spark.operators.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [(0, "Hello, world's 42 fox-trot  end"), (1, ""), (2, "a")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.n_bpe_tokens for r in bpe_token_count(df).collect()}
+    # Hello | , | _world | 's | _42 | _fox | - | trot | _end  = 9
+    assert got == {0: 9, 1: 0, 2: 1}
