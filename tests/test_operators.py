@@ -435,3 +435,18 @@ def test_bpe_token_count_contractions_and_punct(spark):
     got = {r.doc_id: r.n_bpe_tokens for r in bpe_token_count(df).collect()}
     # Hello | , | _world | 's | _42 | _fox | - | trot | _end  = 9
     assert got == {0: 9, 1: 0, 2: 1}
+
+
+def test_best_of_n_single_exchange(spark):
+    from nifi_spark.operators.transcript import best_of_n
+
+    df = spark.createDataFrame(
+        [("c", 0, 1, "t", 5)],
+        "conv_id string, turn_idx int, cand_id long, text string, score long",
+    )
+    plan = (
+        best_of_n(df, min_score=1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # winner window + group count share ONE (conv, turn) exchange
+    assert plan.count("Exchange hashpartitioning") == 1

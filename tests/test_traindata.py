@@ -382,3 +382,15 @@ def test_decontaminate_bloom_never_false_negative(spark, docs):
     for _, r in exact.iterrows():
         if r.n_hits > 0:
             assert b.get(r.doc_id, 0) >= r.n_hits  # superset, never below
+
+
+def test_pack_greedy_single_exchange(spark, docs):
+    from nifi_spark.operators.traindata import pack_greedy
+
+    plan = (
+        pack_greedy(docs, budget=8, n_shards=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # one hash exchange on the shard key feeds the grouped Arrow pass
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "FlatMapGroupsInPandas" in plan or "MapGroups" in plan
