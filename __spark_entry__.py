@@ -171,6 +171,76 @@ def q_cdc_replay_transcripts(spark, sf_dir):
     )
 
 
+def q_cdc_version_read(spark, sf_dir):
+    """Snapshot time travel with an exact oracle: apply the north-star
+    feed in 3 batches, then read AT VERSION 2 — the state after exactly
+    the first two commits. The oracle folds only those batches' events
+    (seq % 3 < 2), so the row is green iff historical snapshots are
+    immutable and version-addressable (sinks/laketable read(version=),
+    ≙ Iceberg snapshot-id reads). Versions are deterministic (one commit
+    per merge_events on a fresh table), so the query is replay-stable
+    under the process-lifetime work dir."""
+    from nifi_spark.sinks.laketable import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    feed = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(5)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_seq"),
+    )
+    keys = ["conv_id", "turn_idx"]
+    table = LakeTable(spark, _work_dir("cdc_version_read", sf_dir), n_buckets=8)
+    for b in range(3):
+        batch = feed.filter(F.pmod(F.col("seq"), F.lit(3)) == b)
+        table.merge_events(batch, keys, batch_id=b)  # replays are no-ops
+    return table.read(version=2).select(
+        "conv_id", "turn_idx", "last_type", "last_value", "last_seq"
+    )
+
+
+def q_cdc_fan_in(spark, sf_dir):
+    """Sharded-upstream fan-IN: TWO binlog feeds (the events feed split
+    by user parity — two source databases each owning disjoint
+    conversations) applied to ONE lake table with interleaved batches
+    and distinct idempotency batch ids. The oracle is the single-shot
+    LWW fold of the union — equal iff cross-feed interleaving neither
+    drops, duplicates, nor reorders either shard's state machine. The
+    inverse topology of cdc_multi_table's fan-out."""
+    from nifi_spark.sinks.laketable import LakeTable
+
+    ev = _t(spark, sf_dir, "events")
+    feed = ev.select(
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.concat(F.lit("u-"), F.col("user_id").cast("string")).alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(5)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("last_type"),
+        F.col("value").alias("last_value"),
+        F.col("event_id").alias("last_seq"),
+        F.pmod(F.col("user_id"), F.lit(2)).alias("_shard"),
+    )
+    keys = ["conv_id", "turn_idx"]
+    table = LakeTable(spark, _work_dir("cdc_fan_in", sf_dir), n_buckets=8)
+    # interleave A0, B0, A1, B1; batch_id is the TABLE's commit cursor
+    # (monotone watermark), so it numbers the application order, not the
+    # source shard — the fan-in coordinator's one responsibility
+    bid = 0
+    for b in range(2):
+        for shard in range(2):
+            batch = feed.filter(
+                (F.col("_shard") == shard) & (F.pmod(F.col("seq"), F.lit(2)) == b)
+            ).drop("_shard")
+            table.merge_events(batch, keys, batch_id=bid)
+            bid += 1
+    return table.read().select(
+        "conv_id", "turn_idx", "last_type", "last_value", "last_seq"
+    )
+
+
 def q_cdc_changelog(spark, sf_dir):
     """CDC-OUT: changelog read between two snapshots (LakeTable.changes —
     ≙ Iceberg incremental changelog scan / Delta Change Data Feed; the
@@ -2174,8 +2244,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf": q_embedding_ann_ivf,
         "embedding_ann_pq": q_embedding_ann_pq,
         "embedding_ann_pq_refined": q_embedding_ann_pq_refined,
-        "wait_notify": q_wait_notify,
-        "session_window": q_session_window,
         "el_functions": q_el_functions,
         "recordpath_nested": q_recordpath_nested,
         "merge_record_bins": q_merge_record_bins,
@@ -2202,6 +2270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_greedy": q_pack_greedy,
         "dedup_transcripts": q_dedup_transcripts,
         "bpe_token_stats": q_bpe_token_stats,
+        "cdc_version_read": q_cdc_version_read,
+        "cdc_fan_in": q_cdc_fan_in,
         "validate_turns": q_validate_turns,
         "preference_pairs": q_preference_pairs,
         "cdc_multi_table": q_cdc_multi_table,
@@ -2217,6 +2287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scan_membership": q_scan_membership,
         "validate_record": q_validate_record,
         "grouped_pandas_stats": q_grouped_pandas_stats,
+        "wait_notify": q_wait_notify,
+        "session_window": q_session_window,
         "cdc_scd2_history": q_cdc_scd2_history,
         "cdc_before_after": q_cdc_before_after,
         "txn_filter": q_txn_filter,
@@ -3943,6 +4015,31 @@ def oracle_sql() -> dict[str, str]:
                              < 1037629354146162304
                         THEN 'train' ELSE 'val' END AS split
             FROM folded GROUP BY conv_id
+        """,
+        # State after exactly the first two of three commits (seq % 3 < 2):
+        # green iff version-2's snapshot is immutable and addressable.
+        "cdc_version_read": """
+            SELECT 'u-' || user_id::VARCHAR AS conv_id,
+                   CAST(event_id % 5 AS INTEGER) AS turn_idx,
+                   arg_max(event_type, event_id) AS last_type,
+                   arg_max(value, event_id)      AS last_value,
+                   max(event_id)                 AS last_seq
+            FROM events
+            WHERE event_id % 3 < 2
+            GROUP BY 1, 2
+            HAVING arg_max(event_type, event_id) <> 'error'
+        """,
+        # Two sharded feeds interleaved into one table must converge to the
+        # single-shot fold of the union — same truth as the replay oracle.
+        "cdc_fan_in": """
+            SELECT 'u-' || user_id::VARCHAR AS conv_id,
+                   CAST(event_id % 5 AS INTEGER) AS turn_idx,
+                   arg_max(event_type, event_id) AS last_type,
+                   arg_max(value, event_id)      AS last_value,
+                   max(event_id)                 AS last_seq
+            FROM events
+            GROUP BY 1, 2
+            HAVING arg_max(event_type, event_id) <> 'error'
         """,
         # Backward-inclusive as-of: greatest click ts <= purchase ts per
         # user, exact ties broken by max click id — the same ordering the
