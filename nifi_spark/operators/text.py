@@ -237,13 +237,17 @@ def repetition_stats(
             F.size("_tk") >= n, F.sequence(F.lit(1), F.size("_tk") - n + 1)
         ).otherwise(F.array().cast("array<int>"))
         gram_arrays.append(F.transform(starts, _gram_at(n)))
+    # n_tokens_r deliberately does NOT ride the gram leg: a non-attribute
+    # column selected next to an explode lands in the Project above the
+    # Generate, where Catalyst re-evaluates its token-split per GRAM row.
+    # It is functionally dependent on id_col and rejoins from `base` below.
     grams = base.select(
-        id_col, "n_tokens_r", F.explode(F.flatten(F.array(*gram_arrays))).alias("_g")
-    ).select(id_col, "n_tokens_r", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
+        id_col, F.explode(F.flatten(F.array(*gram_arrays))).alias("_g")
+    ).select(id_col, F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram"))
     top = (
-        grams.groupBy(id_col, "n_tokens_r", "n", "gram")
+        grams.groupBy(id_col, "n", "gram")
         .count()
-        .groupBy(id_col, "n_tokens_r")
+        .groupBy(id_col)
         .pivot("n", list(gram_ns))
         .agg(F.max("count"))
     )

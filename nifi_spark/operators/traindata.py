@@ -108,9 +108,20 @@ def decontaminate(
 
     ``include_clean=False`` is the corpus-scale output shape: only the
     documents with >= 1 hit are returned (contamination is sparse —
-    ~1e-4 of a web corpus), skipping the final id left join entirely;
-    the default True attaches an n_hits=0 row for every clean document
-    so the audit is total (and the oracle can value-check all rows).
+    ~1e-4 of a web corpus); the default True keeps the n_hits=0 rows so
+    the audit is total (and the oracle can value-check all rows).
+
+    Plan note: the corpus is shingled EXACTLY once — one explode, then a
+    left probe of the broadcast set, then one hash agg counting both the
+    doc's shingles (``count(*)``, the containment denominator) and the
+    hits (``count(bench_sh)``). The earlier ``size(arr)`` +
+    ``explode(arr)`` form put the size in a Project ABOVE the Generate,
+    where Catalyst re-evaluated the whole shingle+md5 array per EXPLODED
+    row (~shingle-count× the work; measured 12 s → 0.6 s at sf0.1), and
+    the Generate's inferred ``size(arr) > 0`` filter pushed a second full
+    evaluation below the repartition onto the single scan task.
+    ``explode_outer`` keeps null-text docs in the audit (n_hits 0,
+    containment 0.0) and infers no such filter.
     """
     _guard_internal(
         docs, ["_sh_h", "_n_sh", "n_hits", "containment", "contaminated"],
@@ -120,45 +131,29 @@ def decontaminate(
     if broadcast_bench:
         bench_sh = F.broadcast(bench_sh)
 
-    # one row per (doc, distinct hashed shingle), with the doc's shingle
-    # count carried along so containment = hits / n_sh needs no re-scan
     sh_arr = F.array_distinct(
         F.transform(shingles(F.col(text_col), shingle_n), lambda s: md5_long(s))
     )
-    doc_sh = docs.select(
-        F.col(id_col), F.size(sh_arr).alias("_n_sh"), F.explode(sh_arr).alias("_sh_h")
-    )
+    doc_sh = docs.select(F.col(id_col), F.explode_outer(sh_arr).alias("_sh_h"))
 
-    # shingle hashes are distinct per doc, so count(*) == distinct hits
-    hits = (
-        doc_sh.join(bench_sh, doc_sh["_sh_h"] == bench_sh["bench_sh"], "inner")
+    # shingle hashes are distinct per doc, so count(bench_sh) == distinct
+    # hits and count(*) == the doc's shingle count (explode emits exactly
+    # the distinct array; a null-text doc emits one null row → 0 hits)
+    audit = (
+        doc_sh.join(bench_sh, doc_sh["_sh_h"] == bench_sh["bench_sh"], "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_hits"),
-            F.first("_n_sh").alias("_n_sh"),
+            F.count("bench_sh").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).alias("_n_sh"),
         )
     )
     if not include_clean:
-        return hits.select(
-            id_col,
-            F.col("n_hits").cast("long").alias("n_hits"),
-            F.round(F.col("n_hits") / F.col("_n_sh"), 6).alias("containment"),
-            (F.col("n_hits") >= min_hits).alias("contaminated"),
-        )
-    # clean docs have containment 0 by definition, so the denominator is
-    # only needed for hit docs and rides the hits agg — the total-audit
-    # join never re-shingles the corpus (one text pass, not two)
-    return (
-        docs.select(id_col)
-        .join(hits, id_col, "left")
-        .select(
-            id_col,
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-            F.round(
-                F.coalesce(F.col("n_hits") / F.col("_n_sh"), F.lit(0.0)), 6
-            ).alias("containment"),
-            (F.coalesce(F.col("n_hits"), F.lit(0)) >= min_hits).alias("contaminated"),
-        )
+        audit = audit.filter(F.col("n_hits") >= 1)
+    return audit.select(
+        id_col,
+        "n_hits",
+        F.round(F.col("n_hits") / F.col("_n_sh"), 6).alias("containment"),
+        (F.col("n_hits") >= min_hits).alias("contaminated"),
     )
 
 
