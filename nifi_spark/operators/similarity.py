@@ -730,9 +730,24 @@ def pq_topk_ivf(
         codebooks,
         "_cv",
     ).select("neighbor_id", "cell", "pq_codes")
+    # LUTs are computed BELOW the cell explode so they ride the Generate
+    # as plain attributes: selected after/next to the explode they land in
+    # the Project above the Generate, where Catalyst re-evaluates the
+    # m×n_codes aggregate trees once per PROBED CELL instead of once per
+    # query (nprobe× redundant LUT work; same trap as decontaminate's
+    # size+explode — see that docstring).
     probed = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv"))
         .withColumn("_qn", norm(F.col("_qv")))
+        .select(
+            "query_id",
+            "_qv",
+            "_qn",
+            *[
+                _lut_array(F.col("_qv"), j, codebooks, sub).alias(f"_lut{j}")
+                for j in range(m)
+            ],
+        )
         .withColumn(
             "cell",
             F.explode(
@@ -749,14 +764,7 @@ def pq_topk_ivf(
                 )
             ),
         )
-        .select(
-            "query_id",
-            "cell",
-            *[
-                _lut_array(F.col("_qv"), j, codebooks, sub).alias(f"_lut{j}")
-                for j in range(m)
-            ],
-        )
+        .select("query_id", "cell", *[f"_lut{j}" for j in range(m)])
     )
     joined = enc.join(F.broadcast(probed), "cell").filter(
         F.col("query_id") != F.col("neighbor_id")
