@@ -109,6 +109,8 @@ HEADLINE_QUERIES = [
     # transcript shaping: one conversation-keyed exchange each
     "truncate_context",
     "preference_pairs",
+    # composed IVF x PQ ANN — the billion-vector FAISS-IVFADC shape
+    "embedding_ann_ivf_pq",
 ]
 
 

@@ -435,3 +435,52 @@ def test_cc_star_equals_minlabel_on_real_dedup_pairs(spark):
     st = {r.node: r.component for r in
           connected_components(pairs, algo="star").collect()}
     assert ml == st and len(ml) > 0
+
+
+# ---------------------------------------------------------------------------
+# Generate/Project plan-shape guard: a non-attribute column selected NEXT TO
+# an explode lands in the Project above the Generate, where Catalyst
+# re-evaluates its whole expression tree once per EXPLODED row (measured 25x
+# on decontaminate's shingle+md5 array at sf0.1). These queries were fixed to
+# keep heavyweight trees below their Generates; pin the shape.
+# ---------------------------------------------------------------------------
+
+_GEN_GUARDED = [
+    "decontaminate",
+    "curate_corpus",
+    "embedding_ann_ivf_pq",
+    "repetition_stats",
+]
+
+
+def _heavy_projects_above_generates(df):
+    """Projects sitting directly above a Generate whose expressions include
+    array/hash builder trees (for the guarded queries all legitimate heavy
+    work lives inside the generator or below it, so any hit is recompute)."""
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    heavy = re.compile(r"md5\(|conv\(|aggregate\(|zip_with\(|sequence\(")
+    hits = []
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Generate " not in ln:
+            continue
+        indent = len(ln) - len(ln.lstrip(" +-:"))
+        for j in range(i - 1, -1, -1):
+            pj = lines[j]
+            pind = len(pj) - len(pj.lstrip(" +-:"))
+            if pind < indent and pj.strip():
+                if "Project" in pj and heavy.search(pj):
+                    hits.append(pj.strip()[:120])
+                break
+    return hits
+
+
+@pytest.mark.parametrize("name", _GEN_GUARDED)
+def test_no_heavy_project_above_generate(spark, name):
+    import __spark_entry__ as entry_mod
+
+    df = entry_mod.queries()[name](spark, SF)
+    hits = _heavy_projects_above_generates(df)
+    assert hits == [], f"{name}: heavy recompute above Generate: {hits}"
