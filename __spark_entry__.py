@@ -2210,6 +2210,37 @@ def q_curate_corpus(spark, sf_dir):
     return sample_hash_threshold(keep, "doc_id", fraction=0.5, tag="cur")
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """At-ingest near-dup detection (operators/dedup_incremental.LshIndex,
+    ≙ DetectDuplicate.java:152-210's check-against-history contract lifted
+    to NEAR-duplicates): documents arrive in 3 ingest batches (doc_id % 3);
+    each batch probes the persisted LSH band index for matches against
+    everything ingested so far — O(batch) per batch, the corpus is never
+    re-shingled — then extends the index. Output: every pair tagged with
+    the batch that SURFACED it (the later doc's arrival), so the oracle
+    checks the incremental emission timing, not just the final pair set.
+    The union over batches equals the one-shot minhash_dedup_pairs run
+    (tests pin that invariant); the index build is idempotent per batch
+    under the process-lifetime work dir."""
+    import os as _os
+
+    from nifi_spark.operators.dedup_incremental import LshIndex
+
+    docs = _t_wide(spark, sf_dir, "documents")
+    idx = LshIndex(
+        spark,
+        _os.path.join(_work_dir("dedup_incremental", sf_dir), "lsh"),
+        n_hashes=16, shingle_n=3, n_bands=4, threshold=0.5, max_bucket=64,
+    )
+    out = None
+    for b in range(3):
+        pairs = idx.add_batch(docs.filter(F.col("doc_id") % 3 == b), b).withColumn(
+            "seen_batch", F.lit(b)
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2258,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mix": q_domain_mix,
         "quality_funnel": q_quality_funnel,
         "curate_corpus": q_curate_corpus,
+        "dedup_incremental": q_dedup_incremental,
         "cdc_agg_mv": q_cdc_agg_mv,
         "cdc_sft_mv": q_cdc_sft_mv,
         "asof_join": q_asof_join,
@@ -2890,6 +2922,14 @@ def oracle_sql() -> dict[str, str]:
             FROM parsed GROUP BY host
         """,
         "dedup_minhash_lsh": _mh_pairs_sql("SELECT doc_id, text FROM documents"),
+        # incremental ingest emits each pair exactly once, in the batch the
+        # LATER doc arrived (batch = doc_id % 3) — the one-shot pair set
+        # plus that emission-timing tag
+        "dedup_incremental": f"""
+            SELECT id_a, id_b, jaccard,
+                   greatest(id_a % 3, id_b % 3)::INT AS seen_batch
+            FROM ({_mh_pairs_sql("SELECT doc_id, text FROM documents")})
+        """,
         # Same minhash-LSH stack over RENDERED transcripts: the corpus is
         # every conversation plus a truncated re-ingest (last turn dropped),
         # so each (u-N, v-N) twin must surface as a verified pair.

@@ -111,6 +111,11 @@ HEADLINE_QUERIES = [
     "preference_pairs",
     # composed IVF x PQ ANN — the billion-vector FAISS-IVFADC shape
     "embedding_ann_ivf_pq",
+    # at-ingest near-dup probe over the persisted LSH index (the index
+    # builds once under the process-lifetime work dir; passes 2+ time the
+    # 3 idempotent batch REPLAYS — i.e. the pure probe path, the per-
+    # micro-batch cost a streaming ingest pays)
+    "dedup_incremental",
 ]
 
 

@@ -132,20 +132,18 @@ def minhash_signature(
     return df.withColumn("_mh_hs", hs).withColumn(out_col, sig).drop("_mh_hs")
 
 
-def lsh_pairs(
+def band_rows(
     df: DataFrame,
     id_col: str = "doc_id",
     sig_col: str = "sig",
     n_bands: int = 4,
     rows_per_band: int = 4,
-    max_bucket: int = 64,
 ) -> DataFrame:
-    """LSH candidate pairs: ids sharing ≥1 band bucket, id_a < id_b.
+    """One row per (doc, LSH band): ``(id_col, band, bhash)``.
 
-    band hash = md5 of the comma-joined signature slice. Buckets larger
-    than ``max_bucket`` are dropped (degenerate boilerplate guard — at
-    10^10 docs an unbounded bucket is a quadratic bomb; dropping it only
-    loses pairs that exact-dedup already catches).
+    band hash = md5 of the comma-joined signature slice — the exploded
+    bucketing shape shared by :func:`lsh_pairs` (batch self-join) and
+    dedup_incremental.LshIndex (the persisted probe-side index).
     """
     bands = F.array(
         *[
@@ -164,9 +162,62 @@ def lsh_pairs(
             for b in range(n_bands)
         ]
     )
-    exploded = df.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+    return df.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bhash").alias("bhash")
     )
+
+
+def verify_jaccard_pairs(
+    cand: DataFrame, sh: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against per-doc
+    distinct hashed-shingle arrays ``sh = (id_col, _sh)``.
+
+    Shared by :func:`minhash_dedup_pairs` and dedup_incremental.LshIndex:
+    length-bound prune, one array_intersect per surviving pair
+    (|A∪B| = |A|+|B|−|A∩B| — no second set build), jaccard >= threshold.
+    """
+    return (
+        cand.join(
+            sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "sh_a"),
+            "id_a",
+        )
+        .join(
+            sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "sh_b"),
+            "id_b",
+        )
+        .filter(
+            (F.size("sh_a") >= F.lit(threshold) * F.size("sh_b"))
+            & (F.size("sh_b") >= F.lit(threshold) * F.size("sh_a"))
+        )
+        .withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_i") / (F.size("sh_a") + F.size("sh_b") - F.col("_i")), 6
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    sig_col: str = "sig",
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """LSH candidate pairs: ids sharing ≥1 band bucket, id_a < id_b.
+
+    band hash = md5 of the comma-joined signature slice. Buckets larger
+    than ``max_bucket`` are dropped (degenerate boilerplate guard — at
+    10^10 docs an unbounded bucket is a quadratic bomb; dropping it only
+    loses pairs that exact-dedup already catches).
+    """
+    exploded = band_rows(df, id_col, sig_col, n_bands, rows_per_band)
     buckets = (
         exploded.groupBy("band", "bhash")
         .agg(F.sort_array(F.collect_set(id_col)).alias("ids"))
@@ -212,30 +263,7 @@ def minhash_dedup_pairs(
     )
     cand = lsh_pairs(with_sig, id_col, "sig", n_bands, rows_per_band)
     sh = with_sig.select(F.col(id_col), F.col("_sh"))
-    verified = (
-        cand.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
-        # exact length-bound prune before the intersect (see jaccard_pairs)
-        .filter(
-            (F.size("sh_a") >= F.lit(threshold) * F.size("sh_b"))
-            & (F.size("sh_b") >= F.lit(threshold) * F.size("sh_a"))
-        )
-        # |A∪B| = |A|+|B|−|A∩B| for distinct arrays — halves the set work
-        # (array_union costs the same hash build as the intersect); the
-        # integer ratio (and so the rounded double) is unchanged
-        .withColumn("_i", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("_i")
-                / (F.size("sh_a") + F.size("sh_b") - F.col("_i")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-    )
-    return verified
+    return verify_jaccard_pairs(cand, sh, id_col, threshold)
 
 
 def simhash(

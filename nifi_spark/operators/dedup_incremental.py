@@ -1,0 +1,204 @@
+"""Incremental near-duplicate detection at ingest: a persisted LSH index.
+
+Batch MinHash-LSH (operators/dedup_fuzzy) answers "which documents in THIS
+corpus are near-dups of each other" — one self-join over the whole corpus.
+An ingest pipeline asks a different question every micro-batch: "which of
+these NEW documents near-duplicate anything ingested SO FAR?". Recomputing
+the self-join per batch is O(corpus) per batch — at 10^10 documents that is
+the whole job again each trigger. :class:`LshIndex` makes it O(batch):
+
+- the index persists, per ingested document, its ``n_bands`` LSH band rows
+  ``(doc_id, band, bhash)`` and its distinct hashed-shingle array (the
+  exact-verify side) under ``path/bands/batch=N/`` and
+  ``path/shingles/batch=N/`` — append-only, one partition directory per
+  batch, idempotent by ``batch_id`` (a replayed batch detects its
+  ``_SUCCESS`` marker, skips the write, and re-derives the same pairs);
+- a batch probe joins the NEW band rows (small, broadcast) against the
+  index scan on ``(band, bhash)``: the corpus is never re-shingled and
+  never shuffled — per-batch cost is O(batch + matched buckets);
+- candidates are verified by exact hashed-shingle Jaccard
+  (dedup_fuzzy.verify_jaccard_pairs — identical arithmetic to the batch
+  operator, so the union of per-batch pair outputs over any batch split
+  EQUALS the one-shot ``minhash_dedup_pairs`` over the union of documents
+  (the invariant tests/test_dedup_incremental.py pins), as long as no
+  bucket outgrows ``max_bucket`` between the splits (the guard applies to
+  the bucket size at probe time — streaming-LSH's standard semantics).
+
+Reference parity: the reference's duplicate detection is key-equality with
+a distributed map cache (nifi-standard-bundle .../DetectDuplicate.java:152-210
+— put/check a hash in DistributedMapCacheClient); this is the same
+check-against-history contract lifted to NEAR-duplicates, with the cache a
+Spark-readable table instead of an external service.
+
+Scale shape at 10^10 docs: band rows are ~n_bands × 40 B/doc and shingle
+arrays ~8 B/shingle — both linear, partitioned by ingest batch; the probe
+broadcasts only the new batch's band rows and bucket counts; compaction of
+many small batch directories is the same maintenance story as the lake
+table's (re-write old partitions wider — layout, not semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..fsio import FsIO
+from ..fsio import join as fsio_join
+from .dedup_fuzzy import (
+    _guard_internal,
+    band_rows,
+    md5_long,
+    minhash_signature,
+    shingles,
+    verify_jaccard_pairs,
+)
+
+
+class LshIndex:
+    """Persistent MinHash-LSH index for at-ingest near-dup detection.
+
+    ``add_batch(docs, batch_id)`` returns the verified near-dup pairs
+    ``(id_a, id_b, jaccard)`` in which at least one side belongs to the
+    given batch (new-vs-old AND new-vs-new; old-vs-old pairs were emitted
+    by the batch that made them old), then durably extends the index.
+    Pair ids are ordered ``id_a < id_b``; jaccard is the exact distinct
+    hashed-shingle ratio rounded to 6 — bit-identical to
+    ``minhash_dedup_pairs``.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        n_hashes: int = 16,
+        shingle_n: int = 3,
+        n_bands: int = 4,
+        threshold: float = 0.5,
+        max_bucket: int | None = 64,
+    ):
+        if n_hashes % n_bands:
+            raise ValueError(f"n_bands {n_bands} must divide n_hashes {n_hashes}")
+        self.spark = spark
+        self.path = path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n_hashes = n_hashes
+        self.shingle_n = shingle_n
+        self.n_bands = n_bands
+        self.rows_per_band = n_hashes // n_bands
+        self.threshold = threshold
+        self.max_bucket = max_bucket
+        self._io = FsIO(spark, path)
+        self.bands_dir = fsio_join(path, "bands")
+        self.sh_dir = fsio_join(path, "shingles")
+
+    # -- state ------------------------------------------------------------
+
+    def committed_batches(self) -> list[int]:
+        """Batch ids whose index partitions are durably written."""
+        out = []
+        for name in self._io.list_names(self.bands_dir):
+            if name.startswith("batch="):
+                bid = int(name.split("=", 1)[1])
+                if self._io.exists(
+                    fsio_join(self.bands_dir, name, "_SUCCESS")
+                ):
+                    out.append(bid)
+        return sorted(out)
+
+    def _read_part(self, base: str, upto: int) -> DataFrame:
+        """Partition-discovered read of ``base`` filtered to batch <= upto
+        (partition pruning keeps later/replayed batches out of the scan)."""
+        return self.spark.read.parquet(base).filter(F.col("batch") <= upto)
+
+    # -- ingest -----------------------------------------------------------
+
+    def add_batch(
+        self, docs: DataFrame, batch_id: int, return_pairs: bool = True
+    ) -> DataFrame | None:
+        """Index a batch; return its near-dup pairs vs everything so far.
+
+        ``batch_id`` must be greater than every previously committed id
+        (monotone ingest cursor — the streaming pipeline's micro-batch
+        id) OR an already-committed id: that is the idempotent-retry /
+        replay path — the write is skipped and the SAME pairs re-derive
+        (the probe scans only batches <= batch_id, so a replay is blind
+        to batches committed after it).
+        Document ids must be new (an UPDATED document is a delete+insert
+        at the dedup layer — re-ingesting an id would pair it with its
+        own stale band rows); this is the caller's contract, same as
+        DetectDuplicate's cache-key discipline.
+        """
+        done = self.committed_batches()
+        if done and batch_id < done[-1] and batch_id not in done:
+            raise ValueError(
+                f"batch_id {batch_id} below committed cursor {done[-1]} "
+                "and not a replay of a committed batch"
+            )
+        _guard_internal(docs, ["_sh", "sig", "band", "bhash", "batch"], "LshIndex")
+
+        band_part = fsio_join(self.bands_dir, f"batch={batch_id}")
+        sh_part = fsio_join(self.sh_dir, f"batch={batch_id}")
+        if not self._io.exists(fsio_join(band_part, "_SUCCESS")):
+            with_sig = minhash_signature(
+                docs, self.text_col, self.n_hashes, self.shingle_n
+            ).withColumn(
+                "_sh",
+                F.array_distinct(
+                    F.transform(
+                        shingles(F.col(self.text_col), self.shingle_n),
+                        lambda s: md5_long(s),
+                    )
+                ),
+            )
+            # one pass computes both persisted shapes; band rows ride the
+            # same signature projection
+            band_rows(
+                with_sig, self.id_col, "sig", self.n_bands, self.rows_per_band
+            ).write.mode("overwrite").parquet(band_part)
+            with_sig.select(self.id_col, "_sh").write.mode("overwrite").parquet(
+                sh_part
+            )
+        if not return_pairs:
+            return None
+
+        # ---- probe: new band rows vs the index scan (old ∪ this batch).
+        # The new side is one micro-batch — broadcast it; the index scan
+        # streams (never shuffled, never re-shingled).
+        all_bands = self._read_part(self.bands_dir, batch_id)
+        new_bands = self.spark.read.parquet(band_part)
+        probe = F.broadcast(
+            new_bands.select(
+                F.col(self.id_col).alias("_nid"), "band", "bhash"
+            )
+        )
+        hits = all_bands.join(probe, ["band", "bhash"]).filter(
+            F.col(self.id_col) != F.col("_nid")
+        )
+        if self.max_bucket is not None:
+            # probe-time quadratic-bomb guard: count the bucket over the
+            # index scan restricted to probed keys, drop oversized ones
+            sizes = (
+                all_bands.join(
+                    F.broadcast(new_bands.select("band", "bhash").distinct()),
+                    ["band", "bhash"],
+                )
+                .groupBy("band", "bhash")
+                .agg(F.count(F.lit(1)).alias("_bn"))
+            )
+            hits = hits.join(
+                F.broadcast(sizes.filter(F.col("_bn") <= self.max_bucket)),
+                ["band", "bhash"],
+            )
+        cand = (
+            hits.select(
+                F.least(F.col(self.id_col), F.col("_nid")).alias("id_a"),
+                F.greatest(F.col(self.id_col), F.col("_nid")).alias("id_b"),
+            )
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+        sh = self._read_part(self.sh_dir, batch_id).select(self.id_col, "_sh")
+        return verify_jaccard_pairs(cand, sh, self.id_col, self.threshold)
