@@ -117,3 +117,79 @@ def test_probe_broadcasts_the_batch_not_the_index(spark, tmp_path):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_cdc_changelog_feeds_at_ingest_neardup(spark, tmp_path):
+    """Flagship composition — the at-ingest dedup loop a transcript
+    pipeline runs: CDC batches merge into a LakeTable; each commit's
+    changelog (the CDC-out read) yields the newly-inserted conversations,
+    whose assembled transcripts probe+extend the LSH index. A near-copy
+    conversation is flagged IN THE BATCH IT ARRIVES, paired against a
+    conversation ingested batches earlier — without re-shingling the
+    corpus — and the union over batches equals a one-shot near-dup run
+    over the final corpus."""
+    from nifi_spark.operators.transcript import assemble_transcripts
+    from nifi_spark.sinks.laketable import LakeTable
+
+    def turns(conv, texts):
+        return [(i + 1, "I", conv, i, ["user", "assistant"][i % 2], t)
+                for i, t in enumerate(texts)]
+
+    base_a = [
+        "please summarize the quarterly revenue report for the emea region",
+        "the emea region grew twelve percent quarter over quarter driven by cloud",
+        "what were the main risks called out in that report",
+        "currency headwinds and a slower enterprise pipeline were the main risks",
+    ]
+    base_b = [
+        "write a haiku about distributed systems in autumn",
+        "falling leaves of logs / consensus drifts on the wind / quorum finds its rest",
+        "now make it about spring instead",
+        "green shoots of new nodes / gossip warms the waking mesh / quorum blooms again",
+    ]
+    uniq = lambda tag: [f"{tag} entirely unrelated conversation turn {i} about {tag}"
+                        for i in range(4)]
+    # c3 near-copies c0 (one token changed), c4 near-copies c1; convs
+    # never span batches (the index contract: a doc id is added once,
+    # when its conversation lands)
+    batches = {
+        1: turns("c0", base_a) + turns("c1", base_b),
+        2: turns("c2", uniq("volcanoes")) + turns(
+            "c3", base_a[:2] + [base_a[2].replace("main", "key")] + base_a[3:]
+        ),
+        3: turns("c4", base_b[:2] + base_b[2:]) + turns("c5", uniq("glaciers")),
+    }
+    t = LakeTable(spark, str(tmp_path / "t"), n_buckets=4)
+    idx = LshIndex(
+        spark, str(tmp_path / "lsh"), id_col="conv_id", text_col="transcript",
+        **PARAMS,
+    )
+    schema = "seq long, op string, conv_id string, turn_idx int, role string, text string"
+    seen = {}
+    prev_v = 0
+    for b, rows in batches.items():
+        t.merge(spark.createDataFrame(rows, schema), ["conv_id", "turn_idx"],
+                batch_id=b)
+        v = t.current_version()
+        new_turns = t.changes(prev_v, v).filter(F.col("op") == "I").select(
+            "conv_id", "turn_idx", "role", "text"
+        )
+        prev_v = v
+        docs = assemble_transcripts(new_turns, tool_col=None).select(
+            "conv_id", "transcript"
+        )
+        seen[b] = sorted(
+            (r.id_a, r.id_b) for r in idx.add_batch(docs, b).collect()
+        )
+    assert seen[1] == []
+    assert seen[2] == [("c0", "c3")]   # flagged on arrival, vs batch-1 history
+    assert seen[3] == [("c1", "c4")]
+    # one-shot over the final corpus agrees
+    all_docs = assemble_transcripts(
+        t.read().select("conv_id", "turn_idx", "role", "text"), tool_col=None
+    ).select("conv_id", F.col("transcript").alias("text"))
+    one_shot = sorted(
+        (r.id_a, r.id_b)
+        for r in minhash_dedup_pairs(all_docs, "conv_id", "text", **PARAMS).collect()
+    )
+    assert one_shot == sorted(seen[1] + seen[2] + seen[3])
