@@ -2241,6 +2241,44 @@ def q_dedup_incremental(spark, sf_dir):
     return out
 
 
+def q_profile_documents(spark, sf_dir):
+    """Dataset profiling (operators/profile.profile_columns, ≙
+    CalculateRecordStats.java:121-160 lifted from per-record counters to a
+    one-pass dataset profile): per-column rows/nulls/exact-distinct/
+    min/max/mean over the documents table — ONE aggregate over one scan
+    (count-distincts share the pass via expand), no joins, no windows."""
+    from nifi_spark.operators.profile import profile_columns
+
+    return profile_columns(
+        _t(spark, sf_dir, "documents"),
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+
+
+def q_dataset_checks(spark, sf_dir):
+    """Declarative data-quality gate (operators/profile.check_constraints,
+    ≙ ValidateRecord.java:268-320's checks as dataset-level verdicts, the
+    Deequ-style one-pass shape): completeness, key uniqueness, numeric
+    range, regex conformance, non-emptiness — all metrics ride a single
+    aggregate; the batch gate consumes (check, metric, passed) rows."""
+    from nifi_spark.operators.profile import check_constraints
+
+    return check_constraints(
+        _t(spark, sf_dir, "documents"),
+        [
+            {"check": "non_empty"},
+            {"check": "complete", "column": "text", "min_fraction": 1.0},
+            {"check": "complete", "column": "lang", "min_fraction": 0.99},
+            {"check": "unique", "column": "doc_id"},
+            {"check": "in_range", "column": "n_chars", "lo": 1, "hi": 1000},
+            {
+                "check": "matches", "column": "lang",
+                "pattern": "^[a-z]{2}$", "min_fraction": 0.5,
+            },
+        ],
+    )
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2290,6 +2328,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_funnel": q_quality_funnel,
         "curate_corpus": q_curate_corpus,
         "dedup_incremental": q_dedup_incremental,
+        "profile_documents": q_profile_documents,
+        "dataset_checks": q_dataset_checks,
         "cdc_agg_mv": q_cdc_agg_mv,
         "cdc_sft_mv": q_cdc_sft_mv,
         "asof_join": q_asof_join,
@@ -2922,6 +2962,82 @@ def oracle_sql() -> dict[str, str]:
             FROM parsed GROUP BY host
         """,
         "dedup_minhash_lsh": _mh_pairs_sql("SELECT doc_id, text FROM documents"),
+        # one-pass dataset profile: stats per column as long-form rows;
+        # fractions are exact integer ratios, min/max rendered as strings,
+        # mean only for numeric columns (sum-of-ints / count — exact)
+        "profile_documents": """
+            WITH n AS (SELECT count(*) AS n FROM documents)
+            SELECT * FROM (
+              SELECT 'doc_id' AS "column", 'bigint' AS dtype, n.n AS n_rows,
+                     n.n - count(doc_id) AS n_null,
+                     round((n.n - count(doc_id)) / greatest(n.n, 1), 6) AS null_rate,
+                     count(DISTINCT doc_id) AS n_distinct,
+                     min(doc_id)::VARCHAR AS min_value,
+                     max(doc_id)::VARCHAR AS max_value,
+                     round(sum(doc_id) / count(doc_id), 6)::DOUBLE AS mean_value
+              FROM documents, n GROUP BY n.n
+              UNION ALL
+              SELECT 'text', 'string', n.n, n.n - count(text),
+                     round((n.n - count(text)) / greatest(n.n, 1), 6),
+                     count(DISTINCT text), min(text), max(text), NULL::DOUBLE
+              FROM documents, n GROUP BY n.n
+              UNION ALL
+              SELECT 'lang', 'string', n.n, n.n - count(lang),
+                     round((n.n - count(lang)) / greatest(n.n, 1), 6),
+                     count(DISTINCT lang), min(lang), max(lang), NULL::DOUBLE
+              FROM documents, n GROUP BY n.n
+              UNION ALL
+              SELECT 'source', 'string', n.n, n.n - count(source),
+                     round((n.n - count(source)) / greatest(n.n, 1), 6),
+                     count(DISTINCT source), min(source), max(source), NULL::DOUBLE
+              FROM documents, n GROUP BY n.n
+              UNION ALL
+              SELECT 'n_chars', 'bigint', n.n, n.n - count(n_chars),
+                     round((n.n - count(n_chars)) / greatest(n.n, 1), 6),
+                     count(DISTINCT n_chars), min(n_chars)::VARCHAR,
+                     max(n_chars)::VARCHAR,
+                     round(sum(n_chars) / count(n_chars), 6)::DOUBLE
+              FROM documents, n GROUP BY n.n
+            )
+        """,
+        # declarative quality gate: each check's metric is an exact
+        # integer ratio from the same one-pass aggregate
+        "dataset_checks": """
+            WITH a AS (
+              SELECT count(*) AS n,
+                     count(text) AS nn_text,
+                     count(lang) AS nn_lang,
+                     count(DISTINCT doc_id) AS nd_id, count(doc_id) AS nn_id,
+                     sum(CASE WHEN n_chars BETWEEN 1 AND 1000 THEN 1 ELSE 0 END)
+                       AS ok_range,
+                     count(n_chars) AS nn_chars,
+                     sum(CASE WHEN lang IS NOT NULL
+                              AND regexp_matches(lang, '^[a-z]{2}$')
+                         THEN 1 ELSE 0 END) AS ok_lang
+              FROM documents
+            )
+            SELECT * FROM (
+              SELECT 'non_empty' AS "check", NULL::VARCHAR AS "column",
+                     n::DOUBLE AS metric, 1.0 AS threshold, n >= 1 AS passed
+              FROM a
+              UNION ALL
+              SELECT 'complete', 'text', round(nn_text / greatest(n, 1), 6),
+                     1.0, round(nn_text / greatest(n, 1), 6) >= 1.0 FROM a
+              UNION ALL
+              SELECT 'complete', 'lang', round(nn_lang / greatest(n, 1), 6),
+                     0.99, round(nn_lang / greatest(n, 1), 6) >= 0.99 FROM a
+              UNION ALL
+              SELECT 'unique', 'doc_id', round(nd_id / greatest(nn_id, 1), 6),
+                     1.0, nd_id = nn_id FROM a
+              UNION ALL
+              SELECT 'in_range', 'n_chars',
+                     round(ok_range / greatest(nn_chars, 1), 6), 1.0,
+                     round(ok_range / greatest(nn_chars, 1), 6) >= 1.0 FROM a
+              UNION ALL
+              SELECT 'matches', 'lang', round(ok_lang / greatest(nn_lang, 1), 6),
+                     0.5, round(ok_lang / greatest(nn_lang, 1), 6) >= 0.5 FROM a
+            )
+        """,
         # incremental ingest emits each pair exactly once, in the batch the
         # LATER doc arrived (batch = doc_id % 3) — the one-shot pair set
         # plus that emission-timing tag

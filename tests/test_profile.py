@@ -1,0 +1,95 @@
+"""profile_columns / check_constraints — one-pass dataset quality gate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from nifi_spark.operators.profile import check_constraints, profile_columns
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha", 10.0),
+            (2, "beta", 20.0),
+            (3, None, 30.0),
+            (4, "beta", None),
+            (4, "Gamma9", 50.0),
+        ],
+        "id long, name string, score double",
+    )
+
+
+def test_profile_stats(spark, df):
+    p = {r.column: r for r in profile_columns(df).collect()}
+    assert set(p) == {"id", "name", "score"}
+    assert p["id"].n_rows == 5 and p["id"].n_null == 0
+    assert p["id"].n_distinct == 4  # 4 appears twice
+    assert p["id"].min_value == "1" and p["id"].max_value == "4"
+    assert p["id"].mean_value == round(14 / 5, 6)
+    assert p["name"].n_null == 1 and p["name"].null_rate == 0.2
+    assert p["name"].mean_value is None  # non-numeric
+    assert p["score"].n_null == 1 and p["score"].n_distinct == 4
+    assert p["score"].mean_value == round(110.0 / 4, 6)
+
+
+def test_profile_column_subset_and_unknown(spark, df):
+    assert [r.column for r in profile_columns(df, ["name"]).collect()] == ["name"]
+    with pytest.raises(ValueError, match="unknown columns"):
+        profile_columns(df, ["nope"])
+
+
+def test_profile_empty_frame_has_no_div_zero(spark):
+    empty = spark.createDataFrame([], "id long")
+    row = profile_columns(empty).collect()[0]
+    assert row.n_rows == 0 and row.null_rate == 0.0 and row.n_distinct == 0
+
+
+def test_checks_verdicts(spark, df):
+    got = {
+        (r.check, r.column): (r.metric, r.passed)
+        for r in check_constraints(
+            df,
+            [
+                {"check": "non_empty"},
+                {"check": "complete", "column": "name", "min_fraction": 0.9},
+                {"check": "complete", "column": "id", "min_fraction": 1.0},
+                {"check": "unique", "column": "id"},
+                {"check": "unique", "column": "name"},
+                {"check": "in_range", "column": "score", "lo": 0, "hi": 40},
+                {"check": "matches", "column": "name",
+                 "pattern": "^[a-z]+$", "min_fraction": 0.5},
+            ],
+        ).collect()
+    }
+    assert got[("non_empty", None)] == (5.0, True)
+    assert got[("complete", "name")] == (0.8, False)  # 1 null of 5
+    assert got[("complete", "id")] == (1.0, True)
+    assert got[("unique", "id")][1] is False  # 4 duplicated
+    assert got[("unique", "name")][1] is False  # beta duplicated
+    # score: 3 of 4 non-null in [0, 40]
+    assert got[("in_range", "score")] == (0.75, False)
+    # names: alpha, beta, beta lowercase; Gamma9 fails → 3/4
+    assert got[("matches", "name")] == (0.75, True)
+
+
+def test_checks_validation_errors(spark, df):
+    with pytest.raises(ValueError, match="unknown check kind"):
+        check_constraints(df, [{"check": "percentile", "column": "id"}])
+    with pytest.raises(ValueError, match="unknown column"):
+        check_constraints(df, [{"check": "unique", "column": "nope"}])
+
+
+def test_single_aggregate_plan(spark, df):
+    """Both operators must stay one aggregate over one scan: no joins, no
+    windows, at most the aggregate's own exchanges."""
+    for out in (
+        profile_columns(df),
+        check_constraints(df, [
+            {"check": "complete", "column": "name", "min_fraction": 0.5},
+            {"check": "unique", "column": "id"},
+            {"check": "in_range", "column": "score", "lo": 0, "hi": 100},
+        ]),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan and "Window" not in plan
