@@ -2279,6 +2279,26 @@ def q_dataset_checks(spark, sf_dir):
     )
 
 
+def q_drift_documents(spark, sf_dir):
+    """Ingest drift monitor (operators/profile.drift_report, ≙
+    MonitorActivity.java's inactivity alarm lifted to VALUE drift): the
+    current batch's column profile vs a reference profile — schema drift
+    surfaces as new/missing columns, value drift as null-rate / mean /
+    distinct shifts. Here: odd-doc_id half (with n_chars) vs even half
+    (with source) — two one-pass aggregates joined on column name,
+    O(columns) rows, nothing rescans the data."""
+    from nifi_spark.operators.profile import drift_report, profile_columns
+
+    docs = _t(spark, sf_dir, "documents")
+    cur = profile_columns(
+        docs.filter(F.col("doc_id") % 2 == 1), ["doc_id", "text", "n_chars"]
+    )
+    ref = profile_columns(
+        docs.filter(F.col("doc_id") % 2 == 0), ["doc_id", "text", "source"]
+    )
+    return drift_report(cur, ref)
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2330,6 +2350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "profile_documents": q_profile_documents,
         "dataset_checks": q_dataset_checks,
+        "drift_documents": q_drift_documents,
         "cdc_agg_mv": q_cdc_agg_mv,
         "cdc_sft_mv": q_cdc_sft_mv,
         "asof_join": q_asof_join,
@@ -3037,6 +3058,65 @@ def oracle_sql() -> dict[str, str]:
               SELECT 'matches', 'lang', round(ok_lang / greatest(nn_lang, 1), 6),
                      0.5, round(ok_lang / greatest(nn_lang, 1), 6) >= 0.5 FROM a
             )
+        """,
+        # drift report: two per-half profiles full-outer-joined on column;
+        # relative deltas NULL when the reference side is NULL/zero
+        "drift_documents": """
+            WITH cu AS (SELECT doc_id, text, n_chars FROM documents
+                        WHERE doc_id % 2 = 1),
+            re AS (SELECT doc_id, text, source FROM documents
+                   WHERE doc_id % 2 = 0),
+            pc AS (
+              SELECT 'doc_id' AS col, 'bigint' AS dt,
+                     round((count(*) - count(doc_id)) / greatest(count(*), 1), 6) AS nr,
+                     round(sum(doc_id) / count(doc_id), 6)::DOUBLE AS mv,
+                     count(DISTINCT doc_id) AS nd FROM cu
+              UNION ALL
+              SELECT 'text', 'string',
+                     round((count(*) - count(text)) / greatest(count(*), 1), 6),
+                     NULL::DOUBLE, count(DISTINCT text) FROM cu
+              UNION ALL
+              SELECT 'n_chars', 'bigint',
+                     round((count(*) - count(n_chars)) / greatest(count(*), 1), 6),
+                     round(sum(n_chars) / count(n_chars), 6)::DOUBLE,
+                     count(DISTINCT n_chars) FROM cu
+            ),
+            pr AS (
+              SELECT 'doc_id' AS col, 'bigint' AS dt,
+                     round((count(*) - count(doc_id)) / greatest(count(*), 1), 6) AS nr,
+                     round(sum(doc_id) / count(doc_id), 6)::DOUBLE AS mv,
+                     count(DISTINCT doc_id) AS nd FROM re
+              UNION ALL
+              SELECT 'text', 'string',
+                     round((count(*) - count(text)) / greatest(count(*), 1), 6),
+                     NULL::DOUBLE, count(DISTINCT text) FROM re
+              UNION ALL
+              SELECT 'source', 'string',
+                     round((count(*) - count(source)) / greatest(count(*), 1), 6),
+                     NULL::DOUBLE, count(DISTINCT source) FROM re
+            )
+            SELECT coalesce(pc.col, pr.col) AS "column",
+                   CASE WHEN pr.col IS NULL THEN 'new_column'
+                        WHEN pc.col IS NULL THEN 'missing_column'
+                        WHEN round(abs(pc.nr - pr.nr), 6) > 0.01
+                          OR coalesce(round(abs(pc.mv - pr.mv) / abs(pr.mv), 6)
+                                      > 0.1, FALSE)
+                          OR coalesce(round(abs(pc.nd - pr.nd) / pr.nd, 6)
+                                      > 0.5, FALSE)
+                          OR pc.dt <> pr.dt
+                        THEN 'drift' ELSE 'ok' END AS status,
+                   round(abs(pc.nr - pr.nr), 6) AS null_rate_delta,
+                   CASE WHEN pr.mv IS NOT NULL AND pr.mv <> 0
+                             AND pc.mv IS NOT NULL
+                        THEN round(abs(pc.mv - pr.mv) / abs(pr.mv), 6)
+                   END AS mean_rel_delta,
+                   CASE WHEN pr.nd IS NOT NULL AND pr.nd > 0
+                             AND pc.nd IS NOT NULL
+                        THEN round(abs(pc.nd - pr.nd) / pr.nd, 6)
+                   END AS distinct_rel_delta,
+                   (pc.dt IS NOT NULL AND pr.dt IS NOT NULL AND pc.dt <> pr.dt)
+                     AS dtype_changed
+            FROM pc FULL OUTER JOIN pr ON pc.col = pr.col
         """,
         # incremental ingest emits each pair exactly once, in the batch the
         # LATER doc arrived (batch = doc_id % 3) — the one-shot pair set

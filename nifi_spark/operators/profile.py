@@ -183,3 +183,76 @@ def check_constraints(df: DataFrame, checks: list[dict]) -> DataFrame:
             )
         )
     return row.select(F.explode(F.array(*entries)).alias("v")).select("v.*")
+
+
+def drift_report(
+    cur: DataFrame,
+    ref: DataFrame,
+    max_null_rate_delta: float = 0.01,
+    max_mean_rel_delta: float = 0.1,
+    max_distinct_rel_delta: float = 0.5,
+) -> DataFrame:
+    """Compare two :func:`profile_columns` outputs (current batch vs a
+    reference window) and flag per-column drift — the ingest-monitoring
+    loop a production pipeline runs before admitting a batch upstream of
+    training (schema drift surfaces as missing/new columns; value drift
+    as null-rate / mean / distinct-count shifts).
+
+    Output, one row per column in either profile: ``column, status``
+    (``ok | drift | new_column | missing_column``), the three deltas
+    (``null_rate_delta``, ``mean_rel_delta``, ``distinct_rel_delta`` —
+    relative deltas NULL when the reference side is NULL/zero), and
+    ``dtype_changed``. A full outer join of two tiny aggregate outputs —
+    cost is O(columns), nothing rescans the data.
+    """
+    c = cur.select(
+        F.col("column"),
+        F.col("dtype").alias("_dt_c"),
+        F.col("null_rate").alias("_nr_c"),
+        F.col("mean_value").alias("_mv_c"),
+        F.col("n_distinct").alias("_nd_c"),
+    )
+    r = ref.select(
+        F.col("column"),
+        F.col("dtype").alias("_dt_r"),
+        F.col("null_rate").alias("_nr_r"),
+        F.col("mean_value").alias("_mv_r"),
+        F.col("n_distinct").alias("_nd_r"),
+    )
+    j = c.join(r, "column", "full_outer")
+    nr_delta = F.round(F.abs(F.col("_nr_c") - F.col("_nr_r")), 6)
+    mv_delta = F.when(
+        F.col("_mv_r").isNotNull() & (F.col("_mv_r") != 0) & F.col("_mv_c").isNotNull(),
+        F.round(F.abs(F.col("_mv_c") - F.col("_mv_r")) / F.abs(F.col("_mv_r")), 6),
+    )
+    nd_delta = F.when(
+        F.col("_nd_r").isNotNull() & (F.col("_nd_r") > 0) & F.col("_nd_c").isNotNull(),
+        F.round(
+            F.abs(F.col("_nd_c") - F.col("_nd_r")) / F.col("_nd_r"), 6
+        ),
+    )
+    dtype_changed = (
+        F.col("_dt_c").isNotNull()
+        & F.col("_dt_r").isNotNull()
+        & (F.col("_dt_c") != F.col("_dt_r"))
+    )
+    drifted = (
+        (nr_delta > max_null_rate_delta)
+        | (F.coalesce(mv_delta > max_mean_rel_delta, F.lit(False)))
+        | (F.coalesce(nd_delta > max_distinct_rel_delta, F.lit(False)))
+        | dtype_changed
+    )
+    status = (
+        F.when(F.col("_dt_r").isNull(), F.lit("new_column"))
+        .when(F.col("_dt_c").isNull(), F.lit("missing_column"))
+        .when(drifted, F.lit("drift"))
+        .otherwise(F.lit("ok"))
+    )
+    return j.select(
+        "column",
+        status.alias("status"),
+        nr_delta.alias("null_rate_delta"),
+        mv_delta.alias("mean_rel_delta"),
+        nd_delta.alias("distinct_rel_delta"),
+        dtype_changed.alias("dtype_changed"),
+    )

@@ -93,3 +93,40 @@ def test_single_aggregate_plan(spark, df):
     ):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan and "Window" not in plan
+
+
+def test_drift_report_statuses(spark):
+    from nifi_spark.operators.profile import drift_report
+
+    ref = spark.createDataFrame(
+        [(i, f"u{i}", float(i)) for i in range(100)],
+        "id long, name string, score double",
+    )
+    # current: score mean shifted 10x, name now 30% null, id stable;
+    # extra column added, score dtype preserved
+    cur = spark.createDataFrame(
+        [(i, f"u{i}" if i % 10 >= 3 else None, float(i) * 10, "x")
+         for i in range(100)],
+        "id long, name string, score double, extra string",
+    )
+    got = {r.column: r for r in
+           drift_report(profile_columns(cur), profile_columns(ref)).collect()}
+    assert got["id"].status == "ok" and got["id"].null_rate_delta == 0.0
+    assert got["name"].status == "drift" and got["name"].null_rate_delta == 0.3
+    assert got["score"].status == "drift"
+    assert got["score"].mean_rel_delta == pytest.approx(9.0, abs=1e-4)
+    assert got["extra"].status == "new_column"
+
+    # reversed roles: extra goes missing
+    rev = {r.column: r for r in
+           drift_report(profile_columns(ref), profile_columns(cur)).collect()}
+    assert rev["extra"].status == "missing_column"
+
+
+def test_drift_report_dtype_change(spark):
+    from nifi_spark.operators.profile import drift_report
+
+    a = profile_columns(spark.createDataFrame([(1,)], "v long"))
+    b = profile_columns(spark.createDataFrame([("1",)], "v string"))
+    row = drift_report(a, b).collect()[0]
+    assert row.status == "drift" and row.dtype_changed is True
