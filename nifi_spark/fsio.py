@@ -139,6 +139,18 @@ class FsIO:
         finally:
             out.close()
 
+    def rename_dir(self, src: str, dst: str) -> None:
+        """Move a DIRECTORY src→dst (dst must not exist). Directories
+        cannot take the hard-link path of :meth:`rename_no_overwrite`;
+        locally this is ``os.rename`` (atomic within a filesystem),
+        remotely the same Hadoop rename — callers own single-writer
+        discipline (maintenance ops: index compaction)."""
+        if self._local:
+            os.rename(_local_path(src), _local_path(dst))
+            return
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise OSError(f"rename_dir failed: {src} -> {dst}")
+
     def rename_no_overwrite(self, src: str, dst: str) -> bool:
         """Move src→dst; False when dst already exists (commit race lost)."""
         if self._local:

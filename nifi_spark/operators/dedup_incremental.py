@@ -202,3 +202,75 @@ class LshIndex:
         )
         sh = self._read_part(self.sh_dir, batch_id).select(self.id_col, "_sh")
         return verify_jaccard_pairs(cand, sh, self.id_col, self.threshold)
+
+    # -- maintenance --------------------------------------------------------
+
+    def compact(self, upto: int | None = None, n_files: int = 8) -> int:
+        """Merge the batch partitions <= ``upto`` into ONE partition.
+
+        A thousand-batch ingest leaves a thousand small ``batch=N``
+        directories per side — the probe still prunes correctly but pays
+        file-listing and tiny-file overhead (the same merge-on-read debt
+        LakeTable repays via ``compact_buckets``). Compaction rewrites the
+        covered range as a single ``batch=<upto>`` partition of
+        ``n_files`` files per side; probes and the union invariant are
+        unchanged (every covered row keeps batch <= any later probe's
+        cursor). Replay of batch ids BELOW the compacted range becomes
+        impossible (their partitions are gone) — the same trade
+        ``expire_snapshots`` makes for time travel.
+
+        Single-writer maintenance op. Crash-safe via a discovery-ignored
+        ``_tmp_compact`` staging dir: the rewrite lands there first; a
+        crash between the old-partition delete and the final move is
+        recovered by the next ``compact`` call (it finishes the move
+        before doing anything else). Returns the number of batch
+        partitions merged (0 = nothing to do).
+        """
+        for base in (self.bands_dir, self.sh_dir):
+            tmp = fsio_join(base, "_tmp_compact")
+            if self._io.exists(fsio_join(tmp, "_SUCCESS")):
+                # prior compact crashed after staging: the marker records
+                # the covered ids — delete them all, then land the staged
+                # partition (idempotent whether the crash hit before or
+                # mid-way through the original delete pass)
+                covered = [
+                    int(x)
+                    for x in self._io.read_text(
+                        fsio_join(tmp, "_SUCCESS")
+                    ).split(",")
+                    if x
+                ]
+                staged = [
+                    n for n in self._io.list_names(tmp) if n.startswith("batch=")
+                ]
+                for b in covered:
+                    self._io.delete(fsio_join(base, f"batch={b}"))
+                for name in staged:
+                    self._io.rename_dir(fsio_join(tmp, name), fsio_join(base, name))
+            self._io.delete(tmp)
+
+        done = self.committed_batches()
+        upto = done[-1] if upto is None else upto
+        merge = [b for b in done if b <= upto]
+        if len(merge) < 2:
+            return 0
+        target = merge[-1]
+        for base in (self.bands_dir, self.sh_dir):
+            tmp = fsio_join(base, "_tmp_compact")
+            part = fsio_join(tmp, f"batch={target}")
+            (
+                self.spark.read.parquet(base)
+                .filter(F.col("batch") <= target)
+                .drop("batch")
+                .repartition(n_files)
+                .write.mode("overwrite")
+                .parquet(part)
+            )
+            self._io.write_text(
+                fsio_join(tmp, "_SUCCESS"), ",".join(str(b) for b in merge)
+            )
+            for b in merge:
+                self._io.delete(fsio_join(base, f"batch={b}"))
+            self._io.rename_dir(part, fsio_join(base, f"batch={target}"))
+            self._io.delete(tmp)
+        return len(merge)

@@ -193,3 +193,79 @@ def test_cdc_changelog_feeds_at_ingest_neardup(spark, tmp_path):
         for r in minhash_dedup_pairs(all_docs, "conv_id", "text", **PARAMS).collect()
     )
     assert one_shot == sorted(seen[1] + seen[2] + seen[3])
+
+
+def test_compact_preserves_probe_semantics(spark, tmp_path):
+    """Compaction merges the covered batch partitions into one; later
+    probes and the union invariant are unchanged, file counts shrink."""
+    import os
+
+    docs = _docs(spark)
+    idx = LshIndex(spark, str(tmp_path / "lsh"), **PARAMS)
+    got = _drain(idx, docs, ["doc_id % 4 = 0", "doc_id % 4 = 1", "doc_id % 4 = 2"])
+    assert idx.committed_batches() == [0, 1, 2]
+    merged = idx.compact(n_files=2)
+    assert merged == 3
+    assert idx.committed_batches() == [2]
+    band_files = [
+        f for f in os.listdir(tmp_path / "lsh" / "bands" / "batch=2")
+        if f.endswith(".parquet")
+    ]
+    assert len(band_files) == 2
+    # the next batch probes the compacted index identically
+    got += [
+        (r.id_a, r.id_b, r.jaccard)
+        for r in idx.add_batch(docs.filter("doc_id % 4 = 3"), 3).collect()
+    ]
+    assert sorted(got) == _one_shot(spark)
+    # replay below the compacted range is gone (expire-snapshots trade)
+    with pytest.raises(ValueError, match="below committed cursor"):
+        idx.add_batch(docs.filter("doc_id % 4 = 1"), 1)
+    # nothing left to merge at the same cursor
+    assert idx.compact(upto=2) == 0
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """A compact that crashed between staging and the final move is
+    finished by the next compact call — no data lost, no duplicates."""
+    import shutil
+
+    docs = _docs(spark)
+    idx = LshIndex(spark, str(tmp_path / "lsh"), **PARAMS)
+    _drain(idx, docs, ["doc_id % 3 = 0", "doc_id % 3 = 1"])
+
+    # simulate the crash: stage the rewrite for the bands side by hand
+    # (what compact does before its delete+move), leave old dirs intact
+    base = tmp_path / "lsh" / "bands"
+    tmp = base / "_tmp_compact"
+    part = tmp / "batch=1"
+    (
+        spark.read.parquet(str(base))
+        .filter(F.col("batch") <= 1)
+        .drop("batch")
+        .repartition(2)
+        .write.mode("overwrite")
+        .parquet(str(part))
+    )
+    (tmp / "_SUCCESS").write_text("0,1")
+    n_rows_before = spark.read.parquet(str(base)).filter("batch <= 1").count()
+
+    merged = idx.compact()  # recovery runs first, then finds 1 band part +
+    assert idx.committed_batches() == [1]
+    rows = spark.read.parquet(str(base))
+    assert rows.count() == n_rows_before  # no duplicates from the recovery
+    assert not (base / "_tmp_compact").exists()
+    # index still answers probes correctly after recovery
+    got = [
+        (r.id_a, r.id_b, r.jaccard)
+        for r in idx.add_batch(docs.filter("doc_id % 3 = 2"), 2).collect()
+    ]
+    pre = _drain(
+        LshIndex(spark, str(tmp_path / "fresh"), **PARAMS),
+        docs,
+        ["doc_id % 3 < 2", "doc_id % 3 = 2"],
+    )
+    assert sorted(got) == sorted(t for t in pre if t not in set(
+        _drain(LshIndex(spark, str(tmp_path / "fresh2"), **PARAMS),
+               docs, ["doc_id % 3 < 2"])
+    ))
