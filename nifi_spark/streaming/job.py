@@ -47,6 +47,12 @@ from ..sinks.laketable import LakeTable
 from ..lineage import write_lineage_rows
 
 
+class QualityGateError(RuntimeError):
+    """A micro-batch failed its declared data-quality checks under
+    ``quality_action="halt"`` — raised BEFORE the sink commit, so the
+    batch applies nothing and a replay re-evaluates the gate."""
+
+
 def build_parse_exprs(keep: list[str]) -> tuple[list, list]:
     """(parse_cols, norm_cols) for the JSON-payload envelope: from_json →
     typed event columns, carrying ``keep`` metadata columns (source
@@ -98,6 +104,8 @@ class CdcPipeline:
         mv_key_cols: list[str] | None = None,
         mv_agg_fn=None,
         stats_cols: list[str] | None = None,
+        quality_checks: list[dict] | None = None,
+        quality_action: str = "record",
     ):
         """``txn_consistent``: the feed is transaction-delimited
         (schema.CHANGE_EVENTS_TXN — every event carries ``txn_id``, the
@@ -137,6 +145,22 @@ class CdcPipeline:
         """
         if sink_mode not in ("merge", "append"):
             raise ValueError(f"sink_mode must be 'merge' or 'append', got {sink_mode!r}")
+        # quality_checks: operators/profile.check_constraints specs
+        # evaluated per micro-batch over the ADMITTED good rows, BEFORE the
+        # sink commit (≙ ValidateRecord as a batch gate instead of
+        # per-record routing). Verdicts persist checkpoint-adjacent under
+        # quality/ (FsIO — durable wherever the checkpoint lives);
+        # quality_action="halt" fails the micro-batch on any failed check
+        # so nothing commits (replay re-evaluates after the fix),
+        # "record" logs verdicts + metrics and proceeds. Opt-in cost: ONE
+        # extra aggregate job per batch (a second batch scan on the fused
+        # append path, which otherwise stays at one job).
+        if quality_action not in ("record", "halt"):
+            raise ValueError(
+                f"quality_action must be 'record' or 'halt', got {quality_action!r}"
+            )
+        self.quality_checks = quality_checks
+        self.quality_action = quality_action
         self.spark = spark
         # stats_cols: per-file [min,max] bounds recorded at every commit
         # (LakeTable file_stats) so downstream time/seq-range readers skip
@@ -536,6 +560,45 @@ class CdcPipeline:
 
     # ---------- batch apply (the foreachBatch body) ----------
 
+    def _quality_gate(self, flagged: DataFrame, batch_id: int, metrics: dict) -> None:
+        """Evaluate the declared checks over this batch's admitted good
+        rows (operators/profile.check_constraints — one aggregate job),
+        persist the verdicts checkpoint-adjacent under ``quality/``, and
+        under ``quality_action="halt"`` raise before anything commits.
+
+        The verdict collect is bounded at len(quality_checks) rows (the
+        same bounded-driver-collect class as DDL statements and touched
+        buckets). Verdict files are keyed by batch id, so a replayed
+        batch overwrites its own record instead of duplicating it.
+        """
+        from ..operators.profile import check_constraints
+
+        verdicts = check_constraints(
+            flagged.filter(self._good), self.quality_checks
+        ).collect()
+        failed = [r for r in verdicts if not r.passed]
+        metrics["n_quality_failed"] = len(failed)
+        qdir = fsio_join(self.checkpoint_dir, "quality")
+        self._ckpt_io.mkdirs(qdir)
+        self._ckpt_io.write_text(
+            fsio_join(qdir, f"batch_{batch_id}.json"),
+            json.dumps(
+                {
+                    "batch_id": batch_id,
+                    "action": self.quality_action,
+                    "checks": [r.asDict() for r in verdicts],
+                }
+            ),
+        )
+        if failed and self.quality_action == "halt":
+            raise QualityGateError(
+                f"batch {batch_id} failed quality checks: "
+                + "; ".join(
+                    f"{r.check}({r.column}) metric={r.metric} < {r.threshold}"
+                    for r in failed
+                )
+            )
+
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> dict:
         """Normalize → flag (DLQ/late) → one metrics pass → merge → lineage.
 
@@ -617,6 +680,12 @@ class CdcPipeline:
             gate_thread = threading.Thread(target=_run_persist, daemon=True)
             gate_thread.start()
         try:
+            # quality gate FIRST (inside the try so a halt still joins the
+            # overlapped pending write and releases the batch cache):
+            # verdicts must precede the sink commit for halt to mean
+            # "nothing applied"
+            if self.quality_checks:
+                self._quality_gate(flagged, batch_id, metrics)
             if self.sink_mode == "append":
                 return self._apply_batch_fused(flagged, batch_id, metrics)
             return self._apply_batch_merge(flagged, batch_id, metrics)
@@ -1066,6 +1135,15 @@ def _cli(argv: list[str] | None = None) -> None:
                    help="view aggregate: per-conversation stats (default) or "
                         "rendered SFT training samples (transcript text + "
                         "counters + train/val split)")
+    p.add_argument("--quality-checks", default=None,
+                   help="JSON list of operators/profile.check_constraints "
+                        "specs evaluated per batch over the admitted rows, "
+                        'e.g. \'[{"check":"complete","column":"text",'
+                        '"min_fraction":1.0}]\'')
+    p.add_argument("--quality-action", choices=("record", "halt"),
+                   default="record",
+                   help="on a failed check: record the verdict and proceed, "
+                        "or halt the micro-batch before anything commits")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--available-now", action="store_true",
                    help="drain the feed and stop (batch replay); else run continuous")
@@ -1131,6 +1209,10 @@ def _cli(argv: list[str] | None = None) -> None:
         mv_path=args.mv_path,
         mv_refresh_every=args.mv_refresh_every,
         mv_agg_fn=_mv_agg_from_name(args.mv_agg),
+        quality_checks=(
+            json.loads(args.quality_checks) if args.quality_checks else None
+        ),
+        quality_action=args.quality_action,
     )
     if args.bootstrap_from:
         if args.bootstrap_seq is None:
