@@ -2230,7 +2230,12 @@ def q_dedup_incremental(spark, sf_dir):
     idx = LshIndex(
         spark,
         _os.path.join(_work_dir("dedup_incremental", sf_dir), "lsh"),
-        n_hashes=16, shingle_n=3, n_bands=4, threshold=0.5, max_bucket=64,
+        # max_bucket effectively unbounded: the one-shot oracle applies its
+        # guard to FULL-corpus bucket sizes while the incremental probe
+        # guards at probe time (batches <= cursor) — a bucket crossing the
+        # bound between splits would diverge. Disabling both keeps the
+        # union == one-shot invariant exact for ANY data.
+        n_hashes=16, shingle_n=3, n_bands=4, threshold=0.5, max_bucket=1_000_000,
     )
     out = None
     for b in range(3):
@@ -2456,11 +2461,12 @@ def _mh_sig_exprs(n_hashes: int = 16) -> str:
     )
 
 
-def _mh_pairs_sql(corpus_sql: str) -> str:
+def _mh_pairs_sql(corpus_sql: str, max_bucket: int = 64) -> str:
     """MinHash-LSH near-dup-pairs oracle over an arbitrary corpus: the
     shingle -> universal-hash signature -> band buckets -> hashed-shingle
     verify chain of operators/dedup_fuzzy.minhash_dedup_pairs, term for
-    term, with ``corpus_sql`` supplying (doc_id, text) rows."""
+    term, with ``corpus_sql`` supplying (doc_id, text) rows and
+    ``max_bucket`` mirroring the engine's bucket guard."""
     return f"""
             WITH corpus AS ({corpus_sql}),
             sh AS (
@@ -2483,7 +2489,7 @@ def _mh_pairs_sql(corpus_sql: str) -> str:
             buckets AS (
                 SELECT b, bhash, list_sort(list(doc_id)) AS ids
                 FROM bands GROUP BY b, bhash
-                HAVING count(*) > 1 AND count(*) <= 64
+                HAVING count(*) > 1 AND count(*) <= {max_bucket}
             ),
             pairs AS (
                 SELECT DISTINCT x.ia AS id_a, y.ib AS id_b
@@ -3124,7 +3130,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_incremental": f"""
             SELECT id_a, id_b, jaccard,
                    greatest(id_a % 3, id_b % 3)::INT AS seen_batch
-            FROM ({_mh_pairs_sql("SELECT doc_id, text FROM documents")})
+            FROM ({_mh_pairs_sql(
+                "SELECT doc_id, text FROM documents", max_bucket=1_000_000
+            )})
         """,
         # Same minhash-LSH stack over RENDERED transcripts: the corpus is
         # every conversation plus a truncated re-ingest (last turn dropped),

@@ -108,6 +108,19 @@ class LshIndex:
                     out.append(bid)
         return sorted(out)
 
+    def _compacted_upto(self) -> int | None:
+        """Compaction watermark: highest batch id folded into a merged
+        partition (replays at or below it are refused — see compact())."""
+        p = fsio_join(self.path, "_compacted_upto")
+        if not self._io.exists(p):
+            return None
+        return int(self._io.read_text(p).strip())
+
+    def _set_compacted_upto(self, upto: int) -> None:
+        cur = self._compacted_upto()
+        if cur is None or upto > cur:
+            self._io.write_text(fsio_join(self.path, "_compacted_upto"), str(upto))
+
     def _read_part(self, base: str, upto: int) -> DataFrame:
         """Partition-discovered read of ``base`` filtered to batch <= upto
         (partition pruning keeps later/replayed batches out of the scan)."""
@@ -131,6 +144,16 @@ class LshIndex:
         own stale band rows); this is the caller's contract, same as
         DetectDuplicate's cache-key discipline.
         """
+        upto = self._compacted_upto()
+        if upto is not None and batch_id <= upto:
+            # the target partition now holds the MERGED history, so a
+            # "replay" of any covered id would probe the whole corpus as
+            # if it were new and re-emit every historical pair — refuse,
+            # like time travel past an expired snapshot
+            raise ValueError(
+                f"batch_id {batch_id} is at or below the compaction "
+                f"watermark {upto}; compacted batches cannot be replayed"
+            )
         done = self.committed_batches()
         if done and batch_id < done[-1] and batch_id not in done:
             raise ValueError(
@@ -152,15 +175,21 @@ class LshIndex:
                         lambda s: md5_long(s),
                     )
                 ),
-            )
-            # one pass computes both persisted shapes; band rows ride the
-            # same signature projection
-            band_rows(
-                with_sig, self.id_col, "sig", self.n_bands, self.rows_per_band
-            ).write.mode("overwrite").parquet(band_part)
-            with_sig.select(self.id_col, "_sh").write.mode("overwrite").parquet(
-                sh_part
-            )
+            ).persist()  # two write actions below share one shingle+hash pass
+            try:
+                # shingles FIRST: the bands-side _SUCCESS is the batch's
+                # commit marker (committed_batches + the skip above), so it
+                # must land last — a crash between the writes then replays
+                # both (overwrite mode), never leaving a committed batch
+                # whose verify side is missing
+                with_sig.select(self.id_col, "_sh").write.mode(
+                    "overwrite"
+                ).parquet(sh_part)
+                band_rows(
+                    with_sig, self.id_col, "sig", self.n_bands, self.rows_per_band
+                ).write.mode("overwrite").parquet(band_part)
+            finally:
+                with_sig.unpersist()
         if not return_pairs:
             return None
 
@@ -215,24 +244,36 @@ class LshIndex:
         covered range as a single ``batch=<upto>`` partition of
         ``n_files`` files per side; probes and the union invariant are
         unchanged (every covered row keeps batch <= any later probe's
-        cursor). Replay of batch ids BELOW the compacted range becomes
-        impossible (their partitions are gone) — the same trade
-        ``expire_snapshots`` makes for time travel.
+        cursor). Replay of batch ids AT or BELOW the compacted watermark
+        becomes impossible (their partitions are merged away; the target
+        id's partition now holds the whole covered history, so replaying
+        it would re-probe every historical doc as new) — add_batch
+        refuses them, the same trade ``expire_snapshots`` makes for time
+        travel.
 
         Single-writer maintenance op. Crash-safe via a discovery-ignored
-        ``_tmp_compact`` staging dir: the rewrite lands there first; a
-        crash between the old-partition delete and the final move is
+        ``_tmp_compact`` staging dir: the rewrite lands there first, and
+        the rename of the staged partition into place is the COMMIT POINT
+        — a crash between the old-partition delete and that rename is
         recovered by the next ``compact`` call (it finishes the move
-        before doing anything else). Returns the number of batch
-        partitions merged (0 = nothing to do).
+        before doing anything else); once the rename has happened, the
+        recovery path has nothing staged and touches nothing. Returns the
+        number of batch partitions merged (0 = nothing to do).
         """
         for base in (self.bands_dir, self.sh_dir):
             tmp = fsio_join(base, "_tmp_compact")
-            if self._io.exists(fsio_join(tmp, "_SUCCESS")):
-                # prior compact crashed after staging: the marker records
-                # the covered ids — delete them all, then land the staged
-                # partition (idempotent whether the crash hit before or
-                # mid-way through the original delete pass)
+            staged = [
+                n for n in self._io.list_names(tmp) if n.startswith("batch=")
+            ]
+            if staged and self._io.exists(fsio_join(tmp, "_SUCCESS")):
+                # prior compact crashed after staging but BEFORE the
+                # commit-point rename: the marker records the covered ids
+                # — delete them (idempotent whether the crash hit before
+                # or mid-way through the original delete pass), then land
+                # the staged partition. When nothing is staged the rename
+                # already committed (the crash was before delete(tmp)) —
+                # the covered list must NOT be replayed then, or it would
+                # delete the live compacted partition itself.
                 covered = [
                     int(x)
                     for x in self._io.read_text(
@@ -240,13 +281,12 @@ class LshIndex:
                     ).split(",")
                     if x
                 ]
-                staged = [
-                    n for n in self._io.list_names(tmp) if n.startswith("batch=")
-                ]
                 for b in covered:
                     self._io.delete(fsio_join(base, f"batch={b}"))
                 for name in staged:
                     self._io.rename_dir(fsio_join(tmp, name), fsio_join(base, name))
+                if covered:
+                    self._set_compacted_upto(max(covered))
             self._io.delete(tmp)
 
         done = self.committed_batches()
@@ -273,4 +313,5 @@ class LshIndex:
                 self._io.delete(fsio_join(base, f"batch={b}"))
             self._io.rename_dir(part, fsio_join(base, f"batch={target}"))
             self._io.delete(tmp)
+        self._set_compacted_upto(target)
         return len(merge)

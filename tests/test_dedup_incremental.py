@@ -218,9 +218,12 @@ def test_compact_preserves_probe_semantics(spark, tmp_path):
         for r in idx.add_batch(docs.filter("doc_id % 4 = 3"), 3).collect()
     ]
     assert sorted(got) == _one_shot(spark)
-    # replay below the compacted range is gone (expire-snapshots trade)
-    with pytest.raises(ValueError, match="below committed cursor"):
-        idx.add_batch(docs.filter("doc_id % 4 = 1"), 1)
+    # replay at/below the compaction watermark is gone (expire-snapshots
+    # trade) — INCLUDING the target id, whose partition now holds the
+    # whole merged history
+    for b in (1, 2):
+        with pytest.raises(ValueError, match="compaction watermark"):
+            idx.add_batch(docs.filter(f"doc_id % 4 = {b}"), b)
     # nothing left to merge at the same cursor
     assert idx.compact(upto=2) == 0
 
@@ -269,3 +272,56 @@ def test_compact_crash_recovery(spark, tmp_path):
         _drain(LshIndex(spark, str(tmp_path / "fresh2"), **PARAMS),
                docs, ["doc_id % 3 < 2"])
     ))
+
+
+def test_compact_crash_after_commit_rename_loses_nothing(spark, tmp_path):
+    """Crash AFTER the commit-point rename but BEFORE the staging dir is
+    cleaned: the leftover marker must NOT cause recovery to delete the
+    live compacted partition (the covered list only replays while the
+    staged partition is still in the tmp dir)."""
+    docs = _docs(spark)
+    idx = LshIndex(spark, str(tmp_path / "lsh"), **PARAMS)
+    _drain(idx, docs, ["doc_id % 3 = 0", "doc_id % 3 = 1"])
+    assert idx.compact() == 2
+    # simulate the crash: resurrect the marker (rename already done)
+    base = tmp_path / "lsh" / "bands"
+    tmp = base / "_tmp_compact"
+    tmp.mkdir()
+    (tmp / "_SUCCESS").write_text("0,1")
+    n_before = spark.read.parquet(str(base)).count()
+    assert idx.compact() == 0  # recovery is a no-op beyond cleanup
+    assert spark.read.parquet(str(base)).count() == n_before
+    assert not tmp.exists()
+    got = _drain(idx, docs, []) + [
+        (r.id_a, r.id_b, r.jaccard)
+        for r in idx.add_batch(docs.filter("doc_id % 3 = 2"), 2).collect()
+    ]
+    # full index intact: final batch still finds its pairs vs history
+    fresh = LshIndex(spark, str(tmp_path / "fresh"), **PARAMS)
+    expect = _drain(fresh, docs, ["doc_id % 3 < 2", "doc_id % 3 = 2"])
+    first = set(_drain(LshIndex(spark, str(tmp_path / "f2"), **PARAMS),
+                       docs, ["doc_id % 3 < 2"]))
+    assert sorted(got) == sorted(t for t in expect if t not in first)
+
+
+def test_crash_between_shingle_and_band_write_replays_cleanly(spark, tmp_path):
+    """The bands-side _SUCCESS is the commit marker and lands LAST: a
+    crash after the shingle write leaves the batch uncommitted, and the
+    replay rewrites both sides — no committed batch can be missing its
+    verify side."""
+    import shutil
+
+    docs = _docs(spark)
+    idx = LshIndex(spark, str(tmp_path / "lsh"), **PARAMS)
+    idx.add_batch(docs.filter("doc_id % 2 = 0"), 0, return_pairs=False)
+    idx.add_batch(docs.filter("doc_id % 2 = 1"), 1, return_pairs=False)
+    # simulate the mid-write crash on batch 1: bands never landed
+    shutil.rmtree(tmp_path / "lsh" / "bands" / "batch=1")
+    assert idx.committed_batches() == [0]
+    pairs = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in idx.add_batch(docs.filter("doc_id % 2 = 1"), 1).collect()
+    )
+    b0 = set(_drain(LshIndex(spark, str(tmp_path / "f"), **PARAMS),
+                    docs, ["doc_id % 2 = 0"]))
+    assert sorted(set(pairs)) == sorted(t for t in _one_shot(spark) if t not in b0)
