@@ -2316,8 +2316,15 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # Ordered so the driver's 50-entry CORRECTNESS snapshot covers the
-        # entries never recorded by a prior round's driver first (r4 rotation);
-        # new round-4 queries are inserted before the r03-recorded block.
+        # entries never driver-recorded green first (r5 rotation): the two
+        # r4 hash-only misses (oracle BIGINT casts applied this round) and
+        # the four entries that sat at positions 51-54 of the r4 ordering.
+        "pack_sequences": q_pack_sequences,
+        "sft_loss_spans": q_sft_loss_spans,
+        "cdc_fan_in": q_cdc_fan_in,
+        "cdc_multi_table": q_cdc_multi_table,
+        "preference_pairs": q_preference_pairs,
+        "validate_turns": q_validate_turns,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "control_rate": q_control_rate,
         "duplicate_flowfile": q_duplicate_flowfile,
@@ -2346,7 +2353,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_ann_ivf_pq": q_embedding_ann_ivf_pq,
         "decontaminate": q_decontaminate,
         "decontaminate_bloom": q_decontaminate_bloom,
-        "pack_sequences": q_pack_sequences,
         "sample_stratified": q_sample_stratified,
         "sample_threshold": q_sample_threshold,
         "domain_mix": q_domain_mix,
@@ -2363,16 +2369,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_slice": q_cdc_time_slice,
         "assemble_transcripts": q_assemble_transcripts,
         "truncate_context": q_truncate_context,
-        "sft_loss_spans": q_sft_loss_spans,
         "best_of_n": q_best_of_n,
         "pack_greedy": q_pack_greedy,
         "dedup_transcripts": q_dedup_transcripts,
         "bpe_token_stats": q_bpe_token_stats,
         "cdc_version_read": q_cdc_version_read,
-        "cdc_fan_in": q_cdc_fan_in,
-        "validate_turns": q_validate_turns,
-        "preference_pairs": q_preference_pairs,
-        "cdc_multi_table": q_cdc_multi_table,
         "cdc_lww_fold": q_cdc_lww_fold,
         "cdc_lww_fold_salted": q_cdc_lww_fold_salted,
         "cdc_replay_transcripts": q_cdc_replay_transcripts,
@@ -4034,7 +4035,10 @@ def oracle_sql() -> dict[str, str]:
                            ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_excl
                 FROM d
             )
-            SELECT shard * 1000000000 + cum_excl // 64 AS pack_id,
+            -- ::BIGINT: DuckDB promotes `//` and `sum() OVER` on BIGINT to
+            -- DOUBLE/HUGEINT; Spark emits BIGINT — cast so the driver's
+            -- dtype-sensitive value hash compares like for like.
+            SELECT (shard * 1000000000 + cum_excl // 64)::BIGINT AS pack_id,
                    count(*)::BIGINT AS n_docs,
                    sum(n_tokens)::BIGINT AS sum_tokens
             FROM p GROUP BY 1
@@ -4368,9 +4372,12 @@ def oracle_sql() -> dict[str, str]:
                        (len(role) + 2 + len(text))::BIGINT AS piece_len
                 FROM turns
             )
+            -- ::BIGINT: DuckDB's sum() OVER on BIGINT yields HUGEINT/DOUBLE;
+            -- Spark emits BIGINT — cast for the dtype-sensitive value hash.
             SELECT conv_id, turn_idx, role,
-                   (sum(piece_len + 1) OVER w - (piece_len + 1)) AS span_start,
-                   (sum(piece_len + 1) OVER w - 1) AS span_end,
+                   (sum(piece_len + 1) OVER w - (piece_len + 1))::BIGINT
+                       AS span_start,
+                   (sum(piece_len + 1) OVER w - 1)::BIGINT AS span_end,
                    role IN ('click', 'purchase') AS trainable
             FROM sized
             WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx, role,
