@@ -2994,38 +2994,49 @@ def oracle_sql() -> dict[str, str]:
         # fractions are exact integer ratios, min/max rendered as strings,
         # mean only for numeric columns (sum-of-ints / count — exact)
         "profile_documents": """
+            -- Each arm is a plain aggregate (no GROUP BY) cross-joined with
+            -- the single-row n CTE, so an EMPTY documents table still yields
+            -- one row per column (n_rows=0) — matching profile_columns'
+            -- agg-without-groupBy totality (the old `FROM documents, n GROUP
+            -- BY n.n` shape produced zero groups on empty input).
             WITH n AS (SELECT count(*) AS n FROM documents)
             SELECT * FROM (
               SELECT 'doc_id' AS "column", 'bigint' AS dtype, n.n AS n_rows,
-                     n.n - count(doc_id) AS n_null,
-                     round((n.n - count(doc_id)) / greatest(n.n, 1), 6) AS null_rate,
-                     count(DISTINCT doc_id) AS n_distinct,
-                     min(doc_id)::VARCHAR AS min_value,
-                     max(doc_id)::VARCHAR AS max_value,
-                     round(sum(doc_id) / count(doc_id), 6)::DOUBLE AS mean_value
-              FROM documents, n GROUP BY n.n
+                     n.n - a.nn AS n_null,
+                     round((n.n - a.nn) / greatest(n.n, 1), 6) AS null_rate,
+                     a.nd AS n_distinct,
+                     a.mn::VARCHAR AS min_value,
+                     a.mx::VARCHAR AS max_value,
+                     round(a.sm / greatest(a.nn, 1), 6)::DOUBLE AS mean_value
+              FROM (SELECT count(doc_id) AS nn, count(DISTINCT doc_id) AS nd,
+                           min(doc_id) AS mn, max(doc_id) AS mx,
+                           sum(doc_id) AS sm FROM documents) a, n
               UNION ALL
-              SELECT 'text', 'string', n.n, n.n - count(text),
-                     round((n.n - count(text)) / greatest(n.n, 1), 6),
-                     count(DISTINCT text), min(text), max(text), NULL::DOUBLE
-              FROM documents, n GROUP BY n.n
+              SELECT 'text', 'string', n.n, n.n - a.nn,
+                     round((n.n - a.nn) / greatest(n.n, 1), 6),
+                     a.nd, a.mn, a.mx, NULL::DOUBLE
+              FROM (SELECT count(text) AS nn, count(DISTINCT text) AS nd,
+                           min(text) AS mn, max(text) AS mx FROM documents) a, n
               UNION ALL
-              SELECT 'lang', 'string', n.n, n.n - count(lang),
-                     round((n.n - count(lang)) / greatest(n.n, 1), 6),
-                     count(DISTINCT lang), min(lang), max(lang), NULL::DOUBLE
-              FROM documents, n GROUP BY n.n
+              SELECT 'lang', 'string', n.n, n.n - a.nn,
+                     round((n.n - a.nn) / greatest(n.n, 1), 6),
+                     a.nd, a.mn, a.mx, NULL::DOUBLE
+              FROM (SELECT count(lang) AS nn, count(DISTINCT lang) AS nd,
+                           min(lang) AS mn, max(lang) AS mx FROM documents) a, n
               UNION ALL
-              SELECT 'source', 'string', n.n, n.n - count(source),
-                     round((n.n - count(source)) / greatest(n.n, 1), 6),
-                     count(DISTINCT source), min(source), max(source), NULL::DOUBLE
-              FROM documents, n GROUP BY n.n
+              SELECT 'source', 'string', n.n, n.n - a.nn,
+                     round((n.n - a.nn) / greatest(n.n, 1), 6),
+                     a.nd, a.mn, a.mx, NULL::DOUBLE
+              FROM (SELECT count(source) AS nn, count(DISTINCT source) AS nd,
+                           min(source) AS mn, max(source) AS mx FROM documents) a, n
               UNION ALL
-              SELECT 'n_chars', 'bigint', n.n, n.n - count(n_chars),
-                     round((n.n - count(n_chars)) / greatest(n.n, 1), 6),
-                     count(DISTINCT n_chars), min(n_chars)::VARCHAR,
-                     max(n_chars)::VARCHAR,
-                     round(sum(n_chars) / count(n_chars), 6)::DOUBLE
-              FROM documents, n GROUP BY n.n
+              SELECT 'n_chars', 'bigint', n.n, n.n - a.nn,
+                     round((n.n - a.nn) / greatest(n.n, 1), 6),
+                     a.nd, a.mn::VARCHAR, a.mx::VARCHAR,
+                     round(a.sm / greatest(a.nn, 1), 6)::DOUBLE
+              FROM (SELECT count(n_chars) AS nn, count(DISTINCT n_chars) AS nd,
+                           min(n_chars) AS mn, max(n_chars) AS mx,
+                           sum(n_chars) AS sm FROM documents) a, n
             )
         """,
         # declarative quality gate: each check's metric is an exact

@@ -38,10 +38,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-_NUMERIC = (
-    T.ByteType, T.ShortType, T.IntegerType, T.LongType,
-    T.FloatType, T.DoubleType, T.DecimalType,
-)
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_NUMERIC = _INTEGRAL + (T.FloatType, T.DoubleType, T.DecimalType)
 
 
 def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -67,7 +65,19 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
             F.min(F.col(c)).cast("string").alias(f"_mn_{c}"),
             F.max(F.col(c)).cast("string").alias(f"_mx_{c}"),
         ]
-        if isinstance(fields[c], _NUMERIC):
+        if isinstance(fields[c], _INTEGRAL):
+            # Exact integer sum (decimal(38,0) ≙ DuckDB's HUGEINT), then ONE
+            # double division — F.avg would accumulate in DOUBLE and drift
+            # past ~2^53 total (e.g. sum of ids at 10^10-doc scale), and the
+            # running double sum is also partition-order dependent.
+            aggs.append(
+                F.round(
+                    F.sum(F.col(c).cast("decimal(38,0)")).cast("double")
+                    / F.count(F.col(c)),
+                    6,
+                ).alias(f"_av_{c}")
+            )
+        elif isinstance(fields[c], _NUMERIC):
             aggs.append(F.round(F.avg(F.col(c)), 6).alias(f"_av_{c}"))
     row = df.agg(*aggs)
 

@@ -591,12 +591,26 @@ class CdcPipeline:
             ),
         )
         if failed and self.quality_action == "halt":
+            # Per-kind phrasing: "metric < threshold" is wrong for `unique`
+            # (pass condition is distinct == non-null count, so one dup in
+            # 10^7 rows rounds the ratio to 1.0 and would render the
+            # misleading "metric=1.0 < 1.0") and for `non_empty` (a count).
+            def _describe(r):
+                if r.check == "unique":
+                    return (
+                        f"unique({r.column}) duplicate non-null values "
+                        f"present (distinct/total ratio={r.metric})"
+                    )
+                if r.check == "non_empty":
+                    return f"non_empty() dataset is empty (n_rows={int(r.metric)})"
+                return (
+                    f"{r.check}({r.column}) metric={r.metric} "
+                    f"< threshold={r.threshold}"
+                )
+
             raise QualityGateError(
                 f"batch {batch_id} failed quality checks: "
-                + "; ".join(
-                    f"{r.check}({r.column}) metric={r.metric} < {r.threshold}"
-                    for r in failed
-                )
+                + "; ".join(_describe(r) for r in failed)
             )
 
     def apply_batch(self, batch_df: DataFrame, batch_id: int) -> dict:

@@ -130,3 +130,35 @@ def test_drift_report_dtype_change(spark):
     b = profile_columns(spark.createDataFrame([("1",)], "v string"))
     row = drift_report(a, b).collect()[0]
     assert row.status == "drift" and row.dtype_changed is True
+
+
+def test_profile_oracle_total_on_empty_input():
+    """ADVICE r4: the profile_documents oracle must yield one row per
+    column with n_rows=0 on an EMPTY table, matching profile_columns'
+    agg-without-groupBy totality (the old cross-join + GROUP BY shape
+    collapsed to zero groups)."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet' WHERE 1=0"
+    )
+    df = con.sql(entry_mod.oracle_sql()["profile_documents"]).df()
+    con.close()
+    assert len(df) == 5
+    assert (df.n_rows == 0).all() and (df.n_null == 0).all()
+    assert df.min_value.isna().all() and df.mean_value.isna().all()
+
+
+def test_profile_integral_mean_is_exact_sum_then_one_division(spark):
+    """ADVICE r4: integral means accumulate in decimal(38,0) (exact, like
+    DuckDB's HUGEINT sum) with a single double division at the end — not
+    F.avg's running double sum, which drifts past ~2^53 total."""
+    big = 1 << 60  # each value alone exceeds double's 2^53 integer range
+    df = spark.createDataFrame([(big,), (big + 2,), (big + 7,)], "v long")
+    got = {r.column: r for r in profile_columns(df).collect()}["v"]
+    exact = float((big * 3 + 9)) / 3  # one rounding, after the exact sum
+    assert got.mean_value == round(exact, 6)

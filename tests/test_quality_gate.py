@@ -100,3 +100,20 @@ def test_invalid_action_rejected(spark, tmp_path):
             spark, str(tmp_path / "t"), str(tmp_path / "ckpt"),
             quality_checks=CHECKS, quality_action="quarantine",
         )
+
+
+def test_halt_message_is_per_check_kind(spark, tmp_path):
+    """ADVICE r4: the unique check's halt message must not render the
+    misleading 'metric=1.0 < 1.0' shape (its pass condition is distinct ==
+    non-null count, and the rounded ratio can be 1.0 with dups present)."""
+    p = CdcPipeline(
+        spark, str(tmp_path / "t"), str(tmp_path / "ckpt"), n_buckets=4,
+        sink_mode="append", quality_action="halt",
+        quality_checks=[{"check": "unique", "column": "text"}],
+    )
+    feed = _feed(spark).withColumn("text", F.lit("same"))
+    with pytest.raises(QualityGateError) as ei:
+        p.apply_batch(feed, batch_id=0)
+    msg = str(ei.value)
+    assert "duplicate non-null values" in msg
+    assert " < " not in msg
