@@ -40,6 +40,47 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def split_oversized_groups(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    max_group_rows: int | None = None,
+    max_group_bytes: int | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Route groups exceeding a row/byte bound out BEFORE they are
+    collected (≙ MergeContent's max-entries / max-group-size thresholds,
+    reference MergeContent.java:115-127 MAX_ENTRIES/MAX_SIZE properties).
+
+    The collect_list-shaped operators (assemble_transcripts, txn_group,
+    defragment) materialize each group as ONE array in ONE task — a
+    pathological group (a conversation with 10^8 turns, a transaction
+    that never committed upstream) OOMs that task and kills the whole
+    job. This guard aggregates per-group row and byte counts first (one
+    map-side-combined shuffle of counters, never payloads), then
+    anti-joins the oversized ids out of the data — the bad group is never
+    collected. Oversized groups are pathologies by definition, so their
+    id set is broadcast.
+
+    Returns ``(ok_rows, overflow)`` where ``overflow`` has one row per
+    oversized group: ``(group_col, n_rows, n_bytes, reason)`` with reason
+    ``group-overflow`` — the DLQ shape the streaming pipeline uses.
+    """
+    cond = F.lit(False)
+    if max_group_rows is not None:
+        cond = cond | (F.col("n_rows") > max_group_rows)
+    if max_group_bytes is not None:
+        cond = cond | (F.col("n_bytes") > max_group_bytes)
+    sizes = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.coalesce(
+            F.sum(F.octet_length(F.col(size_col).cast("string"))), F.lit(0)
+        ).alias("n_bytes"),
+    )
+    over = sizes.filter(cond).withColumn("reason", F.lit("group-overflow"))
+    ok = df.join(F.broadcast(over.select(group_col)), group_col, "left_anti")
+    return ok, over
+
+
 def _expr_duration_seconds(duration: str) -> float:
     """Parse '10 minutes' / '1 hour' / '30 seconds' to seconds."""
     n, _, unit = duration.strip().partition(" ")

@@ -143,6 +143,8 @@ def defragment(
     payload_col: str,
     sep: str = "",
     count_col: str | None = None,
+    max_group_rows: int | None = None,
+    max_group_bytes: int | None = None,
 ) -> DataFrame:
     """Reassemble fragments into one row per fragment id, index order.
 
@@ -151,7 +153,19 @@ def defragment(
     (frag_id, n_fragments, merged). When ``count_col`` is given, rows whose
     group is incomplete (n != declared count) route out separately in NiFi;
     here they are flagged with ``complete=false``.
+
+    With ``max_group_rows`` / ``max_group_bytes`` set, oversized fragment
+    groups route out BEFORE collection (≙ MergeContent max-entries/size)
+    and the return becomes ``(merged, overflow)`` —
+    binning.split_oversized_groups shape.
     """
+    overflow = None
+    if max_group_rows is not None or max_group_bytes is not None:
+        from .binning import split_oversized_groups
+
+        df, overflow = split_oversized_groups(
+            df, frag_id, payload_col, max_group_rows, max_group_bytes
+        )
     agg = (
         df.groupBy(frag_id)
         .agg(
@@ -170,7 +184,7 @@ def defragment(
     )
     if count_col:
         agg = agg.withColumn("complete", F.col("n_fragments") == F.col("_declared")).drop("_declared")
-    return agg
+    return agg if overflow is None else (agg, overflow)
 
 
 def detect_duplicate(

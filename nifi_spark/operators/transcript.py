@@ -61,6 +61,8 @@ def assemble_transcripts(
     sep: str = "\n",
     train_frac: float = 0.9,
     split_tag: str = "split",
+    max_group_rows: int | None = None,
+    max_group_bytes: int | None = None,
 ) -> DataFrame:
     """One SFT sample per conversation, in ONE hash aggregate.
 
@@ -70,9 +72,22 @@ def assemble_transcripts(
     render deterministic even if turn_idx ever collides upstream.
     ``split`` is 'train' iff md5_rank(split_tag|conv) < train_frac of
     the 60-bit hash space — replay-stable and shuffle-free.
+
+    With ``max_group_rows`` / ``max_group_bytes`` set, pathological
+    conversations are routed out BEFORE their turns are collected (≙
+    MergeContent max-entries/size, MergeContent.java:115-127) and the
+    return becomes ``(samples, overflow)`` — see
+    binning.split_oversized_groups for the overflow (DLQ) shape.
     """
     if not 0.0 < train_frac <= 1.0:
         raise ValueError(f"train_frac must be in (0, 1], got {train_frac}")
+    overflow = None
+    if max_group_rows is not None or max_group_bytes is not None:
+        from .binning import split_oversized_groups
+
+        turns, overflow = split_oversized_groups(
+            turns, conv_col, text_col, max_group_rows, max_group_bytes
+        )
     packed = F.struct(
         F.col(turn_col).alias("i"),
         F.col(role_col).cast("string").alias("r"),
@@ -97,10 +112,11 @@ def assemble_transcripts(
         F.sum(F.size(tokens(F.col(text_col)))).alias("total_tokens"),
     )
     rank = md5_long(F.concat(F.lit(split_tag + "|"), F.col(conv_col).cast("string")))
-    return out.withColumn(
+    out = out.withColumn(
         "split",
         F.when(rank < F.lit(int(train_frac * _SCALE)), "train").otherwise("val"),
     )
+    return out if overflow is None else (out, overflow)
 
 
 def sft_loss_spans(

@@ -97,6 +97,8 @@ def txn_group(
     begin_op: str | None = "B",
     sep: str = ",",
     committed_only: bool = True,
+    max_group_rows: int | None = None,
+    max_group_bytes: int | None = None,
 ) -> DataFrame:
     """ONE_TRANSACTION_PER_FLOWFILE: one output row per transaction with
     the ordered, concatenated event content (reference
@@ -110,6 +112,11 @@ def txn_group(
     content)))))``: the sort key is the struct's leading field, all
     JVM-side. With ``committed_only`` (default) open transactions are
     dropped, mirroring :func:`txn_complete_filter`.
+
+    With ``max_group_rows`` / ``max_group_bytes`` set, runaway
+    transactions route out BEFORE collection (≙ MergeContent
+    max-entries/size, MergeContent.java:115-127) and the return becomes
+    ``(grouped, overflow)`` — binning.split_oversized_groups shape.
     """
     if committed_only:
         data, _ = txn_complete_filter(
@@ -121,6 +128,13 @@ def txn_group(
         data = events.filter(
             ~F.col(op_col).isin(boundary) & F.col(txn_col).isNotNull()
         )
+    overflow = None
+    if max_group_rows is not None or max_group_bytes is not None:
+        from .binning import split_oversized_groups
+
+        data, overflow = split_oversized_groups(
+            data, txn_col, content_col, max_group_rows, max_group_bytes
+        )
     pairs = F.collect_list(F.struct(F.col(order_col), F.col(content_col)))
     merged = F.array_join(
         F.transform(
@@ -128,9 +142,10 @@ def txn_group(
         ),
         sep,
     )
-    return data.groupBy(txn_col).agg(
+    out = data.groupBy(txn_col).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(order_col).alias(f"min_{order_col}"),
         F.max(order_col).alias(f"max_{order_col}"),
         merged.alias("merged"),
     )
+    return out if overflow is None else (out, overflow)

@@ -109,14 +109,21 @@ def test_max_bucket_guard_drops_all_pairs(spark, tmp_path):
 def test_probe_broadcasts_the_batch_not_the_index(spark, tmp_path):
     """Plan shape: the per-batch probe must broadcast the NEW side; the
     index scan streams through hash joins (no sort-merge of the corpus,
-    no cartesian)."""
+    no cartesian). The probe runs eagerly inside add_batch (its result is
+    checkpointed), so its plan is inspected via last_probe_plan; the
+    returned verify plan must stay cartesian-free too."""
     docs = _docs(spark)
     idx = LshIndex(spark, str(tmp_path / "lsh"), **PARAMS)
-    idx.add_batch(docs.filter(F.col("doc_id") < 700), 0, return_pairs=False)
-    pairs = idx.add_batch(docs.filter(F.col("doc_id") >= 700), 1)
-    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    idx.add_batch(docs.filter(F.col("doc_id") < 400), 0, return_pairs=False)
+    pairs = idx.add_batch(docs.filter(F.col("doc_id") >= 400), 1)
+    plan = idx.last_probe_plan
     assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the index side is partition-pruned to the batch's pb sub-buckets
+    assert "pb" in plan and "PartitionFilters" in plan
+    vplan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in vplan and "BroadcastNestedLoop" not in vplan
 
 
 def test_cdc_changelog_feeds_at_ingest_neardup(spark, tmp_path):
@@ -195,23 +202,38 @@ def test_cdc_changelog_feeds_at_ingest_neardup(spark, tmp_path):
     assert one_shot == sorted(seen[1] + seen[2] + seen[3])
 
 
-def test_compact_preserves_probe_semantics(spark, tmp_path):
-    """Compaction merges the covered batch partitions into one; later
-    probes and the union invariant are unchanged, file counts shrink."""
+def _parquet_files(root):
     import os
 
+    out = []
+    for d, _, fs in os.walk(root):
+        out += [os.path.join(d, f) for f in fs if f.endswith(".parquet")]
+    return out
+
+
+def test_compact_preserves_probe_semantics(spark, tmp_path):
+    """Compaction merges the covered batch partitions into one (sub-bucket
+    layout preserved); later probes and the union invariant are unchanged,
+    file counts shrink."""
     docs = _docs(spark)
-    idx = LshIndex(spark, str(tmp_path / "lsh"), **PARAMS)
+    idx = LshIndex(spark, str(tmp_path / "lsh"), n_sub_buckets=4, **PARAMS)
     got = _drain(idx, docs, ["doc_id % 4 = 0", "doc_id % 4 = 1", "doc_id % 4 = 2"])
     assert idx.committed_batches() == [0, 1, 2]
+    files_before = len(_parquet_files(tmp_path / "lsh" / "bands"))
     merged = idx.compact(n_files=2)
     assert merged == 3
     assert idx.committed_batches() == [2]
-    band_files = [
-        f for f in os.listdir(tmp_path / "lsh" / "bands" / "batch=2")
-        if f.endswith(".parquet")
-    ]
-    assert len(band_files) == 2
+    band_files = _parquet_files(tmp_path / "lsh" / "bands" / "batch=2")
+    # one file per populated pb sub-bucket (repartitioned by pb), fewer
+    # total files than the three uncompacted batch dirs held
+    assert 0 < len(band_files) <= 4 < files_before
+    # the sub-bucket dirs survive compaction — later probes still prune
+    import os
+
+    assert any(
+        n.startswith("pb=")
+        for n in os.listdir(tmp_path / "lsh" / "bands" / "batch=2")
+    )
     # the next batch probes the compacted index identically
     got += [
         (r.id_a, r.id_b, r.jaccard)
@@ -228,36 +250,47 @@ def test_compact_preserves_probe_semantics(spark, tmp_path):
     assert idx.compact(upto=2) == 0
 
 
-def test_compact_crash_recovery(spark, tmp_path):
-    """A compact that crashed between staging and the final move is
-    finished by the next compact call — no data lost, no duplicates."""
-    import shutil
+def _stage_compact_without_finishing(spark, idx, root, covered, target):
+    """Reproduce exactly what compact() does up to and including the
+    commit-marker write, then 'crash' (do none of the deletes/renames)."""
+    import json
 
+    for base, pcol in (("bands", "pb"), ("shingles", "sb")):
+        (
+            spark.read.parquet(str(root / base))
+            .filter(F.col("batch") <= target)
+            .drop("batch")
+            .repartition(2, F.col(pcol))
+            .write.partitionBy(pcol)
+            .mode("overwrite")
+            .parquet(str(root / base / "_tmp_compact" / f"batch={target}"))
+        )
+    (root / "_compact_commit").write_text(
+        json.dumps({"covered": covered, "target": target})
+    )
+
+
+def test_compact_crash_recovery(spark, tmp_path):
+    """A compact that crashed right after its commit marker landed (both
+    sides staged, nothing deleted/renamed yet) is finished by the next
+    compact call — no data lost, no duplicates on EITHER side."""
     docs = _docs(spark)
     idx = LshIndex(spark, str(tmp_path / "lsh"), **PARAMS)
     _drain(idx, docs, ["doc_id % 3 = 0", "doc_id % 3 = 1"])
+    root = tmp_path / "lsh"
+    before = {
+        s: spark.read.parquet(str(root / s)).filter("batch <= 1").count()
+        for s in ("bands", "shingles")
+    }
+    _stage_compact_without_finishing(spark, idx, root, [0, 1], 1)
 
-    # simulate the crash: stage the rewrite for the bands side by hand
-    # (what compact does before its delete+move), leave old dirs intact
-    base = tmp_path / "lsh" / "bands"
-    tmp = base / "_tmp_compact"
-    part = tmp / "batch=1"
-    (
-        spark.read.parquet(str(base))
-        .filter(F.col("batch") <= 1)
-        .drop("batch")
-        .repartition(2)
-        .write.mode("overwrite")
-        .parquet(str(part))
-    )
-    (tmp / "_SUCCESS").write_text("0,1")
-    n_rows_before = spark.read.parquet(str(base)).filter("batch <= 1").count()
-
-    merged = idx.compact()  # recovery runs first, then finds 1 band part +
+    merged = idx.compact()  # recovery finishes the staged compact first
+    assert merged == 0  # nothing NEW to merge afterwards
     assert idx.committed_batches() == [1]
-    rows = spark.read.parquet(str(base))
-    assert rows.count() == n_rows_before  # no duplicates from the recovery
-    assert not (base / "_tmp_compact").exists()
+    for s in ("bands", "shingles"):
+        assert spark.read.parquet(str(root / s)).count() == before[s]
+        assert not (root / s / "_tmp_compact").exists()
+    assert not (root / "_compact_commit").exists()
     # index still answers probes correctly after recovery
     got = [
         (r.id_a, r.id_b, r.jaccard)
@@ -274,24 +307,77 @@ def test_compact_crash_recovery(spark, tmp_path):
     ))
 
 
+def test_compact_crash_between_sides_recovers_both(spark, tmp_path):
+    """ADVICE r4 (medium): crash AFTER the bands side finished its
+    delete+rename but BEFORE the shingles side — the old per-side commit
+    left (a) the watermark unset, so replaying the merged target id
+    re-emitted every historical pair, and (b) duplicate shingle rows. The
+    single top-level marker must close both: recovery (triggered by
+    add_batch, not only compact) completes the shingles side, sets the
+    watermark, and the target replay is refused."""
+    import shutil
+
+    docs = _docs(spark)
+    idx = LshIndex(spark, str(tmp_path / "lsh"), **PARAMS)
+    _drain(idx, docs, ["doc_id % 3 = 0", "doc_id % 3 = 1"])
+    root = tmp_path / "lsh"
+    sh_before = spark.read.parquet(str(root / "shingles")).count()
+    _stage_compact_without_finishing(spark, idx, root, [0, 1], 1)
+    # replay the bands-side finish by hand: delete covered, rename staged
+    for b in (0, 1):
+        shutil.rmtree(root / "bands" / f"batch={b}")
+    (root / "bands" / "_tmp_compact" / "batch=1").rename(
+        root / "bands" / "batch=1"
+    )
+    shutil.rmtree(root / "bands" / "_tmp_compact")
+    # crash here: shingles untouched, watermark unset, marker present.
+    # add_batch alone (no compact call) must run recovery and then refuse
+    # the covered-batch replay — the exact replay hole the advice names.
+    with pytest.raises(ValueError, match="compaction watermark"):
+        idx.add_batch(docs.filter("doc_id % 3 = 1"), 1)
+    assert not (root / "_compact_commit").exists()
+    assert not (root / "shingles" / "_tmp_compact").exists()
+    # no duplicate shingle rows survived (old bug: covered sh batch dirs
+    # were copied into the merged partition but never deleted)
+    sh = spark.read.parquet(str(root / "shingles"))
+    assert sh.count() == sh_before
+    assert sh.groupBy("doc_id").count().filter("count > 1").count() == 0
+    # and the index still probes correctly
+    got = [
+        (r.id_a, r.id_b, r.jaccard)
+        for r in idx.add_batch(docs.filter("doc_id % 3 = 2"), 2).collect()
+    ]
+    pre = _drain(
+        LshIndex(spark, str(tmp_path / "fresh"), **PARAMS),
+        docs,
+        ["doc_id % 3 < 2", "doc_id % 3 = 2"],
+    )
+    assert sorted(got) == sorted(t for t in pre if t not in set(
+        _drain(LshIndex(spark, str(tmp_path / "fresh2"), **PARAMS),
+               docs, ["doc_id % 3 < 2"])
+    ))
+
+
 def test_compact_crash_after_commit_rename_loses_nothing(spark, tmp_path):
-    """Crash AFTER the commit-point rename but BEFORE the staging dir is
-    cleaned: the leftover marker must NOT cause recovery to delete the
-    live compacted partition (the covered list only replays while the
-    staged partition is still in the tmp dir)."""
+    """Crash AFTER both renames but BEFORE the marker is cleared: the
+    leftover marker must NOT cause recovery to delete the live compacted
+    partition (the delete list only replays covered ids OTHER than the
+    target once the staged partition is gone)."""
+    import json
+
     docs = _docs(spark)
     idx = LshIndex(spark, str(tmp_path / "lsh"), **PARAMS)
     _drain(idx, docs, ["doc_id % 3 = 0", "doc_id % 3 = 1"])
     assert idx.compact() == 2
-    # simulate the crash: resurrect the marker (rename already done)
-    base = tmp_path / "lsh" / "bands"
-    tmp = base / "_tmp_compact"
-    tmp.mkdir()
-    (tmp / "_SUCCESS").write_text("0,1")
-    n_before = spark.read.parquet(str(base)).count()
+    # simulate the crash: resurrect the marker (renames already done)
+    root = tmp_path / "lsh"
+    (root / "_compact_commit").write_text(
+        json.dumps({"covered": [0, 1], "target": 1})
+    )
+    n_before = spark.read.parquet(str(root / "bands")).count()
     assert idx.compact() == 0  # recovery is a no-op beyond cleanup
-    assert spark.read.parquet(str(base)).count() == n_before
-    assert not tmp.exists()
+    assert spark.read.parquet(str(root / "bands")).count() == n_before
+    assert not (root / "_compact_commit").exists()
     got = _drain(idx, docs, []) + [
         (r.id_a, r.id_b, r.jaccard)
         for r in idx.add_batch(docs.filter("doc_id % 3 = 2"), 2).collect()
@@ -304,24 +390,34 @@ def test_compact_crash_after_commit_rename_loses_nothing(spark, tmp_path):
     assert sorted(got) == sorted(t for t in expect if t not in first)
 
 
-def test_crash_between_shingle_and_band_write_replays_cleanly(spark, tmp_path):
-    """The bands-side _SUCCESS is the commit marker and lands LAST: a
-    crash after the shingle write leaves the batch uncommitted, and the
-    replay rewrites both sides — no committed batch can be missing its
-    verify side."""
+def test_probe_reads_only_hit_sub_buckets(spark, tmp_path):
+    """Scale shape (VERDICT r4 #3): a small batch's probe must read only
+    the index files in the sub-buckets its band hashes (and its candidate
+    ids) fall into — NOT the whole persisted index. Proof is behavioral:
+    after the probe plan is built (file listing done), every index file
+    OUTSIDE the recorded pruning sets is deleted from disk; if the scan
+    touched them, collect() would fail with missing files."""
     import shutil
 
     docs = _docs(spark)
-    idx = LshIndex(spark, str(tmp_path / "lsh"), **PARAMS)
-    idx.add_batch(docs.filter("doc_id % 2 = 0"), 0, return_pairs=False)
-    idx.add_batch(docs.filter("doc_id % 2 = 1"), 1, return_pairs=False)
-    # simulate the mid-write crash on batch 1: bands never landed
-    shutil.rmtree(tmp_path / "lsh" / "bands" / "batch=1")
-    assert idx.committed_batches() == [0]
-    pairs = sorted(
-        (r.id_a, r.id_b, r.jaccard)
-        for r in idx.add_batch(docs.filter("doc_id % 2 = 1"), 1).collect()
+    idx = LshIndex(spark, str(tmp_path / "lsh"), n_sub_buckets=64, **PARAMS)
+    idx.add_batch(docs.filter("doc_id < 490"), 0, return_pairs=False)
+    small = docs.filter("doc_id >= 490")  # 10 docs -> at most 40 of 64 pb
+    expected = sorted(
+        t for t in _one_shot(spark) if not (t[0] < 490 and t[1] < 490)
     )
-    b0 = set(_drain(LshIndex(spark, str(tmp_path / "f"), **PARAMS),
-                    docs, ["doc_id % 2 = 0"]))
-    assert sorted(set(pairs)) == sorted(t for t in _one_shot(spark) if t not in b0)
+    pairs = idx.add_batch(small, 1)
+    pbs, sbs = set(idx.last_pb_buckets), set(idx.last_sh_buckets)
+    # the tiny batch must not hit every sub-bucket — otherwise the
+    # deletions below prove nothing
+    assert len(pbs) < 64 and len(sbs) < 64
+    removed = 0
+    for side, col, keep in (("bands", "pb", pbs), ("shingles", "sb", sbs)):
+        base = tmp_path / "lsh" / side / "batch=0"
+        for d in base.iterdir():
+            if d.name.startswith(f"{col}=") and int(d.name.split("=")[1]) not in keep:
+                shutil.rmtree(d)
+                removed += 1
+    assert removed > 0
+    got = sorted((r.id_a, r.id_b, r.jaccard) for r in pairs.collect())
+    assert got == expected

@@ -450,3 +450,69 @@ def test_best_of_n_single_exchange(spark):
     )
     # winner window + group count share ONE (conv, turn) exchange
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+# --------------------------------------------------------------------------
+# group-size guards (VERDICT r4 #4 — MergeContent max-entries/size analog)
+# --------------------------------------------------------------------------
+
+def test_assemble_transcripts_group_overflow_routes_to_dlq(spark):
+    from nifi_spark.operators.transcript import assemble_transcripts
+
+    # one pathological conversation (many turns), two sane ones
+    bad = [("cbad", i, "user", f"turn {i}", None) for i in range(500)]
+    df = _turns_df(spark).union(spark.createDataFrame(
+        bad, "conv_id string, turn_idx int, role string, text string, tool string"
+    ))
+    out, overflow = assemble_transcripts(df, max_group_rows=100)
+    got = {r.conv_id for r in out.collect()}
+    assert got == {"c1", "c2"}  # other groups unaffected
+    dlq = overflow.collect()
+    assert len(dlq) == 1
+    assert dlq[0].conv_id == "cbad" and dlq[0].n_rows == 500
+    assert dlq[0].reason == "group-overflow"
+    # clean data + guards on == unguarded output (oracle unchanged)
+    guarded, ovf = assemble_transcripts(_turns_df(spark), max_group_rows=100)
+    plain = assemble_transcripts(_turns_df(spark))
+    assert ovf.count() == 0
+    assert sorted(map(tuple, guarded.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_assemble_transcripts_byte_bound(spark):
+    from nifi_spark.operators.transcript import assemble_transcripts
+
+    out, overflow = assemble_transcripts(_turns_df(spark), max_group_bytes=40)
+    # c1's four texts total > 40 bytes; c2's two are below it
+    assert {r.conv_id for r in out.collect()} == {"c2"}
+    row = overflow.collect()[0]
+    assert row.conv_id == "c1" and row.n_bytes > 40
+
+
+def test_txn_group_overflow_guard(spark):
+    from nifi_spark.operators.txn import txn_group
+
+    rows = (
+        [(1, "B", 10, None), (2, "W", 10, "a"), (3, "W", 10, "b"), (4, "C", 10, None)]
+        + [(10, "B", 20, None)]
+        + [(10 + i, "W", 20, f"x{i}") for i in range(1, 300)]
+        + [(400, "C", 20, None)]
+    )
+    df = spark.createDataFrame(rows, "seq long, op string, txn_id long, text string")
+    out, overflow = txn_group(df, max_group_rows=50)
+    assert [r.txn_id for r in out.collect()] == [10]
+    dlq = overflow.collect()
+    assert len(dlq) == 1 and dlq[0].txn_id == 20 and dlq[0].reason == "group-overflow"
+
+
+def test_defragment_overflow_guard(spark):
+    from nifi_spark.operators.enrich import defragment
+
+    rows = [(1, i, f"p{i}") for i in range(4)] + [(2, i, "q") for i in range(1000)]
+    df = spark.createDataFrame(rows, "fid long, idx int, payload string")
+    out, overflow = defragment(
+        df, "fid", "idx", "payload", sep=",", max_group_rows=100
+    )
+    assert [r.fid for r in out.collect()] == [1]
+    assert out.collect()[0].merged == "p0,p1,p2,p3"
+    dlq = overflow.collect()
+    assert len(dlq) == 1 and dlq[0].fid == 2 and dlq[0].n_rows == 1000
