@@ -1905,11 +1905,13 @@ class IcebergMergeSink:
         ).collect()
         return int(row[0].b) if row and row[0].b is not None else None
 
-    def merge(self, batch: DataFrame, key_cols, seq_col="seq", op_col="op", batch_id=None, extra_summary=None):
+    def merge(self, batch: DataFrame, key_cols, seq_col="seq", op_col="op", batch_id=None, extra_summary=None, auto_evolve=False):
         if batch_id is not None:
             last = self.last_batch_id()
             if last is not None and batch_id <= last:
                 return None
+        if auto_evolve:
+            self.evolve(batch.schema, key_cols)
         batch.createOrReplaceTempView("_merge_src")
         self.spark.sql(
             iceberg_merge_sql(
@@ -1917,6 +1919,58 @@ class IcebergMergeSink:
             )
         )
         return True
+
+    def evolve(self, batch_schema, key_cols=()) -> list[str]:
+        """Issue the ALTER TABLE statements that bring the catalog table's
+        schema up to the incoming batch's (additive columns + legal
+        Iceberg type widenings — ≙ UpdateDatabaseTable.java:506-541).
+        Returns the statements executed (empty = schemas already agree)."""
+        current = {f.name: f.dataType for f in self.spark.table(self.table).schema.fields}
+        incoming = {f.name: f.dataType for f in batch_schema.fields}
+        stmts = iceberg_evolve_sql(self.table, current, incoming, key_cols)
+        for s in stmts:
+            self.spark.sql(s)
+        return stmts
+
+
+def iceberg_evolve_sql(
+    table: str,
+    current_types: dict[str, T.DataType],
+    incoming_types: dict[str, T.DataType],
+    key_cols=(),
+) -> list[str]:
+    """The schema-evolution DDL :class:`IcebergMergeSink` issues on a real
+    catalog before a MERGE whose source carries new/wider columns: one
+    ``ALTER TABLE ... ADD COLUMN`` per new column, one ``ALTER COLUMN ...
+    TYPE`` per legal Iceberg widening (int→long, float→double, decimal
+    precision growth — the same :func:`_widen_type` chain LakeTable
+    enforces; ≙ UpdateDatabaseTable.java:506-541's schema-diff → ALTER
+    statements). Key-column type changes raise (a key-type change is a
+    new table, not evolution). Factored out like :func:`iceberg_merge_sql`
+    so the statement text is unit-testable without the Iceberg jar.
+    """
+    stmts: list[str] = []
+    for name, dt in incoming_types.items():
+        if name in current_types:
+            cur = current_types[name]
+            if name in key_cols:
+                if dt != cur:
+                    raise SchemaEvolutionError(
+                        f"key column {name!r} type changed "
+                        f"({cur.simpleString()} -> {dt.simpleString()})"
+                    )
+                continue
+            wide = _widen_type(cur, dt, name)  # raises if incompatible
+            if wide != cur:
+                stmts.append(
+                    f"ALTER TABLE {table} ALTER COLUMN {name} "
+                    f"TYPE {wide.simpleString()}"
+                )
+        else:
+            stmts.append(
+                f"ALTER TABLE {table} ADD COLUMN {name} {dt.simpleString()}"
+            )
+    return stmts
 
 
 def iceberg_merge_sql(

@@ -106,6 +106,9 @@ class CdcPipeline:
         stats_cols: list[str] | None = None,
         quality_checks: list[dict] | None = None,
         quality_action: str = "record",
+        near_dup_index: str | None = None,
+        index_compact_every: int = 0,
+        near_dup_threshold: float = 0.5,
     ):
         """``txn_consistent``: the feed is transaction-delimited
         (schema.CHANGE_EVENTS_TXN — every event carries ``txn_id``, the
@@ -207,6 +210,27 @@ class CdcPipeline:
                 from nifi_spark.operators.mv import transcript_stats_agg
 
                 self._mv_agg_fn = transcript_stats_agg(self.mv_key_cols[0])
+        # At-ingest NEAR-duplicate detection (operators/dedup_incremental.
+        # LshIndex, ≙ DetectDuplicate's check-against-history lifted to
+        # near-dups): each micro-batch's admitted INSERT turns are
+        # assembled into per-conversation transcripts that probe + extend
+        # the persisted index INSIDE apply_batch — batch id = the stream's
+        # batch id, so the index write shares the sink's replay-idempotence
+        # contract. Flagged pairs land under ``{table}/_near_dups/batch=N``
+        # (overwrite-by-batch, replay-idempotent). Contract: a conversation
+        # must arrive within one micro-batch (the index's new-id
+        # discipline); ``index_compact_every`` folds the per-batch index
+        # partitions on the same single-writer cadence as compact_every.
+        self._ndx = None
+        self.index_compact_every = index_compact_every
+        self._since_index_compact = 0
+        if near_dup_index is not None:
+            from ..operators.dedup_incremental import LshIndex
+
+            self._ndx = LshIndex(
+                spark, near_dup_index, id_col="conv_id",
+                text_col="transcript", threshold=near_dup_threshold,
+            )
         self.watermark_delay_s = watermark_delay_s
         self.from_json_payload = from_json_payload
         self.txn_consistent = txn_consistent
@@ -640,6 +664,17 @@ class CdcPipeline:
         if batch_id is not None and self.table.exists():
             last = self.table._batch_id_of(self.table._manifest())
             if last is not None and batch_id <= last:
+                # crash-heal: a crash BETWEEN the sink commit and the index
+                # add would otherwise orphan this batch from the index
+                # forever (the replay short-circuits before the near-dup
+                # step). Only the not-yet-indexed case does work here.
+                if (
+                    self._ndx is not None
+                    and batch_id not in self._ndx.committed_batches()
+                ):
+                    wm = self._ndx._compacted_upto()
+                    if wm is None or batch_id > wm:
+                        self._near_dup_step(batch_df, batch_id, metrics)
                 return metrics
         if "_late" in batch_df.columns:
             # fully pre-flagged by the streaming plan (start() bakes parse,
@@ -701,8 +736,15 @@ class CdcPipeline:
             if self.quality_checks:
                 self._quality_gate(flagged, batch_id, metrics)
             if self.sink_mode == "append":
-                return self._apply_batch_fused(flagged, batch_id, metrics)
-            return self._apply_batch_merge(flagged, batch_id, metrics)
+                metrics = self._apply_batch_fused(flagged, batch_id, metrics)
+            else:
+                metrics = self._apply_batch_merge(flagged, batch_id, metrics)
+            if self._ndx is not None:
+                # AFTER the sink commit: pairs only ever describe data
+                # that durably landed (a crash before here is healed by
+                # the replay-path check above)
+                self._near_dup_step(flagged, batch_id, metrics)
+            return metrics
         finally:
             if gate_thread is not None:
                 gate_thread.join()
@@ -975,6 +1017,49 @@ class CdcPipeline:
         self._maybe_expire(metrics)
         self._maybe_refresh_mv(metrics)
         return metrics
+
+    def _near_dup_step(self, df: DataFrame, batch_id: int, metrics: dict) -> None:
+        """Probe + extend the persisted LSH index with this batch's
+        admitted INSERT conversations; land flagged pairs under
+        ``{table}/_near_dups/batch=N`` (overwrite — replay-idempotent).
+
+        The pair set is micro-batch-bounded (new docs × matched buckets),
+        so collecting it to route through one deterministic write is the
+        same bounded-driver-collect class as DDL statements. The index
+        add itself is idempotent by batch id (LshIndex contract), so a
+        replayed batch re-derives identical pairs and overwrites the same
+        partition."""
+        from ..operators.transcript import assemble_transcripts
+
+        ev = df
+        if "_bad" in ev.columns:
+            ev = ev.filter(~F.col("_bad"))
+        if "_late" in ev.columns:
+            ev = ev.filter(~F.col("_late"))
+        inserts = ev.filter(
+            (F.col("op") == "I") & F.col("text").isNotNull()
+        )
+        docs = assemble_transcripts(
+            inserts, tool_col="tool" if "tool" in ev.columns else None
+        ).select("conv_id", "transcript")
+        pairs = self._ndx.add_batch(docs, batch_id)
+        rows = pairs.collect()
+        metrics["n_near_dups"] = len(rows)
+        if rows:
+            (
+                self.spark.createDataFrame(rows, pairs.schema)
+                .withColumn("batch_id", F.lit(int(batch_id)).cast("long"))
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(
+                    fsio_join(self.table_path, "_near_dups", f"batch={batch_id}")
+                )
+            )
+        if self.index_compact_every:
+            self._since_index_compact += 1
+            if self._since_index_compact >= self.index_compact_every:
+                self._ndx.compact()
+                self._since_index_compact = 0
 
     def _maybe_refresh_mv(self, metrics: dict) -> None:
         """Refresh the downstream aggregate view every

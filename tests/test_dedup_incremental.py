@@ -421,3 +421,130 @@ def test_probe_reads_only_hit_sub_buckets(spark, tmp_path):
     assert removed > 0
     got = sorted((r.id_a, r.id_b, r.jaccard) for r in pairs.collect())
     assert got == expected
+
+
+def test_cdc_pipeline_in_stream_near_dup(spark, tmp_path):
+    """VERDICT r4 #5 — LshIndex wired into CdcPipeline: each micro-batch's
+    admitted inserts probe+extend the index inside apply_batch; a
+    near-copy conversation ingested in batch k is flagged IN batch k;
+    flagged pairs land under _near_dups/batch=k; replays produce no
+    duplicate pairs; a crash between the sink commit and the index add is
+    healed on replay."""
+    import datetime
+    import shutil
+
+    from nifi_spark.streaming.job import CdcPipeline
+
+    base_a = [
+        "please summarize the quarterly revenue report for the emea region",
+        "the emea region grew twelve percent quarter over quarter driven by cloud",
+        "what were the main risks called out in that report",
+        "currency headwinds and a slower enterprise pipeline were the main risks",
+    ]
+    base_b = [
+        "write a haiku about distributed systems in autumn",
+        "falling leaves of logs / consensus drifts on the wind / quorum finds its rest",
+        "now make it about spring instead",
+        "green shoots of new nodes / gossip warms the waking mesh / quorum blooms again",
+    ]
+    uniq = lambda tag: [f"{tag} entirely unrelated conversation turn {i} about {tag}"
+                        for i in range(4)]
+    ts = datetime.datetime(2024, 1, 1)
+
+    def feed(rows, seq0):
+        data = [
+            (seq0 + i, "I", ts, conv, t_idx, ["user", "assistant"][t_idx % 2],
+             text, None, "f", seq0 + i, None)
+            for i, (conv, t_idx, text) in enumerate(rows)
+        ]
+        return spark.createDataFrame(
+            data,
+            "seq long, op string, ts timestamp, conv_id string, turn_idx int, "
+            "role string, text string, tool string, source_file string, "
+            "source_pos long, payload_json string",
+        )
+
+    def turns(conv, texts):
+        return [(conv, i, t) for i, t in enumerate(texts)]
+
+    batches = {
+        1: turns("c0", base_a) + turns("c1", base_b),
+        2: turns("c2", uniq("volcanoes")) + turns(
+            "c3", base_a[:2] + [base_a[2].replace("main", "key")] + base_a[3:]
+        ),
+        3: turns("c4", base_b) + turns("c5", uniq("glaciers")),
+    }
+    p = CdcPipeline(
+        spark, str(tmp_path / "t"), str(tmp_path / "ck"), n_buckets=4,
+        sink_mode="append", near_dup_index=str(tmp_path / "lsh"),
+    )
+    seen = {}
+    for b, rows in batches.items():
+        m = p.apply_batch(feed(rows, seq0=b * 100), batch_id=b)
+        seen[b] = m["n_near_dups"]
+    assert seen == {1: 0, 2: 1, 3: 1}
+    nd2 = spark.read.parquet(str(tmp_path / "t" / "_near_dups" / "batch=2")).collect()
+    assert [(r.id_a, r.id_b) for r in nd2] == [("c0", "c3")]
+    all_nd = spark.read.parquet(str(tmp_path / "t" / "_near_dups")).collect()
+    assert sorted((r.id_a, r.id_b) for r in all_nd) == [("c0", "c3"), ("c1", "c4")]
+
+    # replay of an applied-and-indexed batch: short-circuits, no dup pairs
+    m = p.apply_batch(feed(batches[2], seq0=200), batch_id=2)
+    assert m["n_events"] == 0 and "n_near_dups" not in m
+    all_nd = spark.read.parquet(str(tmp_path / "t" / "_near_dups")).collect()
+    assert len(all_nd) == 2
+
+    # crash between sink commit and index add: wipe the index's batch-3
+    # partitions, replay batch 3 — the short-circuit path heals the index
+    # and rewrites the same pair (no duplicates)
+    for side in ("bands", "shingles"):
+        shutil.rmtree(tmp_path / "lsh" / side / "batch=3")
+    m = p.apply_batch(feed(batches[3], seq0=300), batch_id=3)
+    assert m["n_near_dups"] == 1
+    assert 3 in p._ndx.committed_batches()
+    all_nd = spark.read.parquet(str(tmp_path / "t" / "_near_dups")).collect()
+    assert sorted((r.id_a, r.id_b) for r in all_nd) == [("c0", "c3"), ("c1", "c4")]
+
+
+def test_cdc_pipeline_index_compact_cadence(spark, tmp_path):
+    """index_compact_every folds the per-batch index partitions on the
+    single-writer cadence; later batches still flag pairs vs compacted
+    history."""
+    import datetime
+
+    from nifi_spark.streaming.job import CdcPipeline
+
+    ts = datetime.datetime(2024, 1, 1)
+    base = [
+        "please summarize the quarterly revenue report for the emea region",
+        "the emea region grew twelve percent quarter over quarter driven by cloud",
+        "what were the main risks called out in that report",
+        "currency headwinds and a slower enterprise pipeline were the main risks",
+    ]
+    near = base[:2] + [base[2].replace("main", "key")] + base[3:]
+    other = [f"unrelated filler about glaciers number {i} and nothing else {i}"
+             for i in range(4)]
+
+    def feed(conv, texts, b):
+        return spark.createDataFrame(
+            [(b * 10 + i, "I", ts, conv, i, ["user", "assistant"][i % 2], t,
+              None, "f", b * 10 + i, None) for i, t in enumerate(texts)],
+            "seq long, op string, ts timestamp, conv_id string, turn_idx int, "
+            "role string, text string, tool string, source_file string, "
+            "source_pos long, payload_json string",
+        )
+
+    p = CdcPipeline(
+        spark, str(tmp_path / "t"), str(tmp_path / "ck"), n_buckets=4,
+        sink_mode="append", near_dup_index=str(tmp_path / "lsh"),
+        index_compact_every=2,
+    )
+    p.apply_batch(feed("k0", base, 1), batch_id=1)
+    p.apply_batch(feed("k1", other, 2), batch_id=2)
+    # cadence hit after batch 2: partitions 1+2 merged
+    assert p._ndx.committed_batches() == [2]
+    # batch 3 near-copies k0 (ingested pre-compaction) — still flagged
+    m = p.apply_batch(feed("k2", near, 3), batch_id=3)
+    assert m["n_near_dups"] == 1
+    nd = spark.read.parquet(str(tmp_path / "t" / "_near_dups" / "batch=3")).collect()
+    assert [(r.id_a, r.id_b) for r in nd] == [("k0", "k2")]

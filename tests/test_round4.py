@@ -484,3 +484,47 @@ def test_no_heavy_project_above_generate(spark, name):
     df = entry_mod.queries()[name](spark, SF)
     hits = _heavy_projects_above_generates(df)
     assert hits == [], f"{name}: heavy recompute above Generate: {hits}"
+
+
+def test_iceberg_evolve_sql_statements_pinned():
+    """VERDICT r4 #8 — pin the evolution DDL IcebergMergeSink issues on a
+    real catalog (≙ UpdateDatabaseTable.java:506-541): a 2-key schema
+    gaining a column and widening an int, exact statement text."""
+    from pyspark.sql import types as T
+
+    from nifi_spark.sinks.laketable import (
+        SchemaEvolutionError,
+        iceberg_evolve_sql,
+    )
+
+    current = {
+        "conv_id": T.StringType(), "turn_idx": T.IntegerType(),
+        "role": T.StringType(), "n_tokens": T.IntegerType(),
+    }
+    incoming = {
+        "conv_id": T.StringType(), "turn_idx": T.IntegerType(),
+        "role": T.StringType(), "n_tokens": T.LongType(),
+        "tool_meta": T.StringType(),
+    }
+    stmts = iceberg_evolve_sql(
+        "cat.db.transcripts", current, incoming, ["conv_id", "turn_idx"]
+    )
+    assert stmts == [
+        "ALTER TABLE cat.db.transcripts ALTER COLUMN n_tokens TYPE bigint",
+        "ALTER TABLE cat.db.transcripts ADD COLUMN tool_meta string",
+    ]
+    # no-op when schemas agree
+    assert iceberg_evolve_sql("t", current, current, ["conv_id"]) == []
+    # narrower incoming type: reader-side widening, no DDL
+    narrower = dict(incoming, n_tokens=T.ShortType())
+    assert iceberg_evolve_sql("t", incoming, narrower, []) == []
+    # key-type change refuses
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaEvolutionError, match="key column"):
+        iceberg_evolve_sql(
+            "t", current, dict(current, conv_id=T.LongType()), ["conv_id"]
+        )
+    # illegal promotion refuses
+    with _pytest.raises(SchemaEvolutionError, match="cannot evolve"):
+        iceberg_evolve_sql("t", current, dict(current, role=T.LongType()), [])
