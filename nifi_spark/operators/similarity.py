@@ -54,6 +54,16 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+# Partial-top-k implementation: "jvm" (row_number over (query, input
+# partition) — whole-stage-codegen, one BALANCED exchange, no Python) or
+# "arrow" (mapInPandas accumulator — zero exchange, Arrow round-trip of
+# every scored candidate through Python workers). Measured at sf0.1
+# (BENCH/BASELINE.md r5): jvm wins on every ANN entry, so it is the
+# default; the flag stays for environments where Python workers are
+# co-located and shuffle is the scarcer resource.
+PARTIAL_TOPK_IMPL = "jvm"
+
+
 def _partial_topk(
     scored: DataFrame,
     k: int,
@@ -61,32 +71,53 @@ def _partial_topk(
     ascending: bool,
     tie_col: str = "neighbor_id",
     group_col: str = "query_id",
+    impl: str | None = None,
 ) -> DataFrame:
-    """Map-side per-query partial top-k — phase one of two-phase ranking.
+    """Per-query partial top-k — phase one of two-phase ranking.
 
     A single ``row_number() OVER (PARTITION BY query_id)`` moves EVERY
     scored candidate through one keyed exchange and lands each query's
     full candidate set on ONE reducer task — at 10^9 corpus × 10^3
-    queries that shuffle is the job. This stage cuts each input partition
-    to ≤k rows per query BEFORE the exchange, inside the map task, so the
-    global window's input is O(k · partitions) rows per query and no
-    single-reducer hotspot exists. The kept rows are a superset of the
-    true global top-k (any global winner is a winner within its own
-    partition under the same total order), so the downstream window
-    produces identical rows/ranks regardless of input partitioning.
+    queries that shuffle is the job. This stage cuts the candidate set to
+    ≤k rows per (query, input partition) first, so the global window's
+    input is O(k · partitions) rows per query and no single-reducer
+    hotspot exists. The kept rows are a superset of the true global top-k
+    (any global winner is a winner within its own partition under the
+    same total order), so the downstream window produces identical
+    rows/ranks regardless of input partitioning or implementation:
 
-    Arrow-vectorized ``mapInPandas`` with a bounded accumulator: the
-    running state per partition is ≤ queries × k rows no matter how many
-    Arrow batches stream through (no partition-sized concat). No
-    arithmetic happens here — scores computed JVM-side pass through
-    unchanged, so value hashes are unaffected.
+    - ``impl="jvm"``: ``row_number() OVER (PARTITION BY query,
+      spark_partition_id())`` filtered ≤ k. The exchange moves all scored
+      rows, but across query × partition keys — balanced, no hotspot —
+      and the whole pipeline stays inside whole-stage codegen.
+    - ``impl="arrow"``: mapInPandas with a bounded accumulator (running
+      state ≤ queries × k rows per partition) — NO exchange at all, but
+      every candidate crosses the JVM↔Python Arrow boundary.
+
+    No arithmetic happens in either path — scores computed JVM-side pass
+    through unchanged, so value hashes are unaffected.
 
     Precondition: ``order_col`` values are non-null. (pandas sorts NaN
     last in both directions while Spark's ascending window sorts nulls
     first, so a null score could survive one phase and not the other.
     Every caller scores with non-null arithmetic over non-null vectors.)
     """
+    impl = impl or PARTIAL_TOPK_IMPL
     cols = scored.columns
+    if impl == "jvm":
+        order = [
+            F.col(order_col).asc() if ascending else F.col(order_col).desc(),
+            F.col(tie_col).asc(),
+        ]
+        w = W.partitionBy(F.col(group_col), F.col("_ptk_pid")).orderBy(*order)
+        return (
+            scored.withColumn("_ptk_pid", F.spark_partition_id())
+            .withColumn("_ptk_rn", F.row_number().over(w))
+            .filter(F.col("_ptk_rn") <= k)
+            .select(*cols)
+        )
+    if impl != "arrow":
+        raise ValueError(f"impl must be jvm|arrow, got {impl!r}")
     by = [group_col, order_col, tie_col]
     asc = [True, ascending, True]
 

@@ -55,6 +55,7 @@ def asof_join(
     direction: str = "backward",
     tolerance: Column | None = None,
     matched_ts_name: str = "matched_ts",
+    salt_buckets: int = 0,
 ) -> DataFrame:
     """Left as-of join: for every left row, the single right row with the
     greatest ``right_ts <= left_ts`` (direction='backward', inclusive) or
@@ -68,12 +69,25 @@ def asof_join(
     (a Column literal, e.g. ``F.expr("INTERVAL 1 HOUR")`` or a numeric)
     voids matches farther than that from the left timestamp — the row
     survives with NULLs, mirroring pandas.merge_asof.
+
+    ``salt_buckets=N`` bounds the hot-key worst task: each key's timeline
+    is sliced into N contiguous time ranges; left AND right rows route to
+    their own slice, and each slice additionally receives ONE boundary
+    row per key — the right row the carry-forward would enter the slice
+    holding (the latest earlier right row backward, the earliest later
+    one forward). The window then partitions on (key, slice), so a key
+    holding half the data serializes 1/N of it per task instead of all
+    of it, right rows are NOT replicated N× (only the per-slice boundary
+    rows are), and the result is bit-identical to the unsalted plan.
+    Cost: one min/max aggregate over the union (two scalars to the
+    driver) + one bounded window over the right side to pick per-slice
+    boundary rows. 0/1 = off (default).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if not right_cols:
         raise ValueError("right_cols: at least one right payload column required")
-    reserved = {"_asof_side", "_asof_pack", "_asof_ord"}
+    reserved = {"_asof_side", "_asof_pack", "_asof_ord", "_asof_salt"}
     bad = reserved & set(left.columns)
     if bad:
         raise ValueError(f"left side carries reserved internal columns: {sorted(bad)}")
@@ -115,8 +129,12 @@ def asof_join(
         F.col("_asof_side").asc(),
         F.col("_asof_tie").asc() if asc else F.col("_asof_tie").desc(),
     ]
+    part_cols = list(key_cols)
+    if salt_buckets and salt_buckets > 1:
+        u = _salt_asof_union(u, key_cols, int(salt_buckets), asc)
+        part_cols = [*key_cols, "_asof_salt"]
     w = (
-        W.partitionBy(*key_cols)
+        W.partitionBy(*part_cols)
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
@@ -141,6 +159,67 @@ def asof_join(
         + [F.col(f"_asof_pack.{dst}").alias(dst) for dst in right_cols.values()]
     )
     return matched.select(*out_cols)
+
+
+def _salt_asof_union(
+    u: DataFrame, key_cols: list[str], n: int, asc: bool
+) -> DataFrame:
+    """Slice the asof union frame's timeline into ``n`` contiguous ranges
+    and add, per (key, slice), the single right-side boundary row the
+    carry-forward needs to enter that slice correctly: the LATEST right
+    row from earlier slices (backward) / the EARLIEST from later slices
+    (forward), chosen by exactly the ordering the main window uses, so
+    the salted result is bit-identical to the unsalted one.
+
+    Slice membership is a pure function of ``_asof_ord`` (global
+    [lo, hi] from one aggregate), so both sides compute it consistently;
+    boundary rows replicate at most n per (key, source-slice) and are
+    reduced to one per (key, target-slice) before the union.
+    """
+    b = u.agg(
+        F.min("_asof_ord").alias("lo"), F.max("_asof_ord").alias("hi")
+    ).collect()[0]
+    if b.lo is None or b.hi is None or b.hi <= b.lo:
+        return u.withColumn("_asof_salt", F.lit(0))
+    lo, span = b.lo, float(b.hi - b.lo)
+    slice_col = F.least(
+        F.floor(
+            (F.col("_asof_ord") - F.lit(lo)).cast("double") / F.lit(span) * n
+        ),
+        F.lit(n - 1),
+    ).cast("int")
+    su = u.withColumn("_asof_salt", slice_col)
+    rights = su.filter(F.col("_asof_side") == 0)
+    # the window's carry picks the LAST row under `order`; its reverse
+    # ranks that row first (asc: max(ord, tie) with nulls-last via desc)
+    rev = [
+        F.col("_asof_ord").desc() if asc else F.col("_asof_ord").asc(),
+        F.col("_asof_tie").desc() if asc else F.col("_asof_tie").asc(),
+    ]
+    wlast = W.partitionBy(*key_cols, "_asof_salt").orderBy(*rev)
+    last_rows = (
+        rights.withColumn("_asof_rn", F.row_number().over(wlast))
+        .filter(F.col("_asof_rn") == 1)
+        .drop("_asof_rn")
+    )
+    if asc:  # backward: carry flows into LATER slices
+        last_rows = last_rows.filter(F.col("_asof_salt") < n - 1)
+        targets = F.sequence(F.col("_asof_salt") + 1, F.lit(n - 1))
+    else:  # forward: the window scans ord desc — carry flows into EARLIER
+        last_rows = last_rows.filter(F.col("_asof_salt") > 0)
+        targets = F.sequence(F.lit(0), F.col("_asof_salt") - 1)
+    bounds = (
+        last_rows.withColumn("_asof_tgt", F.explode(targets))
+        .drop("_asof_salt")
+        .withColumnRenamed("_asof_tgt", "_asof_salt")
+    )
+    wb = W.partitionBy(*key_cols, "_asof_salt").orderBy(*rev)
+    bounds = (
+        bounds.withColumn("_asof_rn", F.row_number().over(wb))
+        .filter(F.col("_asof_rn") == 1)
+        .drop("_asof_rn")
+    )
+    return su.unionByName(bounds.select(*su.columns))
 
 
 def range_join(

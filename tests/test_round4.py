@@ -528,3 +528,31 @@ def test_iceberg_evolve_sql_statements_pinned():
     # illegal promotion refuses
     with _pytest.raises(SchemaEvolutionError, match="cannot evolve"):
         iceberg_evolve_sql("t", current, dict(current, role=T.LongType()), [])
+
+
+def test_partial_topk_impls_identical(spark):
+    """VERDICT r4 #7 — the JVM row_number-over-(query, input-partition)
+    partial top-k and the Arrow accumulator must yield identical final
+    rows/ranks (both keep a superset of the global top-k); the JVM path
+    must stay window+filter (no Python eval) in the plan."""
+    from nifi_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").repartition(8)
+    import nifi_spark.operators.similarity as sim
+
+    out = {}
+    for impl in ("jvm", "arrow"):
+        old = sim.PARTIAL_TOPK_IMPL
+        sim.PARTIAL_TOPK_IMPL = impl
+        try:
+            df = cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=7)
+            out[impl] = sorted(map(tuple, df.collect()))
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            if impl == "jvm":
+                assert "MapInPandas" not in plan
+                assert "_ptk_pid" in plan
+            else:
+                assert "MapInPandas" in plan
+        finally:
+            sim.PARTIAL_TOPK_IMPL = old
+    assert out["jvm"] == out["arrow"] and len(out["jvm"]) == 35

@@ -213,3 +213,69 @@ def test_reserved_column_guards(spark):
     r = spark.createDataFrame([("a", 1, 3)], "k string, ts long, rid int")
     with pytest.raises(ValueError, match="_asof_pack"):
         asof_join(l, r, ["k"], right_cols={"rid": "rid"})
+
+
+# --------------------------------------------------------------------------
+# salted as-of (VERDICT r4 #9 — hot-key worst-task bound, exact parity)
+# --------------------------------------------------------------------------
+
+def _hot_key_sides(spark):
+    """One key ('hot') holds 50% of all left rows; brute-force oracle
+    rows are returned alongside."""
+    base = dt.datetime(2024, 1, 1)
+    t = lambda m: base + dt.timedelta(minutes=m)  # noqa: E731
+    left_rows = [("hot", t(m), m) for m in range(0, 400, 2)] + [
+        (f"k{m % 7}", t(m), 1000 + m) for m in range(0, 400, 2)
+    ]
+    right_rows = [
+        (k, t(m), m * 10 + i, float(m))
+        for i, k in enumerate(["hot", "k0", "k1", "k2", "k3", "k4", "k5", "k6"])
+        for m in range(1, 400, 13)
+    ]
+    left = spark.createDataFrame(left_rows, "k string, ts timestamp, lid int")
+    right = spark.createDataFrame(right_rows, "k string, ts timestamp, rid int, px double")
+    return left, right, left_rows, right_rows
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_salted_matches_brute_force_and_unsalted(spark, direction):
+    left, right, lrows, rrows = _hot_key_sides(spark)
+    kw = dict(right_cols={"rid": "rid", "px": "px"}, tiebreak_col="rid",
+              direction=direction)
+    salted = asof_join(left, right, ["k"], salt_buckets=8, **kw)
+    got = {r["lid"]: (r["matched_ts"], r["rid"], r["px"]) for r in salted.collect()}
+    assert got == _brute_asof(lrows, rrows, direction)
+    plain = asof_join(left, right, ["k"], **kw)
+    want = {r["lid"]: (r["matched_ts"], r["rid"], r["px"]) for r in plain.collect()}
+    assert got == want  # bit-identical to the unsalted plan
+    assert salted.count() == len(lrows)
+
+
+def test_asof_salted_plan_no_nested_loop(spark):
+    left, right, *_ = _hot_key_sides(spark)
+    plan = asof_join(
+        left, right, ["k"], right_cols={"rid": "rid"}, tiebreak_col="rid",
+        salt_buckets=8,
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # the main window partitions on (key, slice) — the hot key's rows
+    # spread across salt partitions
+    assert "_asof_salt" in plan
+
+
+def test_asof_salted_tolerance_and_degenerate(spark):
+    left, right, lrows, rrows = _hot_key_sides(spark)
+    got = asof_join(
+        left, right, ["k"], right_cols={"rid": "rid", "px": "px"},
+        tiebreak_col="rid", tolerance=F.expr("INTERVAL 5 MINUTES"),
+        salt_buckets=8,
+    )
+    rows = {r["lid"]: (r["matched_ts"], r["rid"], r["px"]) for r in got.collect()}
+    assert rows == _brute_asof(lrows, rrows, tol_min=5)
+    # degenerate: every timestamp identical -> single slice, still exact
+    one = dt.datetime(2024, 1, 1)
+    l1 = spark.createDataFrame([("a", one, 1)], "k string, ts timestamp, lid int")
+    r1 = spark.createDataFrame([("a", one, 9, 2.0)], "k string, ts timestamp, rid int, px double")
+    out = asof_join(l1, r1, ["k"], right_cols={"rid": "rid", "px": "px"},
+                    tiebreak_col="rid", salt_buckets=8).collect()
+    assert [(r.lid, r.rid) for r in out] == [(1, 9)]
