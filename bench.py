@@ -240,6 +240,112 @@ def cdc_worker(cores: int, feed_dir: str) -> None:
     }))
 
 
+def stream_worker(cores: int) -> None:
+    """One parallelism level of the STREAMING append path (VERDICT r4 #6):
+    warmup + min-of-k timed 50-batch drains in one JVM, each trial
+    preceded by the same calibration burns as cdc_worker. The feed must
+    already be materialized (stream_bench runs first in main()).
+
+    What scales and what cannot: each micro-batch is one O(batch) delta
+    append (narrow, parallel) plus a FIXED driver-side cost — plan build,
+    observation read, manifest commit, lineage write — that no executor
+    count touches. At 50 batches × ~13k events the fixed cost dominates,
+    so raw 1-vs-4 efficiency is expected to sit well under the batch
+    path's; the honest cluster translation is events/s at a GIVEN batch
+    size, and bigger batches amortize the floor (see BENCH/BASELINE.md
+    anatomy)."""
+    import shutil
+
+    from nifi_spark.session import get_spark
+    from nifi_spark.streaming.job import CdcPipeline
+
+    spark = get_spark(
+        f"bench_streamw_{cores}",
+        cores=cores,
+        shuffle_partitions=SHUFFLE_PARTS,
+        extra_conf={"spark.sql.files.maxPartitionBytes": "16m"},
+    )
+    with open(os.path.join(STREAM_FEED_DIR, "_COUNT")) as f:
+        n = int(f.read().strip())
+
+    def drain_once(mft: int = 1) -> float:
+        work = tempfile.mkdtemp(prefix=f"bench_sw_{cores}_")
+        try:
+            pipe = CdcPipeline(
+                spark,
+                os.path.join(work, "table"),
+                os.path.join(work, "ckpt"),
+                n_buckets=32,
+                from_json_payload=True,
+                sink_mode="append",
+                compact_every=16,
+            )
+            t0 = time.time()
+            pipe.run_to_completion(STREAM_FEED_DIR, max_files_per_trigger=mft)
+            return time.time() - t0
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+
+    drain_once()  # warmup: JIT/codegen for the full per-batch plan
+    _jvm_burn(spark, rows=1_000_000)
+    walls: list[float] = []
+    burns: list[float] = []
+    jburns: list[float] = []
+    walls_big: list[float] = []  # 10 files/trigger → 5 big batches: the
+    # O(batch) half dominates, so THIS pair shows the compute scaling the
+    # 1-file pair's fixed-cost floor hides
+    t0 = time.time()
+    while len(walls) < TRIALS_PER_LEVEL and (
+        not walls or time.time() - t0 < WORKER_TRIAL_BUDGET_S
+    ):
+        burns.append(round(_burn_wall(cores), 3))
+        jburns.append(round(_jvm_burn(spark), 3))
+        walls.append(round(drain_once(), 3))
+        walls_big.append(round(drain_once(mft=10), 3))
+    best = min(walls)
+    print(json.dumps({
+        "cores": cores, "n_events": n, "n_batches": STREAM_BATCHES,
+        "wall_sec": best, "events_per_sec": round(n / best),
+        "sec_per_batch": round(best / STREAM_BATCHES, 3),
+        "walls": walls, "burns": burns, "jburns": jburns,
+        "burn_wall": burns[walls.index(best)],
+        "jvm_burn_wall": jburns[walls.index(best)],
+        "walls_big": walls_big, "wall_sec_big": min(walls_big),
+        "events_per_sec_big": round(n / min(walls_big)),
+    }))
+
+
+def _run_stream_worker(cores: int, trials: int | None = None) -> dict | None:
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+    if trials is not None:
+        env["SPARK_GRAFT_BENCH_TRIALS"] = str(trials)
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--stream-worker", str(cores)],
+            capture_output=True, text=True, env=env, timeout=WORKER_TIMEOUT_S,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    last = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    return json.loads(last[-1]) if last else None
+
+
+def _stream_scaling_runs(max_rounds: int = 2) -> tuple[dict | None, dict | None]:
+    """lo/hi min-of-k for the streaming drain — same protocol and
+    corroboration rule as _scaling_runs, fewer rounds (each trial is a
+    full 50-batch drain)."""
+    lo: dict | None = None
+    hi: dict | None = None
+    for i in range(max_rounds):
+        if i > 0 and _min_corroborated(lo, 2) and _min_corroborated(hi, 3):
+            break
+        lo = _merge_worker_results(lo, _run_stream_worker(CORES_LO, 2))
+        hi = _merge_worker_results(hi, _run_stream_worker(CORES_HI, 3))
+    return lo, hi
+
+
 def _jvm_burn(spark, rows: int = 400_000_000) -> float:
     """In-JVM parallel calibration: a fixed xxhash64 chain over a range,
     64 partitions, no shuffle, no IO. Unlike the multi-process Python burn
@@ -320,6 +426,10 @@ def _merge_worker_results(a: dict | None, b: dict | None) -> dict | None:
     out["events_per_sec"] = round(out["n_events"] / best)
     out["burn_wall"] = out["burns"][out["walls"].index(best)]
     out["jvm_burn_wall"] = out["jburns"][out["walls"].index(best)]
+    if "walls_big" in a or "walls_big" in b:  # stream workers only
+        out["walls_big"] = a.get("walls_big", []) + b.get("walls_big", [])
+        out["wall_sec_big"] = min(out["walls_big"])
+        out["events_per_sec_big"] = round(out["n_events"] / out["wall_sec_big"])
     return out
 
 
@@ -373,6 +483,36 @@ def _min_corroborated(level: dict | None, k_min: int) -> bool:
 
 def _eff(lo: dict, hi: dict) -> float:
     return (hi["events_per_sec"] / lo["events_per_sec"]) / (CORES_HI / CORES_LO)
+
+
+def _eff_fields(lo: dict, hi: dict) -> dict:
+    """The scaling-efficiency + calibration-ceiling fields shared by the
+    batch CDC pair and the streaming pair (see main() for the ceiling
+    semantics: proc burn = fixed per-process work, JVM burn = fixed total
+    work split over cores)."""
+    eff = _eff(lo, hi)
+    ratio = CORES_HI / CORES_LO
+    proc_eff = lo["burn_wall"] / hi["burn_wall"]
+    jvm_eff = (lo["jvm_burn_wall"] / hi["jvm_burn_wall"]) / ratio
+    return dict(
+        n_events=hi["n_events"],
+        wall_sec_lo=lo["wall_sec"], wall_sec_hi=hi["wall_sec"],
+        events_per_sec_lo=lo["events_per_sec"],
+        events_per_sec_hi=hi["events_per_sec"],
+        scaling_efficiency=round(eff, 3),
+        burn_wall_lo=lo["burn_wall"], burn_wall_hi=hi["burn_wall"],
+        jvm_burn_wall_lo=lo["jvm_burn_wall"],
+        jvm_burn_wall_hi=hi["jvm_burn_wall"],
+        host_parallel_eff_procs=round(proc_eff, 3),
+        host_parallel_eff=round(jvm_eff, 3),
+        scaling_efficiency_normalized=round(eff / jvm_eff, 3),
+        walls_lo=lo.get("walls", []), burns_lo=lo.get("burns", []),
+        jburns_lo=lo.get("jburns", []),
+        walls_hi=hi.get("walls", []), burns_hi=hi.get("burns", []),
+        jburns_hi=hi.get("jburns", []),
+        n_trials_lo=len(lo.get("walls", [])),
+        n_trials_hi=len(hi.get("walls", [])),
+    )
 
 
 STREAM_FEED_DIR = os.environ.get(
@@ -679,6 +819,49 @@ txn row adds the keyed stateful buffer (commit-gated admission) to the
 same append path — its delta over plain append is the price of
 transaction atomicity.
 """
+    sc = s.get("scaling")
+    scaling = ""
+    if sc:
+        scaling = f"""
+### Streaming append path at two parallelism levels (min-of-{sc['n_trials_lo']}/{sc['n_trials_hi']} lo/hi)
+
+Same 50-batch drain, fresh JVM per level, warmup drain excluded:
+
+| cores | wall s | s/batch | events/s |
+|---|---|---|---|
+| {sc['cores_lo']} | {sc['wall_sec_lo']} | {sc['sec_per_batch_lo']} | {sc['events_per_sec_lo']:,} |
+| {sc['cores_hi']} | {sc['wall_sec_hi']} | {sc['sec_per_batch_hi']} | {sc['events_per_sec_hi']:,} |
+
+Raw scaling efficiency **{sc['scaling_efficiency']}** (JVM-ceiling-normalized
+{sc['scaling_efficiency_normalized']}; adjacent JVM burns {sc['jvm_burn_wall_lo']} s vs
+{sc['jvm_burn_wall_hi']} s → host ceiling {sc['host_parallel_eff']}). Anatomy: each
+micro-batch is one O(batch) parallel delta append plus a FIXED
+driver-side cost (plan build, observation read, manifest commit, lineage
+write) that no executor count touches; at ~{round(sc['n_events']/sc['n_batches']):,}
+events/batch the fixed cost is the floor, so the 1-file-per-trigger
+pair's raw efficiency sits below the batch CDC pair's by construction.
+The per-batch fixed cost is INDEPENDENT of cluster size — a
+1000-executor stream pays the same ~fixed s/batch and scales by raising
+events/batch. Trial walls lo
+{', '.join(str(w) for w in sc['walls_lo'])} / hi
+{', '.join(str(w) for w in sc['walls_hi'])} (min-of-k, burns adjacent).
+"""
+        if "wall_sec_big_lo" in sc:
+            scaling += f"""
+Same drain at 10 files/trigger (5 big batches — the O(batch) half
+dominates the fixed cost):
+
+| cores | wall s | events/s |
+|---|---|---|
+| {sc['cores_lo']} | {sc['wall_sec_big_lo']} | {sc['events_per_sec_big_lo']:,} |
+| {sc['cores_hi']} | {sc['wall_sec_big_hi']} | {sc['events_per_sec_big_hi']:,} |
+
+Big-batch scaling efficiency **{sc['scaling_efficiency_big']}** — the
+events/batch lever demonstrated: amortizing the same fixed cost over
+10× the rows recovers the compute scaling the 1-file pair hides (trial
+walls lo {', '.join(str(w) for w in sc['walls_big_lo'])} / hi
+{', '.join(str(w) for w in sc['walls_big_hi'])}).
+"""
     return f"""
 ## Streaming micro-batch drain ({s['n_batches']} batches, maxFilesPerTrigger=1)
 
@@ -689,7 +872,7 @@ incremental sink commit) into one LakeTable: **{s['wall_sec']} s wall =
 fixed cost is the number that dominates thousand-batch streams; apply_batch
 holds it to 2 Spark jobs per batch (one per-source-file aggregation that
 yields metrics + lineage + touched buckets, then the sink commit).
-{modes}"""
+{modes}{scaling}"""
 
 
 def write_report(result: dict) -> None:
@@ -761,6 +944,9 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--cdc-worker":
         cdc_worker(int(sys.argv[2]), sys.argv[3])
         return
+    if len(sys.argv) > 1 and sys.argv[1] == "--stream-worker":
+        stream_worker(int(sys.argv[2]))
+        return
 
     import pyspark
 
@@ -768,43 +954,40 @@ def main() -> None:
     ensure_feed()
     queries = time_queries()
     stream = stream_bench()
+    # 1-vs-4 pair for the STREAMING append path (VERDICT r4 #6) — runs
+    # after stream_bench so the stream feed is materialized. Host ceiling
+    # semantics are documented on _eff_fields: proc burn = fixed
+    # per-process work (unthrottled host → equal walls), JVM burn = fixed
+    # total work split over cores (ideal wall ratio = core ratio); the
+    # JVM ceiling is the honest one for an in-JVM engine (sibling-thread
+    # memory-bandwidth/frequency contention a real N-vs-4N executor
+    # fleet does not pay).
+    slo, shi = _stream_scaling_runs()
+    if slo and shi:
+        stream["scaling"] = {
+            "cores_lo": CORES_LO, "cores_hi": CORES_HI,
+            "n_batches": STREAM_BATCHES,
+            "sec_per_batch_lo": round(slo["wall_sec"] / STREAM_BATCHES, 3),
+            "sec_per_batch_hi": round(shi["wall_sec"] / STREAM_BATCHES, 3),
+            **_eff_fields(slo, shi),
+        }
+        if "wall_sec_big" in slo and "wall_sec_big" in shi:
+            stream["scaling"].update(
+                wall_sec_big_lo=slo["wall_sec_big"],
+                wall_sec_big_hi=shi["wall_sec_big"],
+                events_per_sec_big_lo=slo["events_per_sec_big"],
+                events_per_sec_big_hi=shi["events_per_sec_big"],
+                walls_big_lo=slo.get("walls_big", []),
+                walls_big_hi=shi.get("walls_big", []),
+                scaling_efficiency_big=round(
+                    (shi["events_per_sec_big"] / slo["events_per_sec_big"])
+                    / (CORES_HI / CORES_LO), 3,
+                ),
+            )
     lo, hi = _scaling_runs()
     cdc: dict = {"cores_lo": CORES_LO, "cores_hi": CORES_HI}
     if lo and hi:
-        eff = _eff(lo, hi)
-        # Host ceilings from the burns adjacent to the two min-wall trials
-        # (burn work per level is identical, so burn_lo/burn_hi is the
-        # fraction of the ideal 4x speedup permitted; 1.0 = unthrottled).
-        # The JVM burn is the honest one for an in-JVM engine measurement
-        # (shared memory-bandwidth/frequency contention between sibling
-        # task threads — absent on real N-vs-4N executor fleets); the
-        # Python-process burn is reported alongside for the aggregate cap.
-        ratio = CORES_HI / CORES_LO
-        # proc burn: per-PROCESS work is fixed and procs == cores, so an
-        # unthrottled host gives equal walls — the fraction of ideal is
-        # the plain wall ratio. JVM burn: fixed TOTAL work split over
-        # cores, so the ideal wall ratio is `ratio` — divide it out.
-        proc_eff = lo["burn_wall"] / hi["burn_wall"]
-        jvm_eff = (lo["jvm_burn_wall"] / hi["jvm_burn_wall"]) / ratio
-        cdc.update(
-            n_events=hi["n_events"],
-            wall_sec_lo=lo["wall_sec"], wall_sec_hi=hi["wall_sec"],
-            events_per_sec_lo=lo["events_per_sec"],
-            events_per_sec_hi=hi["events_per_sec"],
-            scaling_efficiency=round(eff, 3),
-            burn_wall_lo=lo["burn_wall"], burn_wall_hi=hi["burn_wall"],
-            jvm_burn_wall_lo=lo["jvm_burn_wall"],
-            jvm_burn_wall_hi=hi["jvm_burn_wall"],
-            host_parallel_eff_procs=round(proc_eff, 3),
-            host_parallel_eff=round(jvm_eff, 3),
-            scaling_efficiency_normalized=round(eff / jvm_eff, 3),
-            walls_lo=lo.get("walls", []), burns_lo=lo.get("burns", []),
-            jburns_lo=lo.get("jburns", []),
-            walls_hi=hi.get("walls", []), burns_hi=hi.get("burns", []),
-            jburns_hi=hi.get("jburns", []),
-            n_trials_lo=len(lo.get("walls", [])),
-            n_trials_hi=len(hi.get("walls", [])),
-        )
+        cdc.update(_eff_fields(lo, hi))
     result = {
         "metric": "cdc_apply_wall_sec_hi",
         "value": (hi or {}).get("wall_sec", -1.0),
