@@ -2304,6 +2304,62 @@ def q_drift_documents(spark, sf_dir):
     return drift_report(cur, ref)
 
 
+def q_asof_join_salted(spark, sf_dir):
+    """Hot-key-bounded as-of join (temporal.asof_join(salt_buckets=8)):
+    each key's timeline splits into 8 contiguous slices, every slice
+    additionally receiving the one boundary row the carry-forward needs,
+    so a hot key's window task holds 1/8 of its history instead of all
+    of it. Shares asof_join's oracle — value-parity through the driver's
+    hash gate proves the salted plan bit-identical (same pattern as
+    cdc_lww_fold_salted)."""
+    from nifi_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("cid")
+    )
+    out = asof_join(
+        buys,
+        clicks,
+        ["user_id"],
+        right_cols={"cid": "click_id"},
+        tiebreak_col="cid",
+        matched_ts_name="click_ts",
+        salt_buckets=8,
+    )
+    return out.select("user_id", "event_id", "ts", "click_ts", "click_id")
+
+
+def q_defragment_guarded(spark, sf_dir):
+    """Defragment with the MergeContent max-entries guard
+    (binning.split_oversized_groups, ≙ MergeContent.java:115-127): orders
+    with more than 5 line items route out BEFORE their payload is
+    collected (counters aggregate first, oversized ids anti-join out),
+    so a pathological group can never OOM the collecting task. Output =
+    the merged survivors; the overflow side is group_overflow_report."""
+    li = _t(spark, sf_dir, "lineitem")
+    out, _overflow = defragment(
+        li, "l_orderkey", "l_linenumber", "l_linenumber", sep=",",
+        max_group_rows=5,
+    )
+    return out.select("l_orderkey", "n_fragments", "merged")
+
+
+def q_group_overflow_report(spark, sf_dir):
+    """The DLQ side of the group-size guard: one row per oversized group
+    with its row/byte counters and reason 'group-overflow' — what the
+    streaming pipeline lands for runaway transactions/conversations."""
+    li = _t(spark, sf_dir, "lineitem")
+    _out, overflow = defragment(
+        li, "l_orderkey", "l_linenumber", "l_linenumber", sep=",",
+        max_group_rows=5,
+    )
+    return overflow.select("l_orderkey", "n_rows", "n_bytes", "reason")
+
+
 # --------------------------------------------------------------------------
 # Registry
 # --------------------------------------------------------------------------
@@ -2325,6 +2381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_multi_table": q_cdc_multi_table,
         "preference_pairs": q_preference_pairs,
         "validate_turns": q_validate_turns,
+        # round-5 additions (inside the snapshot window)
+        "asof_join_salted": q_asof_join_salted,
+        "defragment_guarded": q_defragment_guarded,
+        "group_overflow_report": q_group_overflow_report,
         "dedup_embedding_cosine": q_dedup_embedding_cosine,
         "control_rate": q_control_rate,
         "duplicate_flowfile": q_duplicate_flowfile,
@@ -2527,7 +2587,7 @@ def oracle_sql() -> dict[str, str]:
         }.items()
     }
     stop_list = ["the", "a", "of", "to", "and", "in", "is", "it"]
-    return {
+    out = {
         "cdc_lww_fold": _CDC_LWW_SQL,
         "cdc_lww_fold_salted": _CDC_LWW_SQL,
         # The multi-batch LakeTable replay must converge to the single-shot
@@ -2720,6 +2780,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_orderkey, count(*) AS n_fragments,
                    string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS merged
             FROM lineitem GROUP BY l_orderkey
+        """,
+        "defragment_guarded": """
+            SELECT l_orderkey, count(*) AS n_fragments,
+                   string_agg(l_linenumber::VARCHAR, ',' ORDER BY l_linenumber) AS merged
+            FROM lineitem GROUP BY l_orderkey
+            HAVING count(*) <= 5
+        """,
+        "group_overflow_report": """
+            SELECT l_orderkey, count(*)::BIGINT AS n_rows,
+                   sum(strlen(l_linenumber::VARCHAR))::BIGINT AS n_bytes,
+                   'group-overflow' AS reason
+            FROM lineitem GROUP BY l_orderkey
+            HAVING count(*) > 5
         """,
         "record_stats": """
             SELECT stat_col, value, cnt FROM (
@@ -4303,6 +4376,8 @@ def oracle_sql() -> dict[str, str]:
         # Backward-inclusive as-of: greatest click ts <= purchase ts per
         # user, exact ties broken by max click id — the same ordering the
         # Spark carry-forward window encodes.
+        # asof_join_salted reuses this oracle verbatim (registered below):
+        # identical output proves the salted two-level window bit-exact.
         "asof_join": """
             WITH buys AS (
                 SELECT event_id, user_id, ts FROM events
@@ -4507,3 +4582,5 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY o_orderkey
         """,
     }
+    out["asof_join_salted"] = out["asof_join"]
+    return out
