@@ -1243,6 +1243,13 @@ def _cli(argv: list[str] | None = None) -> None:
                    default="record",
                    help="on a failed check: record the verdict and proceed, "
                         "or halt the micro-batch before anything commits")
+    p.add_argument("--near-dup-index", default=None,
+                   help="path of the persisted LSH index: each batch's admitted "
+                        "insert conversations probe+extend it; flagged pairs "
+                        "land under {table}/_near_dups/batch=N")
+    p.add_argument("--index-compact-every", type=int, default=0,
+                   help="fold the per-batch LSH index partitions every N batches")
+    p.add_argument("--near-dup-threshold", type=float, default=0.5)
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--available-now", action="store_true",
                    help="drain the feed and stop (batch replay); else run continuous")
@@ -1312,6 +1319,9 @@ def _cli(argv: list[str] | None = None) -> None:
             json.loads(args.quality_checks) if args.quality_checks else None
         ),
         quality_action=args.quality_action,
+        near_dup_index=args.near_dup_index,
+        index_compact_every=args.index_compact_every,
+        near_dup_threshold=args.near_dup_threshold,
     )
     if args.bootstrap_from:
         if args.bootstrap_seq is None:
