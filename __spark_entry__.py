@@ -2230,12 +2230,14 @@ def q_dedup_incremental(spark, sf_dir):
     idx = LshIndex(
         spark,
         _os.path.join(_work_dir("dedup_incremental", sf_dir), "lsh"),
-        # max_bucket effectively unbounded: the one-shot oracle applies its
+        # max_bucket=None (unbounded): the one-shot oracle applies its
         # guard to FULL-corpus bucket sizes while the incremental probe
         # guards at probe time (batches <= cursor) — a bucket crossing the
         # bound between splits would diverge. Disabling both keeps the
-        # union == one-shot invariant exact for ANY data.
-        n_hashes=16, shingle_n=3, n_bands=4, threshold=0.5, max_bucket=1_000_000,
+        # union == one-shot invariant exact for ANY data, and None also
+        # skips the probe-time bucket-size scan entirely (the oracle's
+        # 1e6 HAVING bound is equally vacuous).
+        n_hashes=16, shingle_n=3, n_bands=4, threshold=0.5, max_bucket=None,
     )
     out = None
     for b in range(3):

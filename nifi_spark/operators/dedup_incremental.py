@@ -26,6 +26,14 @@ the whole job again each trigger. :class:`LshIndex` makes it O(batch):
   sides prune STATICALLY: the new batch's ``pb`` set and the candidate
   ids' ``sb`` set (each bounded by ``n_sub_buckets``, each one bounded
   collect) are pushed as partition ``IN`` filters;
+- the sb prune requires materializing the candidate set inside
+  ``add_batch`` (one eager Spark job per batch — its sub-bucket values
+  cannot be known before the probe join runs). That fixed job cost is
+  the price of reading O(candidates / n_sub_buckets) verify files
+  instead of the whole shingle side: at toy scale it ADDS a couple of
+  seconds per batch versus a fully-lazy unpruned probe; at 10^10 docs
+  the unpruned verify scan IS the job, so the trade inverts by orders
+  of magnitude;
 - candidates are verified by exact hashed-shingle Jaccard
   (dedup_fuzzy.verify_jaccard_pairs — identical arithmetic to the batch
   operator), so the union of per-batch pair outputs over any
@@ -237,8 +245,13 @@ class LshIndex:
         new_bands = self.spark.read.schema(
             f"`{self.id_col}` {idt}, band int, bhash string, pb int"
         ).parquet(band_part)
+        # the batch's pb set comes from its partition DIRECTORIES (dynamic
+        # partitioning creates pb=X only for present values) — one listing,
+        # no Spark job
         pbs = sorted(
-            r.pb for r in new_bands.select("pb").distinct().collect()
+            int(name.split("=", 1)[1])
+            for name in self._io.list_names(band_part)
+            if name.startswith("pb=")
         )
         self.last_pb_buckets = pbs  # pruning witness (tests/ops visibility)
         if not pbs:  # empty batch: nothing can match anything
