@@ -72,3 +72,36 @@ def test_no_driver_collect_in_query_bodies():
     src = inspect.getsource(entry_mod)
     assert ".toPandas(" not in src
     assert ".collect(" not in src
+
+
+# Queries whose plan INTENTIONALLY contains a broadcast nested-loop join:
+# the brute-force ANN scorers broadcast the (tiny) query set against the
+# corpus scan (similarity.py:160, :673 — a cross join IS the operator),
+# and domain_mix broadcasts a one-row per-domain cap frame
+# (traindata.py:496). Everything else must stay equi-join only.
+_NESTED_LOOP_OK = {
+    "embedding_cosine_topk",
+    "embedding_ann_pq",
+    "embedding_ann_pq_refined",
+    "domain_mix",
+}
+
+
+def test_no_unintended_nested_loop_or_cartesian_plans(spark):
+    """Global scale guard: an accidental theta-join (CartesianProduct /
+    BroadcastNestedLoopJoin) in any driver query is an O(n*m) bomb at
+    100 TB. Plans are built, not executed — cheap to check all of them."""
+    flagged = {}
+    for name, fn in entry_mod.queries().items():
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        hits = [
+            w for w in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if w in plan
+        ]
+        if hits and name not in _NESTED_LOOP_OK:
+            flagged[name] = hits
+        if "CartesianProduct" in plan:
+            # even the whitelisted shapes must be BROADCAST nested loops,
+            # never an unbroadcast cartesian shuffle
+            flagged[name] = flagged.get(name, []) + ["CartesianProduct"]
+    assert not flagged, f"unintended theta-join plans: {flagged}"
