@@ -102,7 +102,11 @@ def test_ann_plans_contain_map_side_prune(spark, build):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     out = build(emb.filter(F.col("vec_id") < 3), emb)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "MapInPandas" in plan  # the partial stage sits below the window
+    # the partial stage sits below the global window: JVM default is the
+    # row_number-over-(query, input-partition) filter (no Python eval);
+    # `_ptk_pid` only appears in that pre-cut window
+    assert "_ptk_pid" in plan
+    assert "MapInPandas" not in plan
     assert out.count() > 0
 
 
