@@ -1441,6 +1441,56 @@ def q_yaml_tree(spark, sf_dir):
     )
 
 
+def q_xpath_extract(spark, sf_dir):
+    """EvaluateXPath (sources/formats.evaluate_xpath, ≙
+    nifi-standard-bundle .../EvaluateXPath.java:104-140's dynamic
+    attribute→XPath properties): evaluate typed XPath expressions —
+    attribute access, text nodes, count(), a nodeset join, a boolean
+    predicate — against a deterministic nested-XML synthesis from the
+    part table; all five evaluations are Spark's JVM-side Hive xpath
+    UDF family, no Python in the hot path."""
+    from nifi_spark.sources.formats import evaluate_xpath
+
+    p = _t(spark, sf_dir, "part")
+    n = (F.col("p_size") % 3 + 1).cast("int")
+    src = p.select(
+        "p_partkey",
+        F.concat(
+            F.lit('<part id="'), F.col("p_partkey").cast("string"),
+            F.lit('"><name>'), F.col("p_name"), F.lit("</name><sizes>"),
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.concat(
+                        F.lit("<s>"), i.cast("string"), F.lit("</s>")
+                    ),
+                ),
+            ),
+            F.lit("</sizes></part>"),
+        ).alias("xml"),
+    )
+    out = evaluate_xpath(
+        src,
+        "xml",
+        {
+            "pid": ("/part/@id", "long"),
+            "pname": "/part/name",
+            "n_sizes": ("count(/part/sizes/s)", "long"),
+            "sizes_csv": ("/part/sizes/s/text()", "nodeset"),
+            "has_two": ("count(/part/sizes/s) >= 2", "boolean"),
+        },
+    )
+    return out.select(
+        "p_partkey",
+        "pid",
+        "pname",
+        "n_sizes",
+        F.concat_ws(",", F.col("sizes_csv")).alias("sizes_csv"),
+        "has_two",
+    )
+
+
 def q_windows_event_xml(spark, sf_dir):
     """WindowsEventLogReader: parse a deterministic Windows Event XML
     synthesis (System header attrs + EventData name/value pairs) via
@@ -2402,6 +2452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jolt_transform_v2": q_jolt_transform_v2,
         "jslt_transform": q_jslt_transform,
         "windows_event_xml": q_windows_event_xml,
+        "xpath_extract": q_xpath_extract,
         "el_json_mutation": q_el_json_mutation,
         "recordpath_advanced": q_recordpath_advanced,
         "embedding_ann_ivf": q_embedding_ann_ivf,
@@ -3978,6 +4029,18 @@ def oracle_sql() -> dict[str, str]:
                    'GEN' AS origin,
                    't-' || event_id AS tag
             FROM events
+        """,
+        "xpath_extract": """
+            SELECT p_partkey,
+                   p_partkey::BIGINT AS pid,
+                   p_name AS pname,
+                   (p_size % 3 + 1)::BIGINT AS n_sizes,
+                   array_to_string(
+                       list_transform(range(1, p_size % 3 + 2), i -> i::VARCHAR),
+                       ','
+                   ) AS sizes_csv,
+                   (p_size % 3 + 1) >= 2 AS has_two
+            FROM part
         """,
         "windows_event_xml": """
             SELECT event_id AS eid,

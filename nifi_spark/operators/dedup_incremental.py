@@ -298,10 +298,11 @@ class LshIndex:
             cand_plan._jdf.queryExecution().executedPlan().toString()
         )
         # Materialize the candidate set ONCE (executor-side blocks, not
-        # the driver): the probe join runs here; its result -- bounded
-        # by batch x n_bands x max_bucket -- feeds BOTH the sub-bucket
-        # collection below and the verify join, without recomputation.
-        cand = cand_plan.localCheckpoint(eager=True)
+        # the driver): lazy checkpoint, so the sub-bucket collect below
+        # both RUNS the probe join and persists its result -- bounded by
+        # batch x n_bands x max_bucket -- in a single job; the verify
+        # join then reuses the checkpointed blocks without recomputation.
+        cand = cand_plan.localCheckpoint(eager=False)
         # which shingle sub-buckets can the verify possibly touch? sb is a
         # pure function of the id, so the candidate ids' distinct sb set
         # (<= n_sub_buckets values, one bounded collect) prunes the

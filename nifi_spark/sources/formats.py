@@ -288,6 +288,48 @@ def parse_xml(df: DataFrame, xml_col: str, schema) -> DataFrame:
     return df.withColumn("parsed", F.from_xml(F.col(xml_col), schema))
 
 
+#: return-type name → pyspark xpath function (all JVM-side Hive UDFs, so
+#: the whole evaluation stays out of Python). ``nodeset`` yields
+#: array<string> of matched text nodes, the reference's String List.
+_XPATH_FNS = {
+    "string": F.xpath_string,
+    "long": F.xpath_long,
+    "double": F.xpath_double,
+    "boolean": F.xpath_boolean,
+    "nodeset": F.xpath,
+}
+
+
+def evaluate_xpath(df: DataFrame, xml_col: str, exprs: dict) -> DataFrame:
+    """EvaluateXPath: evaluate XPath expressions against an XML-string
+    column and add each result as a typed column (reference
+    nifi-standard-bundle .../EvaluateXPath.java:104-140 — dynamic
+    property name → XPath expression, Destination=flowfile-attribute
+    adds one attribute per expression; Return Type string/nodeset maps
+    to ``string``/``nodeset`` here, with ``long``/``double``/``boolean``
+    as the typed shortcuts XPath's number()/boolean() coercions give).
+
+    ``exprs`` maps output column → ``(xpath, return_type)`` (or a bare
+    xpath string, implying ``string``). A non-matching expression yields
+    the type's zero value (empty string / 0 / false / empty array — the
+    Hive xpath UDF coercion), mirroring the reference's "attributes will
+    be created with empty strings" contract — never a routing failure.
+    Evaluation is Spark's built-in Hive xpath UDF family: JVM-side,
+    codegen-friendly, no Python in the hot path.
+    """
+    cols = {}
+    for name, spec in exprs.items():
+        xp, rt = (spec, "string") if isinstance(spec, str) else spec
+        fn = _XPATH_FNS.get(rt)
+        if fn is None:
+            raise ValueError(
+                f"evaluate_xpath: unknown return type {rt!r} for {name!r}; "
+                f"expected one of {sorted(_XPATH_FNS)}"
+            )
+        cols[name] = fn(F.col(xml_col), F.lit(xp))
+    return df.withColumns(cols)
+
+
 _WINEVT_SCHEMA = (
     "System struct<Provider struct<_Name string>, EventID bigint, "
     "Level bigint, TimeCreated struct<_SystemTime string>, Computer string>, "

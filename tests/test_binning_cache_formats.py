@@ -403,6 +403,41 @@ def test_parse_xml_and_yaml(spark):
     assert ry.parsed.k == 5 and ry.parsed.n == "hi"
 
 
+def test_evaluate_xpath(spark):
+    from nifi_spark.sources.formats import evaluate_xpath
+
+    df = spark.createDataFrame(
+        [('<p id="7"><n>hi</n><s>1</s><s>2</s></p>',), ("<p><n>lo</n></p>",)],
+        "x string",
+    )
+    out = evaluate_xpath(
+        df,
+        "x",
+        {
+            "pid": ("/p/@id", "long"),
+            "name": "/p/n",  # bare string implies return type 'string'
+            "n_s": ("count(/p/s)", "long"),
+            "ss": ("/p/s/text()", "nodeset"),
+            "two": ("count(/p/s) >= 2", "boolean"),
+        },
+    )
+    rows = {r.name: r for r in out.collect()}
+    r = rows["hi"]
+    assert r.pid == 7 and r.n_s == 2 and r.ss == ["1", "2"] and r.two
+    # no match: zero / empty per EvaluateXPath's attribute contract
+    # (Hive xpath_long coerces a missing node to 0, not NULL)
+    r2 = rows["lo"]
+    assert r2.pid == 0 and r2.n_s == 0 and r2.ss == [] and not r2.two
+    # the whole evaluation is JVM-side: no Python eval node in the plan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown return type"):
+        evaluate_xpath(df, "x", {"bad": ("/p", "float")})
+
+
 def test_infer_json_schema_widens(spark):
     from nifi_spark.sources.formats import infer_json_schema
 
