@@ -1491,6 +1491,29 @@ def q_xpath_extract(spark, sf_dir):
     )
 
 
+def q_avro_roundtrip(spark, sf_dir):
+    """Avro write→read round-trip (sources/avro.py, ≙
+    nifi-record-serialization-services .../avro/AvroReader.java +
+    AvroRecordSetWriter.java record-serialization pair): the events
+    table is written as Avro container files — pure-Python Avro-1.11
+    encoder inside mapInPandas, one file per partition, deflate codec,
+    _SUCCESS-gated commit — then read back through the binaryFile +
+    per-block Arrow decode path (the JVM format('avro') path is taken
+    automatically when the spark-avro jar is present). The oracle is
+    the ORIGINAL table: the round-trip must be value-exact, including
+    timestamp-micros and nullable doubles."""
+    import os as _os
+
+    from nifi_spark.sources.avro import read_avro, write_avro
+
+    dst = _os.path.join(_work_dir("avro_roundtrip", sf_dir), "events_avro")
+    if not _os.path.exists(_os.path.join(dst, "_SUCCESS")):
+        write_avro(_t(spark, sf_dir, "events"), dst, codec="deflate")
+    return read_avro(spark, dst).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
 def q_windows_event_xml(spark, sf_dir):
     """WindowsEventLogReader: parse a deterministic Windows Event XML
     synthesis (System header attrs + EventData name/value pairs) via
@@ -2453,6 +2476,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jslt_transform": q_jslt_transform,
         "windows_event_xml": q_windows_event_xml,
         "xpath_extract": q_xpath_extract,
+        "avro_roundtrip": q_avro_roundtrip,
         "el_json_mutation": q_el_json_mutation,
         "recordpath_advanced": q_recordpath_advanced,
         "embedding_ann_ivf": q_embedding_ann_ivf,
@@ -4041,6 +4065,10 @@ def oracle_sql() -> dict[str, str]:
                    ) AS sizes_csv,
                    (p_size % 3 + 1) >= 2 AS has_two
             FROM part
+        """,
+        "avro_roundtrip": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
         """,
         "windows_event_xml": """
             SELECT event_id AS eid,
