@@ -1514,6 +1514,34 @@ def q_avro_roundtrip(spark, sf_dir):
     )
 
 
+def q_avro_datum_roundtrip(spark, sf_dir):
+    """Raw Avro datum round-trip (sources/avro.decode_avro_datum /
+    encode_avro_datum, ≙ ConsumeKafkaRecord+AvroReader /
+    PublishKafkaRecord+AvroRecordSetWriter on the Kafka VALUE bytes —
+    no container framing, schema supplied out of band): each events row
+    is encoded to spec binary datum bytes and decoded back through the
+    Arrow-batched pandas-UDF pair; the oracle is the original table, so
+    the wire encoding must be value-exact both ways."""
+    from nifi_spark.sources.avro import (
+        decode_avro_datum,
+        encode_avro_datum,
+        spark_to_avro_schema,
+    )
+
+    src = _t_wide(spark, sf_dir, "events").select(
+        F.struct("event_id", "event_type", "value", "props").alias("rec")
+    )
+    node = spark_to_avro_schema(src.schema.fields[0].dataType)
+    enc = encode_avro_datum(src, "rec", node)
+    out = decode_avro_datum(enc.select("avro"), "avro", node)
+    return out.select(
+        F.col("parsed.event_id").alias("event_id"),
+        F.col("parsed.event_type").alias("event_type"),
+        F.col("parsed.value").alias("value"),
+        F.col("parsed.props").alias("props"),
+    )
+
+
 def q_windows_event_xml(spark, sf_dir):
     """WindowsEventLogReader: parse a deterministic Windows Event XML
     synthesis (System header attrs + EventData name/value pairs) via
@@ -2477,6 +2505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windows_event_xml": q_windows_event_xml,
         "xpath_extract": q_xpath_extract,
         "avro_roundtrip": q_avro_roundtrip,
+        "avro_datum_roundtrip": q_avro_datum_roundtrip,
         "el_json_mutation": q_el_json_mutation,
         "recordpath_advanced": q_recordpath_advanced,
         "embedding_ann_ivf": q_embedding_ann_ivf,
@@ -4068,6 +4097,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "avro_roundtrip": """
             SELECT event_id, ts, user_id, event_type, value, props
+            FROM events
+        """,
+        "avro_datum_roundtrip": """
+            SELECT event_id, event_type, value, props
             FROM events
         """,
         "windows_event_xml": """

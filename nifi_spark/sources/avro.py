@@ -43,7 +43,10 @@ import os
 import struct
 import zlib
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 MAGIC = b"Obj\x01"
@@ -716,6 +719,76 @@ def read_avro(
     # future reader-schema evolution hook resolves against it
     _ = schema_node
     return files.mapInPandas(decode_part, schema=sdt)
+
+
+def decode_avro_datum(
+    df: DataFrame, col: str, avro_schema, out_col: str = "parsed"
+) -> DataFrame:
+    """``from_avro``: decode a BINARY column of raw Avro datum bytes —
+    no container framing, the Kafka value wire shape the reference's
+    ConsumeKafkaRecord + AvroReader pairing handles with an explicit
+    schema (the schema cannot ride along, so the caller supplies it) —
+    into a typed struct column. Arrow-batched pandas UDF (the spec's
+    binary decoding has no JVM expression without the avro module);
+    NULL bytes → NULL struct. Confluent wire framing (magic byte +
+    registry id) is registry-specific and out of scope — strip the
+    5-byte prefix upstream with ``F.substring``."""
+    import pandas as pd
+
+    sdt, _ = avro_to_spark_type(avro_schema)
+    if not isinstance(sdt, T.StructType):
+        raise ValueError("avro: datum schema must be a record")
+    dec = _compile_decoder(avro_schema)
+    names = [f.name for f in sdt.fields]
+
+    @F.pandas_udf(returnType=sdt)
+    def _dec_udf(s: pd.Series) -> pd.DataFrame:
+        rows = [
+            {n: None for n in names} if v is None else dec(_Cur(bytes(v)))
+            for v in s
+        ]
+        return pd.DataFrame({n: [r[n] for r in rows] for n in names})
+
+    return df.withColumn(out_col, _dec_udf(F.col(col)))
+
+
+def encode_avro_datum(
+    df: DataFrame, struct_col: str, avro_schema=None, out_col: str = "avro"
+) -> DataFrame:
+    """``to_avro``: encode a STRUCT column as raw Avro datum bytes (the
+    PublishKafka value shape). The schema defaults to the struct's own
+    Spark schema converted via :func:`spark_to_avro_schema`; pass the
+    parsed-JSON Avro schema explicitly to pin cross-system bytes."""
+    import pandas as pd
+
+    dt = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[
+        struct_col
+    ]
+    if not isinstance(dt, T.StructType):
+        raise ValueError(f"avro: {struct_col!r} must be a struct column")
+    node = (
+        avro_schema
+        if avro_schema is not None
+        else spark_to_avro_schema(dt)
+    )
+    enc = _compile_encoder(node)
+
+    @F.pandas_udf(returnType=T.BinaryType())
+    def _enc_udf(s: pd.Series) -> pd.Series:
+        # despite the Series hint the runtime hands struct-typed input
+        # over as a pandas DataFrame (one column per field)
+        recs = s.to_dict("records") if isinstance(s, pd.DataFrame) else list(s)
+        out = []
+        for v in recs:
+            if v is None:
+                out.append(None)
+            else:
+                buf = bytearray()
+                enc(buf, v)
+                out.append(bytes(buf))
+        return pd.Series(out, dtype=object)
+
+    return df.withColumn(out_col, _enc_udf(F.col(struct_col)))
 
 
 def _discover_schema(path: str):
