@@ -52,6 +52,18 @@ from pyspark.sql import types as T
 MAGIC = b"Obj\x01"
 _EPOCH_ORD = _dt.date(1970, 1, 1).toordinal()
 _EPOCH_DT = _dt.datetime(1970, 1, 1)
+_EPOCH_UTC = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+
+
+def _to_utc_naive(v: _dt.datetime) -> _dt.datetime:
+    """Normalize a datetime to naive-UTC before epoch arithmetic. The
+    Avro spec defines timestamp-micros as UTC epoch micros; Arrow hands
+    Spark TimestampType values over timezone-AWARE, so converting through
+    UTC here keeps the wire bytes correct under ANY session timezone
+    (a naive input is trusted to already be UTC — the NTZ/local case)."""
+    if v.tzinfo is not None:
+        return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+    return v
 
 # ---------------------------------------------------------------------------
 # binary primitives (Avro spec "Binary Encoding")
@@ -255,9 +267,16 @@ def _compile_decoder(node):
         logical = node.get("logicalType")
         if t == "int" and logical == "date":
             return lambda c: _dt.date.fromordinal(_EPOCH_ORD + _read_long(c))
-        if t == "long" and logical in ("timestamp-micros", "local-timestamp-micros"):
+        # instant types decode timezone-AWARE (UTC) so Spark stores the
+        # correct instant whatever the session timezone; local-* decode
+        # naive, matching TimestampNTZType semantics
+        if t == "long" and logical == "timestamp-micros":
+            return lambda c: _EPOCH_UTC + _dt.timedelta(microseconds=_read_long(c))
+        if t == "long" and logical == "timestamp-millis":
+            return lambda c: _EPOCH_UTC + _dt.timedelta(milliseconds=_read_long(c))
+        if t == "long" and logical == "local-timestamp-micros":
             return lambda c: _EPOCH_DT + _dt.timedelta(microseconds=_read_long(c))
-        if t == "long" and logical in ("timestamp-millis", "local-timestamp-millis"):
+        if t == "long" and logical == "local-timestamp-millis":
             return lambda c: _EPOCH_DT + _dt.timedelta(milliseconds=_read_long(c))
         if t == "record":
             fdecs = [
@@ -373,14 +392,14 @@ def _compile_encoder(node):
         if t == "long" and logical in ("timestamp-micros", "local-timestamp-micros"):
 
             def e_ts(out, v):
-                td = v - _EPOCH_DT
+                td = _to_utc_naive(v) - _EPOCH_DT
                 _write_long(out, (td.days * 86400 + td.seconds) * 1_000_000 + td.microseconds)
 
             return e_ts
         if t == "long" and logical in ("timestamp-millis", "local-timestamp-millis"):
 
             def e_tsm(out, v):
-                td = v - _EPOCH_DT
+                td = _to_utc_naive(v) - _EPOCH_DT
                 _write_long(out, (td.days * 86400 + td.seconds) * 1_000 + td.microseconds // 1000)
 
             return e_tsm
@@ -590,34 +609,6 @@ def _local_dir(path: str) -> str:
     return p
 
 
-def _pdf_to_rows(pdf, schema: T.StructType):
-    """Arrow-batch pandas frame → iterator of avro-ready row dicts.
-
-    NaN → null only on NULLABLE float fields (pandas uses NaN for null);
-    a non-nullable double keeps NaN as the valid IEEE value it is.
-    """
-    import pandas as pd
-
-    cols = {}
-    for f in schema.fields:
-        s = pdf[f.name]
-        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
-            cols[f.name] = [
-                None if pd.isna(v) else v.to_pydatetime()
-                for v in pd.to_datetime(s)
-            ]
-        elif f.nullable:
-            cols[f.name] = [
-                None if v is None or (isinstance(v, float) and v != v) else v
-                for v in s.tolist()
-            ]
-        else:
-            cols[f.name] = s.tolist()
-    names = list(cols)
-    for vals in zip(*(cols[n] for n in names)):
-        yield dict(zip(names, vals))
-
-
 def write_avro(
     df: DataFrame,
     path: str,
@@ -626,33 +617,48 @@ def write_avro(
 ) -> int:
     """Write ``df`` as Avro container files under ``path`` (one file per
     partition), returning the row count written. Uses ``format("avro")``
-    when the jar is present; otherwise encodes inside ``mapInPandas``
-    (executor-side, Arrow-batched — the driver never sees data rows) and
-    commits ``_SUCCESS`` + ``_schema.avsc`` last, so readers treat a
-    crashed write as absent. Task retries overwrite their own
-    ``part-<id>.avro`` via atomic rename — re-runs are idempotent."""
+    when the jar is present; otherwise encodes inside ``mapInArrow``
+    (executor-side — the driver never sees data rows). Arrow's
+    ``to_pylist`` is the value bridge ON PURPOSE: it keeps nullable
+    int64 exact (pandas would coerce a nulled int column to lossy
+    float64, silently rounding values past 2^53), keeps ``None`` and
+    ``NaN`` distinct in double columns, and hands instants over
+    timezone-aware so the encoder writes true UTC epoch micros under
+    any session timezone.
+
+    Commit protocol: the ``_schema.avsc`` sidecar lands BEFORE the data
+    action and ``_SUCCESS`` after it, so a crashed write leaves sidecar-
+    without-_SUCCESS — a state :func:`read_avro` refuses — while a dir
+    with neither marker is read as externally-produced data. Task
+    retries overwrite their own ``part-<id>.avro`` via atomic rename —
+    re-runs are idempotent."""
     spark = df.sparkSession
     if jvm_avro_available(spark):
         df.write.format("avro").mode("overwrite").save(path)
         return -1  # JVM path does not count rows
     schema_node = spark_to_avro_schema(df.schema)
-    sschema = df.schema
     local = _local_dir(path)
     os.makedirs(local, exist_ok=True)
-    for name in os.listdir(local):  # overwrite semantics
-        if name.endswith(".avro") or name in ("_SUCCESS", "_schema.avsc"):
+    # overwrite semantics: retract _SUCCESS FIRST so no reader can see
+    # the commit marker alongside a partially-deleted file set
+    for name in ("_SUCCESS", "_schema.avsc"):
+        p = os.path.join(local, name)
+        if os.path.exists(p):
+            os.remove(p)
+    for name in os.listdir(local):
+        if name.endswith(".avro"):
             os.remove(os.path.join(local, name))
 
     def write_part(batches):
-        import pandas as pd
+        import pyarrow as pa
         from pyspark import TaskContext
 
         pid = TaskContext.get().partitionId()
         seen = [0]
 
         def rows():
-            for pdf in batches:
-                for r in _pdf_to_rows(pdf, sschema):
+            for batch in batches:
+                for r in batch.to_pylist():
                     seen[0] += 1
                     yield r
 
@@ -660,18 +666,72 @@ def write_avro(
         n = seen[0]
         # header-only file (no rows) → skip; schema lives in the sidecar
         if n:
-            tmp = os.path.join(local, f".part-{pid:05d}.avro.tmp")
+            # pid in the temp name: a speculative/retried attempt must not
+            # interleave writes with a live sibling; os.replace keeps the
+            # final name atomic either way (last committer wins, files are
+            # byte-identical by the deterministic encoder)
+            tmp = os.path.join(
+                local, f".part-{pid:05d}.{os.getpid()}.avro.tmp"
+            )
             with open(tmp, "wb") as f:
                 f.write(blob)
             os.replace(tmp, os.path.join(local, f"part-{pid:05d}.avro"))
-        yield pd.DataFrame({"n": [n]})
+        yield pa.RecordBatch.from_pydict({"n": [n]})
 
-    counts = df.mapInPandas(write_part, schema="n long").toPandas()
     with open(os.path.join(local, "_schema.avsc"), "w") as f:
         json.dump(schema_node, f)
+    counts = df.mapInArrow(write_part, schema="n long").toPandas()
     with open(os.path.join(local, "_SUCCESS"), "w") as f:
         f.write("")
     return int(counts["n"].sum())
+
+
+def _reader_projection(reader_node, writer_node):
+    """Avro schema resolution, the additive subset: map a file's rows
+    (decoded with ITS writer schema) onto the reader schema's fields.
+    Writer-only fields are dropped; reader-only fields take the field's
+    declared ``default`` (or null when the field is nullable); a shared
+    field whose Spark type differs raises — type promotion is not
+    implemented (the spec's full resolution needs the avro jar, which
+    the JVM path uses). Returns None when no projection is needed."""
+    rfields = {f["name"]: f for f in reader_node["fields"]}
+    wfields = {f["name"]: f for f in writer_node["fields"]}
+
+    def check(name):
+        rdt, rn = avro_to_spark_type(rfields[name]["type"])
+        wdt, wn = avro_to_spark_type(wfields[name]["type"])
+        # same Spark type required; reader-nullable over writer-non-null
+        # is legal widening, the reverse would let nulls through a
+        # non-null contract
+        if rdt != wdt or (wn and not rn):
+            raise ValueError(
+                f"avro: reader/writer type mismatch on field {name!r} "
+                "(type promotion is not supported jar-free)"
+            )
+
+    if list(rfields) == list(wfields):
+        for name in rfields:
+            check(name)
+        return None
+    fills = {}
+    for name, f in rfields.items():
+        if name in wfields:
+            check(name)
+            continue
+        if "default" in f:
+            fills[name] = f["default"]
+        elif isinstance(f["type"], list) and "null" in f["type"]:
+            fills[name] = None
+        else:
+            raise ValueError(
+                f"avro: reader field {name!r} absent from the writer "
+                "schema with no default and no null branch"
+            )
+
+    def project(row):
+        return {n: (row[n] if n in wfields else fills[n]) for n in rfields}
+
+    return project
 
 
 def read_avro(
@@ -679,34 +739,65 @@ def read_avro(
 ) -> DataFrame:
     """Read Avro container files under ``path`` into a DataFrame. Takes
     ``format("avro")`` when the jar is present. The fallback discovers
-    the writer schema from the ``_schema.avsc`` sidecar or the first
+    the reader schema from the ``_schema.avsc`` sidecar or the first
     file's HEADER (a driver-side ranged read — data blocks stay on
     executors), then decodes per file inside ``mapInPandas``: each
     container block becomes one Arrow batch, files parallelize across
-    executors."""
+    executors. Every file is decoded with its OWN embedded writer
+    schema and resolved onto the reader schema via the additive subset
+    of Avro schema resolution (dropped fields, defaulted/null new
+    fields — :func:`_reader_projection`), so a directory whose files
+    straddle an additive evolution reads consistently.
+
+    Commit gate: a ``_schema.avsc`` sidecar WITHOUT ``_SUCCESS`` marks a
+    crashed :func:`write_avro` and is refused; a directory with neither
+    marker is externally-produced data and reads normally."""
     if jvm_avro_available(spark):
         reader = spark.read.format("avro")
         if avro_schema is not None:
             reader = reader.option("avroSchema", json.dumps(avro_schema))
         return reader.load(path)
+    from ..fsio import _local_path
+
+    local = _local_path(path)
+    if local is not None and os.path.exists(
+        os.path.join(local, "_schema.avsc")
+    ) and not os.path.exists(os.path.join(local, "_SUCCESS")):
+        raise ValueError(
+            f"avro: {path} holds a _schema.avsc sidecar without _SUCCESS "
+            "— an interrupted write_avro; re-run the write or clear the dir"
+        )
     if avro_schema is None:
         avro_schema = _discover_schema(path)
     sdt, _ = avro_to_spark_type(avro_schema)
     if not isinstance(sdt, T.StructType):
         raise ValueError("avro: top-level schema must be a record")
     field_names = [f.name for f in sdt.fields]
-    schema_node = avro_schema
+    reader_node = avro_schema
 
     def decode_part(batches):
         import pandas as pd
 
         for pdf in batches:
             for blob in pdf["content"]:
-                _schema, blocks = decode_container(bytes(blob))
+                wschema, blocks = decode_container(bytes(blob))
+                project = _reader_projection(reader_node, wschema)
                 for rows in blocks():
                     if rows:
+                        if project is not None:
+                            rows = [project(r) for r in rows]
+                        # dtype=object keeps nulled int64 columns EXACT
+                        # (a default int column with None goes float64
+                        # and rounds past 2^53); the one residual pandas
+                        # artifact: a decoded NaN double arrives as null
+                        # (the Arrow from_pandas bridge conflates them)
                         yield pd.DataFrame(
-                            {n: [r[n] for r in rows] for n in field_names}
+                            {
+                                n: pd.Series(
+                                    [r[n] for r in rows], dtype=object
+                                )
+                                for n in field_names
+                            }
                         )
 
     files = (
@@ -715,9 +806,6 @@ def read_avro(
         .load(path)
         .select("content")
     )
-    # silence the unused-capture lint: schema_node pins the closure so a
-    # future reader-schema evolution hook resolves against it
-    _ = schema_node
     return files.mapInPandas(decode_part, schema=sdt)
 
 
@@ -730,7 +818,9 @@ def decode_avro_datum(
     schema (the schema cannot ride along, so the caller supplies it) —
     into a typed struct column. Arrow-batched pandas UDF (the spec's
     binary decoding has no JVM expression without the avro module);
-    NULL bytes → NULL struct. Confluent wire framing (magic byte +
+    NULL bytes → a struct with every field null (a pandas-UDF struct
+    result cannot express a top-level NULL row — filter NULL bytes
+    upstream if the distinction matters). Confluent wire framing (magic byte +
     registry id) is registry-specific and out of scope — strip the
     5-byte prefix upstream with ``F.substring``."""
     import pandas as pd
@@ -747,7 +837,11 @@ def decode_avro_datum(
             {n: None for n in names} if v is None else dec(_Cur(bytes(v)))
             for v in s
         ]
-        return pd.DataFrame({n: [r[n] for r in rows] for n in names})
+        # dtype=object: see read_avro's decode_part — exact nulled int64,
+        # with NaN→null as the pandas bridge's one residual conflation
+        return pd.DataFrame(
+            {n: pd.Series([r[n] for r in rows], dtype=object) for n in names}
+        )
 
     return df.withColumn(out_col, _dec_udf(F.col(col)))
 
@@ -756,11 +850,18 @@ def encode_avro_datum(
     df: DataFrame, struct_col: str, avro_schema=None, out_col: str = "avro"
 ) -> DataFrame:
     """``to_avro``: encode a STRUCT column as raw Avro datum bytes (the
-    PublishKafka value shape). The schema defaults to the struct's own
-    Spark schema converted via :func:`spark_to_avro_schema`; pass the
-    parsed-JSON Avro schema explicitly to pin cross-system bytes."""
-    import pandas as pd
+    PublishKafka value shape), appended as binary column ``out_col``.
+    The schema defaults to the struct's own Spark schema converted via
+    :func:`spark_to_avro_schema`; pass the parsed-JSON Avro schema
+    explicitly to pin cross-system bytes.
 
+    Runs on ``mapInArrow``, NOT a pandas UDF, for the same value-fidelity
+    reasons as :func:`write_avro`: Arrow's ``to_pylist`` keeps ``None``
+    distinct from ``NaN`` (pandas' struct-as-DataFrame bridge turns null
+    ints/doubles into NaN — null longs would crash the encoder and null
+    doubles would silently hit the wire as NaN), keeps nulled int64
+    fields exact past 2^53, and hands instants over timezone-aware. A
+    NULL struct row yields NULL bytes."""
     dt = dict(zip(df.columns, [f.dataType for f in df.schema.fields]))[
         struct_col
     ]
@@ -772,23 +873,31 @@ def encode_avro_datum(
         else spark_to_avro_schema(dt)
     )
     enc = _compile_encoder(node)
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField(out_col, T.BinaryType())]
+    )
 
-    @F.pandas_udf(returnType=T.BinaryType())
-    def _enc_udf(s: pd.Series) -> pd.Series:
-        # despite the Series hint the runtime hands struct-typed input
-        # over as a pandas DataFrame (one column per field)
-        recs = s.to_dict("records") if isinstance(s, pd.DataFrame) else list(s)
-        out = []
-        for v in recs:
-            if v is None:
-                out.append(None)
-            else:
-                buf = bytearray()
-                enc(buf, v)
-                out.append(bytes(buf))
-        return pd.Series(out, dtype=object)
+    def enc_part(batches):
+        import pyarrow as pa
 
-    return df.withColumn(out_col, _enc_udf(F.col(struct_col)))
+        for batch in batches:
+            vals = batch.column(
+                batch.schema.get_field_index(struct_col)
+            ).to_pylist()
+            blobs = []
+            for v in vals:
+                if v is None:
+                    blobs.append(None)
+                else:
+                    buf = bytearray()
+                    enc(buf, v)
+                    blobs.append(bytes(buf))
+            yield pa.RecordBatch.from_arrays(
+                list(batch.columns) + [pa.array(blobs, type=pa.binary())],
+                names=list(batch.schema.names) + [out_col],
+            )
+
+    return df.mapInArrow(enc_part, schema=out_schema)
 
 
 def _discover_schema(path: str):
@@ -809,9 +918,10 @@ def _discover_schema(path: str):
         try:
             schema, _codec, _sync, _pos = parse_container_header(buf)
             return schema
-        except (IndexError, json.JSONDecodeError):
-            # truncated mid-metadata (short varint / sync / schema JSON):
-            # retry with a longer prefix unless the whole file is read
+        except (IndexError, json.JSONDecodeError, UnicodeDecodeError):
+            # truncated mid-metadata (short varint / sync / schema JSON /
+            # mid-multibyte UTF-8): retry with a longer prefix unless the
+            # whole file is already read
             if len(buf) < size:
                 raise ValueError(f"avro: truncated container header in {fp}")
             size <<= 1
