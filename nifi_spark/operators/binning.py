@@ -58,8 +58,10 @@ def split_oversized_groups(
     job. This guard aggregates per-group row and byte counts first (one
     map-side-combined shuffle of counters, never payloads), then
     anti-joins the oversized ids out of the data — the bad group is never
-    collected. Oversized groups are pathologies by definition, so their
-    id set is broadcast.
+    collected. The anti-join side is left to AQE: usually a handful of
+    pathological ids (broadcast), but a tight threshold can flag a
+    constant fraction of all groups, where a forced broadcast would be
+    its own scale bomb.
 
     Returns ``(ok_rows, overflow)`` where ``overflow`` has one row per
     oversized group: ``(group_col, n_rows, n_bytes, reason)`` with reason
@@ -77,7 +79,13 @@ def split_oversized_groups(
         ).alias("n_bytes"),
     )
     over = sizes.filter(cond).withColumn("reason", F.lit("group-overflow"))
-    ok = df.join(F.broadcast(over.select(group_col)), group_col, "left_anti")
+    # no forced broadcast: with a tight threshold the overflow set can be
+    # a constant FRACTION of all groups (e.g. max_group_rows=5 over
+    # lineitem flags ~20% of orders), and F.broadcast() of an O(corpus)
+    # id set is itself the scale bomb this guard exists to prevent. AQE
+    # broadcasts the anti-join side when it measures small and falls back
+    # to a shuffled join when it is not.
+    ok = df.join(over.select(group_col), group_col, "left_anti")
     return ok, over
 
 

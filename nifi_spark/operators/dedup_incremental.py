@@ -195,6 +195,21 @@ class LshIndex:
                 f"batch_id {batch_id} below committed cursor {done[-1]} "
                 "and not a replay of a committed batch"
             )
+        if done:
+            # legacy-layout guard (one listing): an index persisted before
+            # the pb=/sb= sub-bucket layout would otherwise mix layouts on
+            # the next write and fail partition discovery mid-probe
+            oldest = self._io.list_names(
+                fsio_join(self.bands_dir, f"batch={done[0]}")
+            )
+            if not any(n.startswith("pb=") for n in oldest) and any(
+                n.endswith(".parquet") for n in oldest
+            ):
+                raise ValueError(
+                    f"LshIndex at {self.path}: committed batch {done[0]} "
+                    "uses the legacy flat layout (no pb= sub-buckets); "
+                    "rebuild the index before adding new batches"
+                )
         _guard_internal(
             docs, ["_sh", "sig", "band", "bhash", "batch", "pb", "sb"], "LshIndex"
         )
@@ -248,13 +263,26 @@ class LshIndex:
         # the batch's pb set comes from its partition DIRECTORIES (dynamic
         # partitioning creates pb=X only for present values) — one listing,
         # no Spark job
+        part_names = self._io.list_names(band_part)
         pbs = sorted(
             int(name.split("=", 1)[1])
-            for name in self._io.list_names(band_part)
+            for name in part_names
             if name.startswith("pb=")
         )
+        if not pbs and any(n.endswith(".parquet") for n in part_names):
+            # data files directly under batch=N with no pb= dirs: an index
+            # persisted by the pre-sub-bucket layout. Refuse loudly — a
+            # silent empty probe (no matching partitions) or a mixed-layout
+            # partition-discovery failure would be far worse.
+            raise ValueError(
+                f"LshIndex at {self.path}: batch {batch_id} uses the "
+                "legacy flat layout (no pb= sub-buckets); rebuild the "
+                "index (re-ingest or one-shot re-add) before probing"
+            )
         self.last_pb_buckets = pbs  # pruning witness (tests/ops visibility)
         if not pbs:  # empty batch: nothing can match anything
+            self.last_probe_plan = None  # witnesses reflect THIS batch,
+            self.last_sh_buckets = []  # not a stale predecessor
             return self.spark.createDataFrame(
                 [], f"id_a {idt}, id_b {idt}, jaccard double"
             )

@@ -145,7 +145,7 @@ def defragment(
     count_col: str | None = None,
     max_group_rows: int | None = None,
     max_group_bytes: int | None = None,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Reassemble fragments into one row per fragment id, index order.
 
     ≙ MergeContent Defragment mode (reference MergeContent.java:115-127,

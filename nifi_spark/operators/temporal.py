@@ -87,7 +87,10 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     if not right_cols:
         raise ValueError("right_cols: at least one right payload column required")
-    reserved = {"_asof_side", "_asof_pack", "_asof_ord", "_asof_salt"}
+    reserved = {
+        "_asof_side", "_asof_pack", "_asof_ord", "_asof_salt",
+        "_asof_tie", "_asof_rn", "_asof_tgt",
+    }
     bad = reserved & set(left.columns)
     if bad:
         raise ValueError(f"left side carries reserved internal columns: {sorted(bad)}")

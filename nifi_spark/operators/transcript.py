@@ -63,7 +63,7 @@ def assemble_transcripts(
     split_tag: str = "split",
     max_group_rows: int | None = None,
     max_group_bytes: int | None = None,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """One SFT sample per conversation, in ONE hash aggregate.
 
     Output: (conv_col, transcript, n_turns, n_tool_turns, total_tokens,

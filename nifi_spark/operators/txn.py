@@ -99,7 +99,7 @@ def txn_group(
     committed_only: bool = True,
     max_group_rows: int | None = None,
     max_group_bytes: int | None = None,
-) -> DataFrame:
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """ONE_TRANSACTION_PER_FLOWFILE: one output row per transaction with
     the ordered, concatenated event content (reference
     nifi-cdc-api .../event/io/FlowFileEventWriteStrategy.java; the

@@ -664,46 +664,28 @@ class CdcPipeline:
         if batch_id is not None and self.table.exists():
             last = self.table._batch_id_of(self.table._manifest())
             if last is not None and batch_id <= last:
-                # crash-heal: a crash BETWEEN the sink commit and the index
-                # add would otherwise orphan this batch from the index
-                # forever (the replay short-circuits before the near-dup
-                # step). Only the not-yet-indexed case does work here.
+                # defensive heal for state written by runs that committed
+                # the sink BEFORE the index (the current order is index
+                # first, so new runs never leave this gap): reconstruct
+                # the PARSED/flagged frame — never the raw batch, whose
+                # text column is NULL under from_json_payload — and index
+                # it. The txn-admitted set of the original run cannot be
+                # rebuilt (the pending store has moved on), so txn mode
+                # records the skip instead of freezing a wrong doc set.
                 if (
                     self._ndx is not None
                     and batch_id not in self._ndx.committed_batches()
                 ):
                     wm = self._ndx._compacted_upto()
                     if wm is None or batch_id > wm:
-                        self._near_dup_step(batch_df, batch_id, metrics)
+                        if self.txn_consistent:
+                            metrics["near_dup_heal_skipped"] = True
+                        else:
+                            self._near_dup_step(
+                                self._flag_batch(batch_df), batch_id, metrics
+                            )
                 return metrics
-        if "_late" in batch_df.columns:
-            # fully pre-flagged by the streaming plan (start() bakes parse,
-            # _bad, and a constant-false _late into the stream when no
-            # engine watermark is configured) — zero per-batch plan nodes
-            flagged = batch_df
-        else:
-            if "_bad" in batch_df.columns:
-                parsed = batch_df  # parse+_bad pre-built by the streaming plan
-                bad_flagged = parsed
-            else:
-                if self.from_json_payload:
-                    # pre-built expression trees (see __init__) — same plan
-                    # as normalize_json(batch_df, keep_cols=[...]) without
-                    # rebuilding ~25 Column objects per micro-batch
-                    parsed = batch_df.select(*self._parse_cols).select(*self._norm_cols)
-                    bad_cond = self._bad_cond
-                else:
-                    parsed = batch_df
-                    bad_cond = F.lit(False)
-                bad_flagged = parsed.withColumn("_bad", bad_cond)
-
-            late_cond = F.lit(False)
-            if self.watermark_delay_s is not None:
-                prev_max = self._load_watermark()
-                if prev_max is not None:
-                    cutoff = F.timestamp_seconds(F.lit(prev_max - self.watermark_delay_s))
-                    late_cond = F.col("ts") < cutoff
-            flagged = bad_flagged.withColumn("_late", ~F.col("_bad") & late_cond)
+        flagged = self._flag_batch(batch_df)
         gate_cache = None
         gate_thread = None
         gate_err: list[BaseException] = []
@@ -735,15 +717,20 @@ class CdcPipeline:
             # "nothing applied"
             if self.quality_checks:
                 self._quality_gate(flagged, batch_id, metrics)
+            if self._ndx is not None:
+                # BEFORE the sink commit, so the crash window between the
+                # two commits heals through the NORMAL replay path: a
+                # crash after the index add replays the whole batch, the
+                # index add is idempotent by batch id, and the sink then
+                # commits — no divergent heal branch. The transient state
+                # (index committed, sink pending) lasts exactly one
+                # replay; the quality gate runs first, so a halted batch
+                # never reaches the index.
+                self._near_dup_step(flagged, batch_id, metrics)
             if self.sink_mode == "append":
                 metrics = self._apply_batch_fused(flagged, batch_id, metrics)
             else:
                 metrics = self._apply_batch_merge(flagged, batch_id, metrics)
-            if self._ndx is not None:
-                # AFTER the sink commit: pairs only ever describe data
-                # that durably landed (a crash before here is healed by
-                # the replay-path check above)
-                self._near_dup_step(flagged, batch_id, metrics)
             return metrics
         finally:
             if gate_thread is not None:
@@ -907,10 +894,26 @@ class CdcPipeline:
         good = self._good
 
         obs = Observation()
+        pre_obs = flagged
         flagged = flagged.observe(obs, *self._obs_aggs)
         # evaluated by append_events AFTER its write job populates obs —
-        # the touched-bucket set costs nothing extra
-        touched_fn = lambda: [int(b) for b in (obs.get["buckets"] or [])]  # noqa: E731
+        # the touched-bucket set costs nothing extra. Fallback: a
+        # driver-local batch (a LocalRelation fed straight to apply_batch
+        # — tests, backfill scripts; stream sources never produce one)
+        # can be constant-folded so the CollectMetrics node never emits,
+        # leaving the observation EMPTY (obs.get then throws); recompute
+        # the same aggs with one explicit job in that case only.
+        obs_state: dict = {}
+
+        def _obs_row():
+            if "row" not in obs_state:
+                try:
+                    obs_state["row"] = obs.get
+                except Exception:
+                    obs_state["row"] = pre_obs.agg(*self._obs_aggs).collect()[0]
+            return obs_state["row"]
+
+        touched_fn = lambda: [int(b) for b in (_obs_row()["buckets"] or [])]  # noqa: E731
         events = flagged.filter(good)
         if self.from_json_payload:
             payload = events.select(*self._payload_cols)
@@ -937,8 +940,9 @@ class CdcPipeline:
                 batch_id=batch_id, fold_mode="raw", touched=touched_fn,
             )
         # append_events always ran its write job (the replay short-circuit
-        # was pre-checked in apply_batch), so the observation is populated.
-        row = obs.get
+        # was pre-checked in apply_batch), so the observation is populated
+        # — or the LocalRelation fallback above recomputes it.
+        row = _obs_row()
         n_dlq = int(row["n_bad"] or 0)
         n_late = int(row["n_late"] or 0)
         n_ddl = int(row["n_ddl"] or 0)
@@ -1017,6 +1021,38 @@ class CdcPipeline:
         self._maybe_expire(metrics)
         self._maybe_refresh_mv(metrics)
         return metrics
+
+    def _flag_batch(self, batch_df: DataFrame) -> DataFrame:
+        """Parse + flag one micro-batch: payload parse (when not baked
+        into the streaming plan), ``_bad``, and the engine-watermark
+        ``_late`` flag. Shared by the normal apply path and the
+        defensive index heal so both see the SAME frame shape."""
+        if "_late" in batch_df.columns:
+            # fully pre-flagged by the streaming plan (start() bakes parse,
+            # _bad, and a constant-false _late into the stream when no
+            # engine watermark is configured) — zero per-batch plan nodes
+            return batch_df
+        if "_bad" in batch_df.columns:
+            bad_flagged = batch_df  # parse+_bad pre-built by the streaming plan
+        else:
+            if self.from_json_payload:
+                # pre-built expression trees (see __init__) — same plan
+                # as normalize_json(batch_df, keep_cols=[...]) without
+                # rebuilding ~25 Column objects per micro-batch
+                parsed = batch_df.select(*self._parse_cols).select(*self._norm_cols)
+                bad_cond = self._bad_cond
+            else:
+                parsed = batch_df
+                bad_cond = F.lit(False)
+            bad_flagged = parsed.withColumn("_bad", bad_cond)
+
+        late_cond = F.lit(False)
+        if self.watermark_delay_s is not None:
+            prev_max = self._load_watermark()
+            if prev_max is not None:
+                cutoff = F.timestamp_seconds(F.lit(prev_max - self.watermark_delay_s))
+                late_cond = F.col("ts") < cutoff
+        return bad_flagged.withColumn("_late", ~F.col("_bad") & late_cond)
 
     def _near_dup_step(self, df: DataFrame, batch_id: int, metrics: dict) -> None:
         """Probe + extend the persisted LSH index with this batch's

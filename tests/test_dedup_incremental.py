@@ -74,6 +74,67 @@ def test_replay_is_idempotent(spark, tmp_path):
     assert idx.committed_batches() == [0, 1, 2]
 
 
+def test_crash_between_shingle_and_band_write_replays_cleanly(spark, tmp_path):
+    """The bands-side _SUCCESS is the batch's commit marker and lands
+    LAST (shingles first): a crash between the two writes leaves the
+    batch UNCOMMITTED, and the replay rewrites BOTH sides and derives
+    the same pairs — committed_batches() drives add_batch's skip-write
+    replay and the streaming heal check, so this ordering is
+    load-bearing."""
+    import shutil
+
+    docs = _docs(spark)
+    idx = LshIndex(spark, str(tmp_path / "lsh"), **PARAMS)
+    idx.add_batch(docs.filter("doc_id % 2 = 0"), 0).collect()
+    want = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in idx.add_batch(docs.filter("doc_id % 2 = 1"), 1).collect()
+    )
+    # simulate the crash window: shingles for batch 1 persisted, bands not
+    shutil.rmtree(tmp_path / "lsh" / "bands" / "batch=1")
+    assert idx.committed_batches() == [0]  # batch 1 is NOT committed
+    got = sorted(
+        (r.id_a, r.id_b, r.jaccard)
+        for r in idx.add_batch(docs.filter("doc_id % 2 = 1"), 1).collect()
+    )
+    assert got == want
+    assert idx.committed_batches() == [0, 1]
+
+
+def test_legacy_flat_layout_refused(spark, tmp_path):
+    """An index persisted by the pre-sub-bucket layout (data files
+    directly under batch=N, no pb= dirs) is refused loudly instead of
+    silently probing zero partitions or failing partition discovery."""
+    docs = _docs(spark)
+    idx = LshIndex(spark, str(tmp_path / "lsh"), **PARAMS)
+    idx.add_batch(docs.filter("doc_id < 100"), 0).collect()
+    # flatten batch 0 into the legacy layout: move the pb= files up
+    import os
+    import shutil
+
+    bdir = tmp_path / "lsh" / "bands" / "batch=0"
+    for sub in list(bdir.iterdir()):
+        if sub.name.startswith("pb="):
+            for f in sub.iterdir():
+                if f.name.endswith(".parquet"):
+                    shutil.move(str(f), str(bdir / f"flat_{f.name}"))
+            shutil.rmtree(sub)
+    with pytest.raises(ValueError, match="legacy flat layout"):
+        idx.add_batch(docs.filter("doc_id >= 100 AND doc_id < 200"), 1)
+    with pytest.raises(ValueError, match="legacy flat layout"):
+        idx.add_batch(docs.filter("doc_id < 100"), 0)  # replay path too
+
+
+def test_empty_batch_resets_pruning_witnesses(spark, tmp_path):
+    docs = _docs(spark)
+    idx = LshIndex(spark, str(tmp_path / "lsh"), **PARAMS)
+    idx.add_batch(docs.filter("doc_id < 200"), 0).collect()
+    assert idx.last_pb_buckets and idx.last_probe_plan is not None
+    idx.add_batch(docs.filter("doc_id < 0"), 1).collect()  # empty batch
+    assert idx.last_pb_buckets == [] and idx.last_probe_plan is None
+    assert idx.last_sh_buckets == []
+
+
 def test_uncommitted_low_batch_id_raises(spark, tmp_path):
     docs = _docs(spark)
     idx = LshIndex(spark, str(tmp_path / "lsh"), **PARAMS)
@@ -504,6 +565,58 @@ def test_cdc_pipeline_in_stream_near_dup(spark, tmp_path):
     assert 3 in p._ndx.committed_batches()
     all_nd = spark.read.parquet(str(tmp_path / "t" / "_near_dups")).collect()
     assert sorted((r.id_a, r.id_b) for r in all_nd) == [("c0", "c3"), ("c1", "c4")]
+
+
+def test_near_dup_heal_parses_json_payloads(spark, tmp_path):
+    """The defensive index heal must index the PARSED batch, not the raw
+    frame: under from_json_payload the raw batch's top-level text is
+    NULL, so an unparsed heal would commit an EMPTY index partition and
+    the conversations could never be flagged again."""
+    import json as _json
+    import shutil
+
+    from nifi_spark.streaming.job import CdcPipeline
+
+    text_a = [
+        "please summarize the quarterly revenue report for the emea region",
+        "the emea region grew twelve percent quarter over quarter driven by cloud",
+    ]
+
+    def feed(conv, texts, seq0):
+        rows = [
+            (
+                _json.dumps(
+                    {
+                        "type": "I", "seq": seq0 + i,
+                        "timestamp": "2024-01-01T00:00:00.000Z",
+                        "conv_id": conv, "turn_idx": i,
+                        "role": ["user", "assistant"][i % 2], "text": t,
+                    }
+                ),
+                "f", seq0 + i,
+            )
+            for i, t in enumerate(texts)
+        ]
+        return spark.createDataFrame(
+            rows, "payload_json string, source_file string, source_pos long"
+        )
+
+    p = CdcPipeline(
+        spark, str(tmp_path / "t"), str(tmp_path / "ck"), n_buckets=4,
+        sink_mode="append", from_json_payload=True,
+        near_dup_index=str(tmp_path / "lsh"),
+    )
+    p.apply_batch(feed("c0", text_a, 100), batch_id=1)
+    near = text_a[:1] + [text_a[1].replace("twelve", "thirteen")]
+    m = p.apply_batch(feed("c1", near, 200), batch_id=2)
+    assert m["n_near_dups"] == 1
+    # crash window: sink committed, index partition lost → the heal (the
+    # replay short-circuit) must re-parse and re-derive the same pair
+    for side in ("bands", "shingles"):
+        shutil.rmtree(tmp_path / "lsh" / side / "batch=2")
+    m = p.apply_batch(feed("c1", near, 200), batch_id=2)
+    assert m["n_events"] == 0 and m["n_near_dups"] == 1
+    assert 2 in p._ndx.committed_batches()
 
 
 def test_cdc_pipeline_index_compact_cadence(spark, tmp_path):
